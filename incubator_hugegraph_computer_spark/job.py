@@ -1,0 +1,126 @@
+"""spark-submit entry point.
+
+The reference submits jobs as ``HugeGraphComputer.main(conf, role, drive)``
+(``computer-dist/.../dist/HugeGraphComputer.java:57``) with master/worker
+role dispatch; on Spark the cluster manager owns the topology, so the
+CLI is just: input → algorithm → output.
+
+Usage (cluster):
+    spark-submit --py-files hgc_spark.zip -m incubator_hugegraph_computer_spark.job \
+        --algorithm pagerank --input /data/repo_files --output /out/ranks \
+        --checkpoint-dir /ckpt --run-id run1
+
+Sandbox smoke (generates its own corpus):
+    spark-submit job.py --algorithm pagerank --generate 10000 --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hgc-spark", description=__doc__)
+    p.add_argument(
+        "--algorithm",
+        required=True,
+        choices=["pagerank", "pagerank_classic", "wcc", "lpa", "lpa_sync", "triangle_count", "degree"],
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="path of the (repo,path,commit,lang,content,sha256) table")
+    src.add_argument("--generate", type=int, metavar="NUM_FILES",
+                     help="generate a deterministic synthetic corpus of this size")
+    p.add_argument("--input-format", default="parquet", choices=["parquet", "iceberg", "csv"])
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--max-supersteps", type=int, default=None)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-verify-sha", action="store_true")
+    return p
+
+
+def run(args: argparse.Namespace) -> dict:
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators import (
+        degree_centrality,
+        lpa,
+        pagerank,
+        pagerank_classic,
+        triangle_count,
+        wcc,
+    )
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa_sync
+    from incubator_hugegraph_computer_spark.session import get_spark
+    from incubator_hugegraph_computer_spark.sources.extractor import extract_edges
+    from incubator_hugegraph_computer_spark.sources.repo_files import generate_repo_files
+
+    spark = get_spark(app_name=f"hgc-{args.algorithm}")
+    t0 = time.monotonic()
+    if args.generate:
+        files = generate_repo_files(spark, args.generate, seed=args.seed)
+    elif args.input_format == "iceberg":
+        files = spark.read.table(args.input)
+    else:
+        files = spark.read.format(args.input_format).load(args.input)
+
+    vertices, edges = extract_edges(files, verify=not args.no_verify_sha)
+    graph = Graph(vertices.select("id"), edges, num_partitions=args.partitions).cache()
+    n_vertices, n_edges = graph.num_vertices(), graph.num_edges()
+    t_ingest = time.monotonic() - t0
+
+    engine_kwargs = {}
+    if args.checkpoint_dir:
+        engine_kwargs = {
+            "checkpoint_dir": args.checkpoint_dir,
+            "checkpoint_every": args.checkpoint_every,
+            "run_id": args.run_id,
+            "resume": args.resume,
+        }
+    iter_kwargs = dict(engine_kwargs)
+    if args.max_supersteps:
+        if args.algorithm in ("pagerank", "wcc", "lpa", "lpa_sync"):
+            iter_kwargs["max_supersteps"] = args.max_supersteps
+        elif args.algorithm == "pagerank_classic":
+            iter_kwargs["max_iterations"] = args.max_supersteps
+
+    t1 = time.monotonic()
+    algos = {
+        "pagerank": lambda: pagerank(graph, **iter_kwargs),
+        "pagerank_classic": lambda: pagerank_classic(graph, **iter_kwargs),
+        "wcc": lambda: wcc(graph, **iter_kwargs),
+        "lpa": lambda: lpa(graph, **iter_kwargs),
+        "lpa_sync": lambda: lpa_sync(graph, **iter_kwargs),
+        "triangle_count": lambda: triangle_count(graph),
+        "degree": lambda: degree_centrality(graph),
+    }
+    result = algos[args.algorithm]()
+    # join back the human-readable vertex dimension for output
+    out = result.join(vertices, "id")
+    out.write.mode("overwrite").parquet(args.output)
+    t_compute = time.monotonic() - t1
+
+    stats = {
+        "algorithm": args.algorithm,
+        "vertices": n_vertices,
+        "edges": n_edges,
+        "ingest_sec": round(t_ingest, 3),
+        "compute_sec": round(t_compute, 3),
+        "output": args.output,
+    }
+    print(json.dumps(stats))
+    return stats
+
+
+def main(argv=None) -> None:
+    run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,155 @@
+"""Label Propagation (community detection) — two reference variants.
+
+``lpa`` — the Java Computer semantics
+(``computer-algorithm/.../community/lpa/Lpa.java:33-99``), made
+deterministic:
+
+- superstep 0: label = own id, broadcast along **out-edges**, inactivate
+- superstep k: only vertices that *received* messages recompute
+  (vote-to-halt reactivation); label = most frequent incoming label;
+  on change, adopt + rebroadcast the new label; otherwise stay silent
+- ties: the reference picks uniformly at random (Lpa.java:95-97); this
+  engine uses **min label** so runs are reproducible — the reference's
+  own test only asserts the community *count* (4,
+  ``LpaTest.java:125-133``), which the deterministic rule preserves
+  (verified in tests/test_lpa.py).
+- terminates when no vertex changed (no messages in flight) or at the
+  superstep budget (default 10, AlgorithmTestBase.java:69-70).
+
+``lpa_sync`` — the Vermeer synchronous semantics
+(``vermeer/algorithms/lpa.go:154-286``): every step every vertex
+recomputes from the in+out neighbor label multiset (a mutual edge
+counts twice), min-label tie-break (compareOption 0), halting when
+diff_sum == 0 or the two-step oscillation guard grandpa_diff_sum == 0
+trips (LpaMaster.Compute).
+
+Both variants: the frequency/argmax is one shuffle —
+count per (dst, label) partially aggregates map-side, then the
+argmax-with-min-tie-break folds into ``min(struct(-cnt, label))``
+inside the same aggregation tree (no window function, no extra pass).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.bsp import (
+    BspEngine,
+    BspProgram,
+    SuperstepContext,
+)
+
+
+def _argmax_min_label(messages: DataFrame) -> DataFrame:
+    """(dst, msg) multiset → (id, msg) winner per dst: max frequency,
+    ties to the smallest label."""
+    counts = messages.groupBy("dst", "msg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy(F.col("dst").alias("id"))
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("msg").alias("lbl"))
+            ).alias("best")
+        )
+        .select("id", F.col("best.lbl").alias("msg"))
+    )
+
+
+class LpaProgram(BspProgram):
+    """Java semantics, deterministic tie-break."""
+
+    name = "lpa"
+
+    def initial_state(self, graph: Graph) -> DataFrame:
+        # 'active' here means "changed last step → must broadcast".
+        return graph.vertices.select(
+            "id", F.col("id").alias("label"), F.lit(True).alias("active")
+        )
+
+    def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
+        return (
+            state.where(F.col("active"))
+            .select(F.col("id").alias("src"), "label")
+            .join(graph.edges, "src")
+            .select("dst", F.col("label").alias("msg"))
+        )
+
+    def combine(self, messages: DataFrame) -> DataFrame:
+        return _argmax_min_label(messages)
+
+    def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        new_label = F.coalesce(F.col("msg"), F.col("label"))
+        return state.join(inbox, "id", "left").select(
+            "id",
+            new_label.alias("label"),
+            (new_label != F.col("label")).alias("active"),
+        )
+
+
+class LpaSyncProgram(BspProgram):
+    """Vermeer semantics: full recompute + oscillation guard. Expects the
+    graph's edges to already be the both-direction multiset."""
+
+    name = "lpa_sync"
+
+    def initial_state(self, graph: Graph) -> DataFrame:
+        return graph.vertices.select(
+            "id",
+            F.col("id").alias("label"),
+            F.col("id").alias("grandpa_label"),
+            F.lit(1).alias("diff"),
+            F.lit(1).alias("gdiff"),
+        )
+
+    def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
+        return (
+            state.select(F.col("id").alias("src"), "label")
+            .join(graph.edges, "src")
+            .select("dst", F.col("label").alias("msg"))
+        )
+
+    def combine(self, messages: DataFrame) -> DataFrame:
+        return _argmax_min_label(messages)
+
+    def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        new_label = F.coalesce(F.col("msg"), F.col("label"))
+        return state.join(inbox, "id", "left").select(
+            "id",
+            new_label.alias("label"),
+            F.col("label").alias("grandpa_label"),
+            (new_label != F.col("label")).cast("int").alias("diff"),
+            (new_label != F.col("grandpa_label")).cast("int").alias("gdiff"),
+        )
+
+    def aggregate(self, state: DataFrame, ctx: SuperstepContext) -> dict[str, Any]:
+        row = state.agg(F.sum("diff").alias("d"), F.sum("gdiff").alias("g")).first()
+        return {"diff_sum": int(row["d"]), "grandpa_diff_sum": int(row["g"])}
+
+    def halt(self, ctx: SuperstepContext) -> bool:
+        if ctx.superstep < 2:
+            return ctx.aggs["diff_sum"] == 0
+        return ctx.aggs["diff_sum"] == 0 or ctx.aggs["grandpa_diff_sum"] == 0
+
+
+def lpa(graph: Graph, max_supersteps: int = 10, **engine_kwargs) -> DataFrame:
+    """(id, label) — Java-semantics deterministic LPA (directed)."""
+    resume = engine_kwargs.pop("resume", False)
+    engine = BspEngine(graph, max_supersteps=max_supersteps, **engine_kwargs)
+    state, _ = engine.run(LpaProgram(), resume=resume)
+    return state.select("id", "label")
+
+
+def lpa_sync(graph: Graph, max_supersteps: int = 10, **engine_kwargs) -> DataFrame:
+    """(id, label) — Vermeer-semantics synchronous LPA (undirected
+    in+out multiset)."""
+    resume = engine_kwargs.pop("resume", False)
+    both = graph.edges.select("src", "dst").unionAll(
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    g = Graph(graph.vertices, both, graph.num_partitions).cache()
+    engine = BspEngine(g, max_supersteps=max_supersteps, **engine_kwargs)
+    state, _ = engine.run(LpaSyncProgram(), resume=resume)
+    return state.select("id", "label")

@@ -1,0 +1,202 @@
+"""The BSP superstep loop as a driver-side iteration over DataFrames.
+
+Reference control flow being re-expressed (SURVEY.md §3.1):
+``MasterService.execute`` (computer-core/.../master/MasterService.java:195-297)
+barriers workers through etcd each superstep; workers compute per
+partition and push messages through a sort-combine-netty-merge pipeline.
+On Spark the whole structure collapses:
+
+- barrier            → a Spark action per superstep (materialize state)
+- message transport  → the shuffle of ``groupBy(dst).agg(combiner)``
+  (map-side partial agg == the reference's sender-side combining,
+  ``SortManager.java:180-215``; reduce-side merge == shuffle read)
+- aggregators        → driver-side ``agg().collect()`` scalars
+- vote-to-halt       → an ``active`` boolean column + frontier pruning
+- termination        → stop if program says stop, OR superstep >= max,
+  OR (no messages AND no active vertices) — the exact rule of
+  ``MasterService.finishedIteration`` (MasterService.java:350-361)
+
+A program supplies five hooks (the Computation/MasterComputation surface,
+``computer-api/.../worker/Computation.java:50-64``,
+``master/MasterComputation.java``):
+
+    initial_state(graph)                  -> state DF    (compute0)
+    messages(state, graph, ctx)           -> msg DF (dst, ...)   (sendMessage*)
+    combine(messages)                     -> inbox DF (id, ...)  (Combiner)
+    update(state, inbox, ctx)             -> state' DF   (compute)
+    aggregate(state, ctx)                 -> dict         (Aggregator4Master)
+    halt(ctx)                             -> bool         (master compute)
+
+State DataFrames must carry ``id`` and may carry ``active``; everything
+else is program-defined columns.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.checkpoint import CheckpointManager
+
+# Default superstep budget mirrors bsp.max_super_step=10
+# (computer-api/.../config/ComputerOptions.java:521-528).
+DEFAULT_MAX_SUPERSTEPS = 10
+
+
+@dataclass
+class SuperstepContext:
+    """What the master sees between supersteps
+    (``MasterComputationContext.java:32-57``): counts + named aggregators.
+    ``aggs`` holds the current superstep's values, ``prev_aggs`` the
+    previous one's (programs read *previous* values, as workers do via
+    ``beforeSuperstep``)."""
+
+    superstep: int = 0
+    num_vertices: int = 0
+    active_vertices: int = 0
+    messages_sent: int = 0
+    aggs: dict[str, Any] = field(default_factory=dict)
+    prev_aggs: dict[str, Any] = field(default_factory=dict)
+    stats: list[dict[str, Any]] = field(default_factory=list)
+
+
+class BspProgram:
+    name = "bsp"
+
+    def initial_state(self, graph: Graph) -> DataFrame:
+        raise NotImplementedError
+
+    def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
+        raise NotImplementedError
+
+    def combine(self, messages: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        raise NotImplementedError
+
+    def aggregate(self, state: DataFrame, ctx: SuperstepContext) -> dict[str, Any]:
+        return {}
+
+    def halt(self, ctx: SuperstepContext) -> bool:
+        return False
+
+
+class BspEngine:
+    def __init__(
+        self,
+        graph: Graph,
+        max_supersteps: int = DEFAULT_MAX_SUPERSTEPS,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
+        run_id: str | None = None,
+    ):
+        self.graph = graph
+        self.max_supersteps = max_supersteps
+        self.ckpt = (
+            CheckpointManager(checkpoint_dir, run_id or uuid.uuid4().hex, checkpoint_every)
+            if checkpoint_dir
+            else None
+        )
+
+    def run(self, program: BspProgram, resume: bool = False) -> tuple[DataFrame, SuperstepContext]:
+        g = self.graph.cache()
+        ctx = SuperstepContext(num_vertices=g.num_vertices())
+
+        start_step = 0
+        state: DataFrame | None = None
+        if resume and self.ckpt is not None:
+            latest = self.ckpt.latest_complete()
+            if latest is not None:
+                state, saved = self.ckpt.load(g.spark, latest)
+                ctx.aggs = saved
+                start_step = latest + 1
+        if state is None:
+            state = program.initial_state(g)
+            state = state.persist()
+            ctx.active_vertices = self._active_count(state)
+            ctx.aggs = program.aggregate(state, ctx)
+            if self.ckpt is not None and self.ckpt.should_checkpoint(0):
+                state = self.ckpt.save(
+                    0, state, ctx.aggs, self._metrics(ctx, wall_ms=0)
+                ).persist()
+            start_step = 1
+
+        for step in range(start_step, self.max_supersteps + 1):
+            t0 = time.monotonic()
+            ctx.prev_aggs = ctx.aggs
+            ctx.superstep = step
+
+            msgs = program.messages(state, g, ctx)
+            inbox = program.combine(msgs).persist()
+            ctx.messages_sent = inbox.count()
+
+            new_state = program.update(state, inbox, ctx).persist()
+            ctx.active_vertices = self._active_count(new_state)
+            ctx.aggs = program.aggregate(new_state, ctx)
+
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            if self.ckpt is not None and self.ckpt.should_checkpoint(step):
+                persisted = self.ckpt.save(
+                    step, new_state, ctx.aggs, self._metrics(ctx, wall_ms)
+                ).persist()
+                new_state.unpersist()
+                new_state = persisted
+            else:
+                # Truncate lineage even when skipping the durable write;
+                # 10+ supersteps of accumulated plan would otherwise blow
+                # up analysis time (SURVEY §7 "hard parts").
+                new_state = new_state.localCheckpoint(eager=True)
+
+            state.unpersist()
+            inbox.unpersist()
+            state = new_state
+            ctx.stats.append(self._metrics(ctx, wall_ms))
+
+            # Termination rule of MasterService.finishedIteration.
+            if program.halt(ctx):
+                break
+            if ctx.messages_sent == 0 and ctx.active_vertices == 0:
+                break
+        return state, ctx
+
+    @staticmethod
+    def _active_count(state: DataFrame) -> int:
+        if "active" in state.columns:
+            return state.where(F.col("active")).count()
+        return state.count()
+
+    @staticmethod
+    def _metrics(ctx: SuperstepContext, wall_ms: int) -> dict[str, Any]:
+        return {
+            "messages_sent": ctx.messages_sent,
+            "active_vertices": ctx.active_vertices,
+            "wall_ms": wall_ms,
+            "aggregators": {k: v for k, v in ctx.aggs.items()},
+        }
+
+
+def message_pass(
+    state: DataFrame,
+    edges: DataFrame,
+    msg_col,
+    frontier_filter=None,
+) -> DataFrame:
+    """``sendMessageToAllEdges`` (ComputationContext.java:44-54) as the
+    canonical join-aggregate pass: join vertex state to its out-edges on
+    ``src`` (co-partitioned — no state-side shuffle after the first
+    superstep), emit (dst, msg). ``msg_col`` is a Column over the joined
+    row. ``frontier_filter`` prunes inactive vertices *before* the join —
+    the reference's inactive-vertex skipping
+    (``FileGraphPartition.java:213-222``)."""
+    src_state = state if frontier_filter is None else state.where(frontier_filter)
+    return (
+        src_state.withColumnRenamed("id", "src")
+        .join(edges, "src")
+        .select(F.col("dst"), msg_col.alias("msg"))
+    )

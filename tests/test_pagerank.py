@@ -1,0 +1,59 @@
+import numpy as np
+import pytest
+
+from tests.conftest import PRWCC_EDGES, PRWCC_VERTEX_IDS, make_graph
+from tests.oracles import pagerank_classic_oracle, pagerank_hugegraph_oracle, random_graph
+
+from incubator_hugegraph_computer_spark.operators.pagerank import pagerank, pagerank_classic
+
+
+def _as_dict(df):
+    return {r["id"]: r["rank"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def fixture_graph(spark):
+    return make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS).cache()
+
+
+def test_classic_matches_numpy_oracle(spark, fixture_graph):
+    got = _as_dict(pagerank_classic(fixture_graph, max_iterations=100, tol=1e-12))
+    ids = sorted(PRWCC_VERTEX_IDS)
+    index = {v: i for i, v in enumerate(ids)}
+    want = pagerank_classic_oracle(len(ids), PRWCC_EDGES, index)
+    got_vec = np.array([got[v] for v in ids])
+    assert np.allclose(got_vec, want, atol=1e-6, rtol=0)
+    assert abs(got_vec.sum() - 1.0) < 1e-9  # probability mass conserved
+
+
+def test_hugegraph_formula_parity(spark, fixture_graph):
+    """Engine replicates PageRank.java:85-87 + master stop rule exactly."""
+    got = _as_dict(pagerank(fixture_graph, max_supersteps=10))
+    ids = sorted(PRWCC_VERTEX_IDS)
+    index = {v: i for i, v in enumerate(ids)}
+    want = pagerank_hugegraph_oracle(len(ids), PRWCC_EDGES, index, max_supersteps=10)
+    got_vec = np.array([got[v] for v in ids])
+    assert np.allclose(got_vec, want, atol=1e-9, rtol=0)
+
+
+def test_classic_random_graph(spark):
+    edges = random_graph(60, 300, seed=7)
+    g = make_graph(spark, edges, vertex_ids=range(60))
+    got = _as_dict(pagerank_classic(g, max_iterations=200, tol=1e-12))
+    index = {v: v for v in range(60)}
+    want = pagerank_classic_oracle(60, edges, index)
+    got_vec = np.array([got[v] for v in range(60)])
+    assert np.allclose(got_vec, want, atol=1e-6, rtol=0)
+
+
+def test_salting_equivalence(spark, fixture_graph):
+    """Hub salting is a physical rewrite only — identical results."""
+    from pyspark.sql import functions as F
+
+    salted = fixture_graph.salted_edges(hub_threshold=3, salt_factor=4)
+    # a salted message pass must deliver the same (dst, count) multiset
+    plain = fixture_graph.edges.groupBy("dst").count()
+    via_salt = (
+        salted.groupBy("dst", "salt").count().groupBy("dst").agg(F.sum("count").alias("count"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, via_salt.collect()))
