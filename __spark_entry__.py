@@ -1,38 +1,710 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship PageRank on the orders-derived graph at
+sf0.001. ``queries()`` — one callable per implemented operator from
+SURVEY.md §2 (+ the training-data-pipeline operators). ``oracle_sql()``
+— the equivalent DuckDB SQL over the same parquet views; iterative
+algorithms are oracled as *fixed-iteration unrolled CTEs* (both sides
+run the identical recurrence) or recursive CTEs (converged semantics).
+
+Column names and float rounding (6 dp) match exactly on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.sources.tpch_graph import (
+    BOTH_SQL,
+    EDGES_SQL,
+    SYM_SQL,
+    VERTICES_SQL,
+    orders_graph,
+)
+
+SSSP_SOURCE = 1
+PPR_SOURCE = 1
+PR_ITERS = 5
+PPR_ITERS = 5
+LPA_SYNC_ITERS = 3
+LPA_ROUNDS = 10
+KCORE_K = 3
+KCORE_ROUNDS = 12
+CLOSENESS_SEED_MAX = 50
+TOPK = 10
 
 
+# ====================================================================
+# entry
+# ====================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: converged PageRank over the sf0.001 orders graph."""
+    from incubator_hugegraph_computer_spark.operators.pagerank import pagerank_classic
+
+    g = orders_graph(spark, "/root/testdata/sf0.001")
+    pr = pagerank_classic(g, max_iterations=30, tol=1e-9)
+    return pr.select("id", F.round("rank", 6).alias("rank")).orderBy(F.desc("rank"))
+
+
+# ====================================================================
+# Spark-side queries
+# ====================================================================
+def _q_degree(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.degree import degree_centrality
+
+    g = orders_graph(spark, sf_dir)
+    return degree_centrality(g, direction="both")
+
+
+def _q_pagerank(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.pagerank import pagerank_classic
+
+    g = orders_graph(spark, sf_dir)
+    pr = pagerank_classic(g, max_iterations=PR_ITERS, tol=0.0)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_wcc(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+
+    return wcc(orders_graph(spark, sf_dir))
+
+
+def _q_lpa(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa
+
+    return lpa(orders_graph(spark, sf_dir), max_supersteps=LPA_ROUNDS)
+
+
+def _q_lpa_sync(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa_sync
+
+    return lpa_sync(orders_graph(spark, sf_dir), max_supersteps=LPA_SYNC_ITERS, fixed=True)
+
+
+def _q_triangles(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.triangle_count import triangle_count
+
+    return triangle_count(orders_graph(spark, sf_dir))
+
+
+def _q_clustering(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.clustering_coefficient import (
+        clustering_coefficient,
+    )
+
+    cc = clustering_coefficient(orders_graph(spark, sf_dir))
+    return cc.select("id", F.round("coefficient", 6).alias("coefficient"))
+
+
+def _q_kcore(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.kcore import kcore_vertices
+
+    return kcore_vertices(orders_graph(spark, sf_dir), k=KCORE_K)
+
+
+def _q_sssp(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.sssp import sssp
+
+    return sssp(orders_graph(spark, sf_dir), source=SSSP_SOURCE)
+
+
+def _q_ppr(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.ppr import ppr
+
+    r = ppr(orders_graph(spark, sf_dir), source=PPR_SOURCE, max_iterations=PPR_ITERS)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_jaccard(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.jaccard import jaccard
+
+    j = jaccard(orders_graph(spark, sf_dir), source=PPR_SOURCE)
+    return j.select("id", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_kout(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.bfs import kout
+
+    return kout(orders_graph(spark, sf_dir), source=SSSP_SOURCE, k=2)
+
+
+def _q_closeness(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.closeness import closeness
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") <= CLOSENESS_SEED_MAX).select("id")
+    c = closeness(g, sources=seeds)
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def _q_top_degree(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.degree import degree_centrality
+    from incubator_hugegraph_computer_spark.operators.stats import top_k_by
+
+    g = orders_graph(spark, sf_dir)
+    return top_k_by(degree_centrality(g, direction="both"), "degree", k=TOPK)
+
+
+def _q_modularity(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.stats import modularity
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+
+    g = orders_graph(spark, sf_dir)
+    comp = wcc(g)
+    q = modularity(g, comp, label_col="comp")
+    return q.select(F.round("modularity", 6).alias("modularity"))
+
+
+def _q_docs_tokens(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.text import (
+        document_fingerprint,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        document_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _q_docs_langid(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.text import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_docs_quality(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality")
+    )
+
+
+def _q_docs_exact_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    groups = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return hashed.join(groups, "h").select("doc_id", "canonical_id", "group_size")
+
+
+def _q_docs_ngram_dedup(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_freq=1000)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_docs_minhash_dedup(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.dedup import minhash_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_candidates(docs, num_hashes=16, bands=4, n=3, threshold=0.1)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_docs_simhash(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.dedup import simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_signatures(docs, bits=32)
+
+
+def _q_emb_cosine_topk(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    t = cosine_topk(emb, queries, k=TOPK)
+    return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _q_emb_lsh_buckets(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.similarity import lsh_buckets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_buckets(emb, num_planes=8)
+
+
+def _q_events_hourly(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.streaming.events import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = windowed_event_counts(events, "1 hour")
+    return w.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "graph_degree": _q_degree,
+        "graph_pagerank": _q_pagerank,
+        "graph_wcc": _q_wcc,
+        "graph_lpa": _q_lpa,
+        "graph_lpa_sync": _q_lpa_sync,
+        "graph_triangle_count": _q_triangles,
+        "graph_clustering_coefficient": _q_clustering,
+        "graph_kcore": _q_kcore,
+        "graph_sssp": _q_sssp,
+        "graph_ppr": _q_ppr,
+        "graph_jaccard": _q_jaccard,
+        "graph_kout": _q_kout,
+        "graph_closeness": _q_closeness,
+        "graph_top_degree": _q_top_degree,
+        "graph_modularity": _q_modularity,
+        "docs_token_stats": _q_docs_tokens,
+        "docs_language_id": _q_docs_langid,
+        "docs_quality": _q_docs_quality,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_ngram_dedup": _q_docs_ngram_dedup,
+        "docs_minhash_dedup": _q_docs_minhash_dedup,
+        "docs_simhash": _q_docs_simhash,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_lsh_buckets": _q_emb_lsh_buckets,
+        "events_hourly": _q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ====================================================================
+# DuckDB oracles
+# ====================================================================
+_G = (
+    f"e AS MATERIALIZED ({EDGES_SQL}), v AS MATERIALIZED ({VERTICES_SQL}), "
+    f"sym AS MATERIALIZED ({SYM_SQL}), both_e AS MATERIALIZED ({BOTH_SQL})"
+)
+
+_TOKS = (
+    "toks AS MATERIALIZED (SELECT doc_id, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l FROM documents)"
+)
+_TOKPOS = (
+    "tokpos AS MATERIALIZED (SELECT doc_id, unnest(l) AS tok, "
+    "unnest(generate_series(1, len(l))) AS pos FROM toks)"
+)
+_SHINGLES = (
+    "sh AS MATERIALIZED (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle "
+    "FROM tokpos a JOIN tokpos b ON b.doc_id=a.doc_id AND b.pos=a.pos+1 "
+    "JOIN tokpos c ON c.doc_id=a.doc_id AND c.pos=a.pos+2)"
+)
+
+
+def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
+    parts = [
+        f"WITH {_G},",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k-1}"
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank/d.outdeg) AS s FROM {p} p "
+            f"JOIN deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1),"
+        )
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
+            f"LEFT JOIN deg d ON d.id=p.id WHERE d.id IS NULL),"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT v.id, (1.0-{damping})/(SELECT n FROM nn) + "
+            f"{damping}*(COALESCE(m.s,0.0) + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS rank "
+            f"FROM v LEFT JOIN m{k} m ON m.id=v.id),"
+        )
+    parts.append(f"fin AS (SELECT id, ROUND(rank,6) AS rank FROM pr{iters})")
+    return "\n".join(parts) + "\nSELECT id, rank FROM fin"
+
+
+def _ppr_sql(iters: int, source: int, damping: float = 0.85) -> str:
+    parts = [
+        f"WITH {_G},",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        f"p0 AS MATERIALIZED (SELECT id, CASE WHEN id={source} THEN 1.0 ELSE 0.0 END AS rank FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"p{k-1}"
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank/d.outdeg) AS s FROM {p} p "
+            f"JOIN deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1),"
+        )
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
+            f"LEFT JOIN deg d ON d.id=p.id WHERE d.id IS NULL),"
+        )
+        parts.append(
+            f"p{k} AS MATERIALIZED (SELECT v.id, (1.0-{damping})*(CASE WHEN v.id={source} THEN 1.0 ELSE 0.0 END) + "
+            f"{damping}*(COALESCE(m.s,0.0) + (SELECT dm FROM dang{k})*"
+            f"(CASE WHEN v.id={source} THEN 1.0 ELSE 0.0 END)) AS rank "
+            f"FROM v LEFT JOIN m{k} m ON m.id=v.id),"
+        )
+    parts.append(f"fin AS (SELECT id, ROUND(rank,6) AS rank FROM p{iters})")
+    return "\n".join(parts) + "\nSELECT id, rank FROM fin"
+
+
+def _lpa_sync_sql(iters: int) -> str:
+    parts = [f"WITH {_G},", "l0 AS MATERIALIZED (SELECT id, id AS label FROM v),"]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT b.dst AS id, l.label, COUNT(*) AS c FROM {p} l "
+            f"JOIN both_e b ON b.src=l.id GROUP BY 1,2),"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM c{k}) WHERE rn=1),"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM {p} l "
+            f"LEFT JOIN w{k} w USING(id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + f"\nSELECT id, label FROM l{iters}"
+
+
+def _lpa_directed_sql(rounds: int) -> str:
+    """Java-semantics LPA: only changed vertices rebroadcast (directed)."""
+    parts = [
+        f"WITH {_G},",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM v),",
+        "chg0 AS MATERIALIZED (SELECT id FROM v),",
+    ]
+    for k in range(1, rounds + 1):
+        p, c = f"l{k-1}", f"chg{k-1}"
+        parts.append(
+            f"msg{k} AS MATERIALIZED (SELECT e.dst AS id, l.label FROM {c} s JOIN {p} l ON l.id=s.id "
+            f"JOIN e ON e.src=s.id),"
+        )
+        parts.append(
+            f"cnt{k} AS MATERIALIZED (SELECT id, label, COUNT(*) AS c FROM msg{k} GROUP BY 1,2),"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT id, label FROM (SELECT id, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM cnt{k}) WHERE rn=1),"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT l.id, COALESCE(w.label, l.label) AS label FROM {p} l "
+            f"LEFT JOIN w{k} w USING(id)),"
+        )
+        parts.append(
+            f"chg{k} AS MATERIALIZED (SELECT a.id FROM l{k} a JOIN {p} b USING(id) WHERE a.label <> b.label),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [f"WITH {_G},", "e0 AS MATERIALIZED (SELECT src, dst FROM sym),"]
+    for r in range(1, rounds + 1):
+        p = f"e{r-1}"
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT src AS id FROM {p} GROUP BY 1 HAVING COUNT(*) >= {k}),"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT p.src, p.dst FROM {p} p JOIN s{r} a ON a.id=p.src "
+            f"JOIN s{r} b ON b.id=p.dst),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return (
+        "\n".join(parts)
+        + f"\nSELECT src AS id, COUNT(*) AS degree FROM e{rounds} GROUP BY 1 HAVING COUNT(*) >= {k}"
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    bit_sum = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits)
+    )
+    bit_aggs = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{j}"
+        for j in range(bits)
+    )
+    return f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1,2),
+th AS (SELECT doc_id, cnt, ('0x' || substr(md5(tok),1,8))::BIGINT AS h FROM tc),
+bitsum AS (SELECT doc_id,
+    {bit_aggs}
+  FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM bitsum
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["graph_degree"] = f"""
+WITH {_G},
+ids AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+d AS (SELECT id, COUNT(*) AS degree FROM ids GROUP BY 1)
+SELECT v.id, COALESCE(d.degree, 0) AS degree FROM v LEFT JOIN d USING(id)
+"""
+
+    o["graph_pagerank"] = _pagerank_sql(PR_ITERS)
+    o["graph_ppr"] = _ppr_sql(PPR_ITERS, PPR_SOURCE)
+    o["graph_lpa_sync"] = _lpa_sync_sql(LPA_SYNC_ITERS)
+    o["graph_lpa"] = _lpa_directed_sql(LPA_ROUNDS)
+    o["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
+    o["docs_simhash"] = _simhash_sql(32)
+
+    o["graph_wcc"] = f"""
+WITH RECURSIVE {_G},
+cc(id, anc) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT s.dst, cc.anc FROM cc JOIN sym s ON s.src = cc.id
+)
+SELECT id, MIN(anc) AS comp FROM cc GROUP BY id
+"""
+
+    o["graph_triangle_count"] = f"""
+WITH {_G},
+u AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM e WHERE src <> dst),
+t AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM u e1 JOIN u e2 ON e2.a = e1.b
+      JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT v1 AS id FROM t UNION ALL SELECT v2 FROM t UNION ALL SELECT v3 FROM t),
+cnt AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY 1)
+SELECT v.id, COALESCE(cnt.triangles, 0) AS triangles FROM v LEFT JOIN cnt USING(id)
+"""
+
+    o["graph_clustering_coefficient"] = f"""
+WITH {_G},
+u AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM e WHERE src <> dst),
+t AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM u e1 JOIN u e2 ON e2.a = e1.b
+      JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT v1 AS id FROM t UNION ALL SELECT v2 FROM t UNION ALL SELECT v3 FROM t),
+cnt AS (SELECT id, COUNT(*) AS triangles FROM corners GROUP BY 1),
+ids AS (SELECT a AS id FROM u UNION ALL SELECT b FROM u),
+dg AS (SELECT id, COUNT(*) AS deg FROM ids GROUP BY 1)
+SELECT v.id,
+       ROUND(CASE WHEN COALESCE(dg.deg,0) >= 2
+             THEN 2.0 * COALESCE(cnt.triangles,0) / (dg.deg * (dg.deg - 1))
+             ELSE 0.0 END, 6) AS coefficient
+FROM v LEFT JOIN cnt USING(id) LEFT JOIN dg USING(id)
+"""
+
+    o["graph_sssp"] = f"""
+WITH RECURSIVE {_G},
+r(id, d) AS (
+    SELECT CAST({SSSP_SOURCE} AS BIGINT), 0
+    UNION
+    SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 30
+)
+SELECT id, CAST(MIN(d) AS DOUBLE) AS dist FROM r GROUP BY id
+"""
+
+    o["graph_jaccard"] = f"""
+WITH {_G},
+dg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+sn AS (SELECT dst AS n FROM sym WHERE src = {PPR_SOURCE}),
+sd AS (SELECT COUNT(*) AS deg FROM sn),
+inter AS (SELECT s.src AS id, COUNT(*) AS i FROM sym s JOIN sn ON sn.n = s.dst GROUP BY 1)
+SELECT d.id,
+       ROUND(CAST(COALESCE(i.i,0) AS DOUBLE) /
+             (d.deg + (SELECT deg FROM sd) - COALESCE(i.i,0)), 6) AS jaccard
+FROM dg d LEFT JOIN inter i USING(id) WHERE d.id <> {PPR_SOURCE}
+"""
+
+    o["graph_kout"] = f"""
+WITH RECURSIVE {_G},
+r(id, d) AS (
+    SELECT CAST({SSSP_SOURCE} AS BIGINT), 0
+    UNION
+    SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 2
+),
+m AS (SELECT id, MIN(d) AS d FROM r GROUP BY id)
+SELECT CAST({SSSP_SOURCE} AS BIGINT) AS source, COUNT(*) AS kout_size
+FROM m WHERE d BETWEEN 1 AND 2
+"""
+
+    o["graph_closeness"] = f"""
+WITH RECURSIVE {_G},
+seeds AS (SELECT id FROM v WHERE id <= {CLOSENESS_SEED_MAX}),
+r(src, tgt, d) AS (
+    SELECT id, id, 0 FROM seeds
+    UNION
+    SELECT r.src, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.tgt WHERE r.d < 30
+),
+m AS (SELECT src, tgt, MIN(d) AS d FROM r GROUP BY 1, 2)
+SELECT tgt AS id, ROUND(SUM(1.0 / d), 6) AS closeness FROM m WHERE d > 0 GROUP BY 1
+"""
+
+    o["graph_top_degree"] = f"""
+WITH {_G},
+ids AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+d AS (SELECT id, COUNT(*) AS degree FROM ids GROUP BY 1),
+alldeg AS (SELECT v.id, COALESCE(d.degree, 0) AS degree FROM v LEFT JOIN d USING(id)),
+ranked AS (SELECT id, degree,
+           CAST(ROW_NUMBER() OVER (ORDER BY degree DESC, id ASC) AS INT) AS rnk
+           FROM alldeg)
+SELECT id, degree, rnk FROM ranked WHERE rnk <= {TOPK}
+"""
+
+    o["graph_modularity"] = f"""
+WITH RECURSIVE {_G},
+cc(id, anc) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT s.dst, cc.anc FROM cc JOIN sym s ON s.src = cc.id
+),
+asn AS (SELECT id, MIN(anc) AS comp FROM cc GROUP BY id),
+u AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM e WHERE src <> dst),
+m AS (SELECT COUNT(*)::DOUBLE AS m FROM u),
+lab AS (SELECT u.a, u.b, la.comp AS ca, lb.comp AS cb
+        FROM u JOIN asn la ON la.id=u.a JOIN asn lb ON lb.id=u.b),
+internal AS (SELECT ca AS c, COUNT(*) AS m_c FROM lab WHERE ca = cb GROUP BY 1),
+ids AS (SELECT a AS id FROM u UNION ALL SELECT b FROM u),
+dg AS (SELECT id, COUNT(*) AS deg FROM ids GROUP BY 1),
+dc AS (SELECT asn.comp AS c, SUM(COALESCE(dg.deg,0)) AS d_c
+       FROM asn LEFT JOIN dg USING(id) GROUP BY 1),
+per_c AS (SELECT COALESCE(i.m_c,0)::DOUBLE / (SELECT m FROM m)
+                 - POW(dc.d_c::DOUBLE / (2.0 * (SELECT m FROM m)), 2) AS q_c
+          FROM dc LEFT JOIN internal i ON i.c = dc.c)
+SELECT ROUND(SUM(q_c), 6) AS modularity FROM per_c
+"""
+
+    o["docs_token_stats"] = f"""
+WITH {_TOKS}
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+       md5(array_to_string(l, ' ')) AS fingerprint
+FROM toks
+"""
+
+    lang_scores = ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({'|'.join(w)})\\b')) AS s_{lang}"
+        for lang, w in [
+            ("en", ["the", "and", "of", "to", "a"]),
+            ("de", ["der", "die", "und", "das", "ist"]),
+            ("fr", ["le", "la", "les", "et", "des"]),
+            ("es", ["el", "los", "las", "que", "una"]),
+        ]
+    )
+    o["docs_language_id"] = f"""
+WITH s AS (SELECT doc_id, {lang_scores} FROM documents)
+SELECT doc_id,
+  CASE WHEN s_en=0 AND s_de=0 AND s_fr=0 AND s_es=0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+    stop_pat = r"\b(the|a|and|of|to|in|is|on|for|with)\b"
+    o["docs_quality"] = f"""
+WITH {_TOKS},
+base AS (
+  SELECT d.doc_id,
+         CAST(len(t.l) AS DOUBLE) AS n_tok,
+         CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(lower(d.text), '{stop_pat}')) AS DOUBLE) AS stop_hits,
+         CAST(d.n_chars AS DOUBLE) AS n_chars
+  FROM documents d JOIN toks t USING(doc_id))
+SELECT doc_id, ROUND(CAST(
+    (CASE WHEN n_tok >= 10 THEN 1.0 ELSE 0.0 END) * 0.4
+  + (CASE WHEN punct / GREATEST(n_chars, 1.0) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.3
+  + (CASE WHEN stop_hits / GREATEST(n_tok, 1.0) > 0.01
+           AND stop_hits / GREATEST(n_tok, 1.0) < 0.6 THEN 1.0 ELSE 0.0 END) * 0.3
+ AS DOUBLE), 6) AS quality FROM base
+"""
+
+    o["docs_exact_dedup"] = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+g AS (SELECT h, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size FROM h GROUP BY h)
+SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g USING(h)
+"""
+
+    o["docs_ngram_dedup"] = f"""
+WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
+freq_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq_ok USING(shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM shf a JOIN shf b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT i.doc_a, i.doc_b,
+             CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) AS jaccard
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.2
+"""
+
+    o["docs_minhash_dedup"] = f"""
+WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+mh AS (SELECT sh.doc_id, s.seed,
+              MIN(md5(s.seed::VARCHAR || '|' || sh.shingle)) AS minhash
+       FROM sh CROSS JOIN seeds s GROUP BY 1, 2),
+bk AS (SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+              md5(array_to_string(list_sort(list(minhash)), ',')) AS bucket
+       FROM mh GROUP BY doc_id, CAST(seed / 4 AS INT)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk a JOIN bk b ON b.band = a.band AND b.bucket = a.bucket
+         AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+j AS (SELECT i.doc_a, i.doc_b,
+             CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) AS jaccard
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.1
+"""
+
+    o["emb_cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS score
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM r WHERE rank <= {TOPK}
+"""
+
+    o["emb_lsh_buckets"] = """
+WITH planes AS (SELECT unnest(generate_series(0, 7)) AS plane),
+dims AS (SELECT unnest(generate_series(0, 63)) AS pos),
+w AS (SELECT plane, pos,
+             CASE WHEN substr(md5(plane::VARCHAR || '_' || pos::VARCHAR), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM planes CROSS JOIN dims),
+flat AS (SELECT vec_id, unnest(embedding) AS x,
+                unnest(generate_series(0, len(embedding) - 1)) AS pos
+         FROM embeddings),
+proj AS (SELECT f.vec_id, w.plane, SUM(CAST(f.x AS DOUBLE) * w.w) AS p
+         FROM flat f JOIN w USING(pos) GROUP BY 1, 2)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+    o["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    return o

@@ -1,0 +1,109 @@
+"""Per-round benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two workloads:
+1. The engine's native pipeline at fixed size (independent of sf):
+   generate repo-files corpus -> pandas-UDF edge extraction (sha256
+   verified) -> PageRank (10 supersteps, HugeGraph semantics), WCC
+   (converged), LPA (5), triangle count. Derived throughput
+   (edges-processed/sec, supersteps/min) lands in "derived".
+2. The oracle-gated queries over $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1): fixed-iteration PageRank on the orders graph,
+   minhash dedup over documents, cosine top-k over embeddings.
+
+Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_FILES (corpus size, default 200000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from incubator_hugegraph_computer_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_files = int(os.environ.get("BENCH_FILES", "200000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = get_spark(
+        app_name="hgc-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_confs={"spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g")},
+    )
+
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa
+    from incubator_hugegraph_computer_spark.operators.pagerank import pagerank
+    from incubator_hugegraph_computer_spark.operators.triangle_count import triangle_count
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+    from incubator_hugegraph_computer_spark.sources.extractor import extract_edges
+    from incubator_hugegraph_computer_spark.sources.repo_files import generate_repo_files
+
+    queries: dict[str, float] = {}
+    derived: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        queries[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # ---- workload 1: native pipeline ---------------------------------
+    files = generate_repo_files(spark, n_files, num_repos=100, seed=42).persist()
+    files.count()  # materialize generation outside the extract timing
+
+    def _extract():
+        vertices, edges = extract_edges(files, verify=True)
+        g = Graph(vertices.select("id"), edges).cache()
+        g_edges = g.num_edges()
+        return g, g_edges
+
+    g, n_edges = timed("extract_edges", _extract)
+    derived["corpus_files"] = n_files
+    derived["graph_edges"] = n_edges
+
+    pr_steps = 10
+    timed("pagerank_10", lambda: pagerank(g, max_supersteps=pr_steps, l1_threshold=0.0).count())
+    derived["pagerank_edges_per_sec"] = round(n_edges * pr_steps / queries["pagerank_10"], 1)
+    derived["pagerank_supersteps_per_min"] = round(60.0 * pr_steps / queries["pagerank_10"], 2)
+
+    wcc_res = timed("wcc", lambda: wcc(g, max_supersteps=30))
+    derived["wcc_edges_per_sec"] = round(2 * n_edges / queries["wcc"], 1)  # symmetrized
+
+    timed("lpa_5", lambda: lpa(g, max_supersteps=5).count())
+    timed("triangle_count", lambda: triangle_count(g).count())
+
+    # ---- workload 2: sf-dir queries ----------------------------------
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("graph_pagerank", "graph_wcc", "docs_minhash_dedup", "emb_cosine_topk"):
+        timed(name, lambda name=name: qs[name](spark, sf_dir).count())
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total bench wall time (native pipeline + sf queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "derived": derived,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

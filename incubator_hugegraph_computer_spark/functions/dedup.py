@@ -1,0 +1,256 @@
+"""Deduplication operators for large text corpora.
+
+Four families, each shaped for the 100 TB case:
+
+- **exact**: hash-groupBy on a content digest — one shuffle, the
+  canonical first pass.
+- **n-gram Jaccard**: word-shingle inverted index → candidate pairs
+  that share a shingle → exact Jaccard verify. The candidate join is
+  the scale risk (hot shingles ⇒ quadratic buckets), so ultra-frequent
+  shingles are dropped (`max_shingle_freq`) — standard practice: a
+  shingle shared by thousands of docs carries no dedup signal.
+- **MinHash + LSH**: fixed-size signature (min over seeded hashes per
+  shingle), banded into buckets; only same-bucket pairs are compared.
+  Hashing uses md5 (available in every engine) so oracles can replay it.
+- **SimHash**: 32-bit sign-aggregated fingerprint; near-dups differ in
+  few bits. All arithmetic via JVM expressions (conv/md5), no Python.
+
+All functions return DataFrames; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.functions.text import _tokens
+
+
+# ------------------------------------------------------------------ exact
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, group_size) for docs whose exact content
+    (md5) appears more than once; canonical = min doc_id of the group."""
+    hashed = documents.select("doc_id", F.md5(F.col(text_col)).alias("h"))
+    groups = hashed.groupBy("h").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        hashed.join(groups, "h")
+        .where(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+# --------------------------------------------------------------- shingles
+def shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams (lowercased, punctuation
+    split). Pure SQL expressions: transform over a sequence of start
+    offsets + slice + concat_ws."""
+    toks = _tokens(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for candidate pairs with Jaccard ≥
+    threshold over word n-gram shingle sets (doc_a < doc_b)."""
+    sh = shingles(documents, n, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # drop saturated shingles — no signal, quadratic blowup at scale
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_shingle_freq)
+        .select("shingle")
+    )
+    sh_f = sh.join(freq_ok, "shingle", "left_semi")
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- minhash
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, seed, minhash) — minhash[seed] = min over shingles of
+    md5(seed || '|' || shingle). md5-as-hash-family keeps the signature
+    reproducible in any engine; the min is a plain groupBy agg (partial
+    map-side min → tiny shuffle)."""
+    sh = shingles(documents, n, text_col)
+    seeds = documents.sparkSession.range(num_hashes).select(
+        F.col("id").cast("int").alias("seed")
+    )
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH-banded MinHash near-dup detection:
+    signature → ``bands`` bands of ``num_hashes/bands`` rows → docs
+    sharing any band bucket become candidates → exact Jaccard verify.
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, doc_a <
+    doc_b."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n, text_col)
+    band_key = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
+    )
+    a = band_key.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = band_key.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = shingles(documents, n, text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ja = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    jb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ja, "doc_a")
+        .join(jb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash_signatures(
+    documents: DataFrame, bits: int = 32, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash over the token multiset.
+
+    Each distinct token hashes to 32 bits (first 8 hex chars of md5,
+    decoded JVM-side via conv()); bit j contributes +count/−count to an
+    accumulator; the sign pattern is the fingerprint. Everything is
+    expression-level: explode → conv → bit tests via shiftright/&1 →
+    groupBy sum."""
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    with_bits = toks.select("doc_id", "cnt", h.alias("h"))
+    bit_cols = [
+        (
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    summed = with_bits.select("doc_id", *bit_cols).groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(bits)]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return summed.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_duplicates(
+    documents: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation by banding the 32 bits into 4 bytes (pigeonhole:
+    ≤3 differing bits ⇒ at least one identical byte), then exact popcount
+    verify — avoids the all-pairs cross join at scale."""
+    sig = simhash_signatures(documents, 32, text_col).persist()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(i),
+                        F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF)),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ham = None
+    for j in range(32):
+        bit = F.shiftright(xor, j).bitwiseAND(F.lit(1))
+        ham = bit if ham is None else ham + bit
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

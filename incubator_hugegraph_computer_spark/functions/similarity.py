@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products via ``F.zip_with`` +
+  ``F.aggregate`` in double precision (JVM expressions — no Python).
+  At 100 TB this is the verification baseline and the re-rank stage.
+- ``lsh_buckets`` / ``ann_lsh_topk`` — random-hyperplane LSH: the
+  hyperplanes are deterministic ±1 weights derived from md5(plane, dim),
+  so signatures are reproducible anywhere (and oracle-checkable). Only
+  same-bucket pairs are scored — the scale path.
+- ``embedding_near_duplicates`` — cosine ≥ τ pairs via LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, score, rank) — exact top-k by cosine for each
+    query vector. ``queries`` must be broadcast-small (the brute-force
+    contract); ties broken by vec_id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("vec"), F.col("qvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _plane_weights(spark, num_planes: int, dim: int) -> DataFrame:
+    """(plane, pos, w) deterministic ±1 hyperplane weights:
+    w = +1 iff the first hex nibble of md5('plane_pos') >= '8'."""
+    planes = spark.range(num_planes).select(F.col("id").cast("int").alias("plane"))
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("pos"))
+    return planes.crossJoin(dims).select(
+        "plane",
+        "pos",
+        F.when(
+            F.substring(F.md5(F.concat_ws("_", F.col("plane"), F.col("pos"))), 1, 1)
+            >= F.lit("8"),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("w"),
+    )
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket) — sign pattern of ``num_planes`` random
+    hyperplane projections packed into a long. One explode + groupBy;
+    weights are broadcast."""
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    weights = _plane_weights(spark, num_planes, dim)
+    flat = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    )
+    proj = (
+        flat.join(F.broadcast(weights), "pos")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("p"))
+    )
+    bucket = F.sum(
+        F.when(F.col("p") > 0, F.expr("shiftleft(1L, plane)")).otherwise(F.lit(0))
+    ).cast("long")
+    return proj.groupBy("vec_id").agg(bucket.alias("bucket"))
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, score, rank) approximate top-k: score only
+    same-bucket pairs. Recall depends on num_planes; the brute-force
+    path is the oracle for recall measurement (tests)."""
+    b = lsh_buckets(embeddings, num_planes, id_col, vec_col)
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
+        b, "vec_id"
+    )
+    a = e.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket")
+    scored = (
+        e.join(a, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, score) cosine ≥ threshold pairs found via LSH
+    bucketing (vec_a < vec_b)."""
+    b = lsh_buckets(embeddings, num_planes, id_col, vec_col)
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
+        b, "vec_id"
+    )
+    left = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket")
+    right = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .where(F.col("score") >= threshold)
+        .distinct()
+    )

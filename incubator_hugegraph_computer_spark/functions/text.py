@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines — all JVM-side expressions.
+
+These run over the ``documents`` table (doc_id, text, lang, source,
+n_chars). Every function is pure ``pyspark.sql.functions`` — no Python
+UDFs — so the whole stage stays inside whole-stage codegen and scales
+linearly with input splits. Formulas are deliberately closed-form so a
+SQL oracle can reproduce them bit-for-bit (floats rounded to 6dp at the
+query boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Token = maximal run of alphanumerics (BPE-ish lower bound on tokens).
+TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
+
+# Tiny per-language stopword markers for the n-gram language heuristic.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "los", "las", "que", "una"],
+}
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"]
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punctuation token count (long)."""
+    return F.size(_tokens(text)).cast("long")
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    """Total occurrences of any marker word, word-bounded."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
+def language_id(text: Column) -> Column:
+    """Deterministic stopword-marker classifier → lang code or 'und'.
+
+    Argmax over marker-hit counts with fixed priority order en>de>fr>es
+    on ties; 'und' when no marker hits at all.
+    """
+    scores = [(lang, _marker_hits(text, words)) for lang, words in LANG_MARKERS.items()]
+    best = None
+    best_score = None
+    # fold as nested CASE WHEN, honoring priority order on ties (>)
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            cond = score > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column, n_chars: Column) -> Column:
+    """Heuristic [0,1] quality: length band + punctuation ratio +
+    stopword ratio (the classic pre-filter trio for web corpora)."""
+    toks = token_count(text)
+    punct = F.regexp_count(text, F.lit(r"[^a-zA-Z0-9\s]")).cast("double")
+    punct_ratio = punct / F.greatest(n_chars.cast("double"), F.lit(1.0))
+    stop_hits = _marker_hits(text, STOPWORDS_EN).cast("double")
+    stop_ratio = stop_hits / F.greatest(toks.cast("double"), F.lit(1.0))
+    len_ok = (toks >= 10).cast("double") * 0.4
+    punct_ok = (punct_ratio < 0.2).cast("double") * 0.3
+    stop_ok = ((stop_ratio > 0.01) & (stop_ratio < 0.6)).cast("double") * 0.3
+    return len_ok + punct_ok + stop_ok
+
+
+def document_fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 over the normalized token stream
+    (lowercase, punctuation-insensitive) — catches trivially reformatted
+    duplicates where raw sha256 does not."""
+    return F.md5(F.concat_ws(" ", _tokens(text)))
+
+
+def analyze(documents: DataFrame) -> DataFrame:
+    """All text metrics in one pass."""
+    return documents.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        language_id(F.col("text")).alias("lang_pred"),
+        F.round(quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality"),
+        document_fingerprint(F.col("text")).alias("fingerprint"),
+    )

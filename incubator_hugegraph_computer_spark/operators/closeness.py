@@ -1,0 +1,62 @@
+"""Closeness centrality — multi-source BFS distance accumulation.
+
+Reference: ``computer-algorithm/.../centrality/closeness/
+ClosenessCentrality.java:35-166``: every (sampled) vertex floods its id;
+each receiver accumulates Σ 1/dist over distinct reachable sources.
+Sampling (``sample_rate``) uses Math.random() in the reference
+(:148-151); here a *seeded* hash-based Bernoulli so runs reproduce.
+
+Spark shape: the BSP state is the frontier of (vertex, source) pairs —
+the classic multi-source BFS DataFrame. State size is O(V · sources),
+which is why the reference samples; pass sample_rate < 1 at scale.
+Distances here are hop counts over the directed graph, accumulated at
+the *receiving* vertex (a vertex's score sums 1/d(u→v) over sources u
+that reach it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+
+
+def closeness(
+    graph: Graph,
+    sample_rate: float = 1.0,
+    seed: int = 42,
+    max_depth: int = 30,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(id, closeness) with closeness = Σ_{sampled sources u ≠ v
+    reaching v} 1 / d(u, v)."""
+    if sources is None:
+        sources = graph.vertices.select("id")
+        if sample_rate < 1.0:
+            sources = sources.where(
+                (F.abs(F.hash(F.col("id"), F.lit(seed))) % 1_000_000)
+                < int(sample_rate * 1_000_000)
+            )
+    # visited: (vertex, source, dist) with minimal dist; frontier = last layer
+    frontier = sources.select(
+        F.col("id").alias("v"), F.col("id").alias("source"), F.lit(0).alias("dist")
+    ).persist()
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(graph.edges, frontier.v == graph.edges.src)
+            .select(F.col("dst").alias("v"), "source", (F.col("dist") + 1).alias("dist"))
+            .distinct()
+            .join(visited.select("v", "source"), ["v", "source"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier.unpersist()
+        frontier = nxt.persist()
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(1.0 / F.col("dist")).alias("closeness"))
+    )

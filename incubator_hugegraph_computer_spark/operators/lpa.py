@@ -91,9 +91,15 @@ class LpaProgram(BspProgram):
 
 class LpaSyncProgram(BspProgram):
     """Vermeer semantics: full recompute + oscillation guard. Expects the
-    graph's edges to already be the both-direction multiset."""
+    graph's edges to already be the both-direction multiset.
+
+    ``fixed=True`` disables the convergence/oscillation halt so exactly
+    ``max_supersteps`` rounds run — the oracle-comparable mode."""
 
     name = "lpa_sync"
+
+    def __init__(self, fixed: bool = False):
+        self.fixed = fixed
 
     def initial_state(self, graph: Graph) -> DataFrame:
         return graph.vertices.select(
@@ -124,11 +130,12 @@ class LpaSyncProgram(BspProgram):
             (new_label != F.col("grandpa_label")).cast("int").alias("gdiff"),
         )
 
-    def aggregate(self, state: DataFrame, ctx: SuperstepContext) -> dict[str, Any]:
-        row = state.agg(F.sum("diff").alias("d"), F.sum("gdiff").alias("g")).first()
-        return {"diff_sum": int(row["d"]), "grandpa_diff_sum": int(row["g"])}
+    def agg_exprs(self, ctx: SuperstepContext) -> dict[str, Any]:
+        return {"diff_sum": F.sum("diff"), "grandpa_diff_sum": F.sum("gdiff")}
 
     def halt(self, ctx: SuperstepContext) -> bool:
+        if self.fixed:
+            return False
         if ctx.superstep < 2:
             return ctx.aggs["diff_sum"] == 0
         return ctx.aggs["diff_sum"] == 0 or ctx.aggs["grandpa_diff_sum"] == 0
@@ -142,7 +149,9 @@ def lpa(graph: Graph, max_supersteps: int = 10, **engine_kwargs) -> DataFrame:
     return state.select("id", "label")
 
 
-def lpa_sync(graph: Graph, max_supersteps: int = 10, **engine_kwargs) -> DataFrame:
+def lpa_sync(
+    graph: Graph, max_supersteps: int = 10, fixed: bool = False, **engine_kwargs
+) -> DataFrame:
     """(id, label) — Vermeer-semantics synchronous LPA (undirected
     in+out multiset)."""
     resume = engine_kwargs.pop("resume", False)
@@ -151,5 +160,5 @@ def lpa_sync(graph: Graph, max_supersteps: int = 10, **engine_kwargs) -> DataFra
     )
     g = Graph(graph.vertices, both, graph.num_partitions).cache()
     engine = BspEngine(g, max_supersteps=max_supersteps, **engine_kwargs)
-    state, _ = engine.run(LpaSyncProgram(), resume=resume)
+    state, _ = engine.run(LpaSyncProgram(fixed=fixed), resume=resume)
     return state.select("id", "label")

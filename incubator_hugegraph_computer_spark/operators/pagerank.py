@@ -70,15 +70,14 @@ class _PageRankBase(BspProgram):
     def combine(self, messages: DataFrame) -> DataFrame:
         return messages.groupBy(F.col("dst").alias("id")).agg(F.sum("msg").alias("msg"))
 
-    def aggregate(self, state: DataFrame, ctx: SuperstepContext) -> dict[str, Any]:
-        row = state.agg(
-            F.sum("rank").alias("cum"),
-            F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)).alias(
-                "dangling"
-            ),
-            F.sum("delta").alias("l1"),
-        ).first()
-        return {"cum": row["cum"], "dangling": row["dangling"], "l1": row["l1"]}
+    def agg_exprs(self, ctx: SuperstepContext) -> dict[str, Any]:
+        # The four PageRank aggregators (PageRank4Master.init registers
+        # dangling count/mass, cumulative rank, L1 diff) in one pass.
+        return {
+            "cum": F.sum("rank"),
+            "dangling": F.sum(F.when(F.col("out_deg") == 0, F.col("rank")).otherwise(0.0)),
+            "l1": F.sum("delta"),
+        }
 
 
 class PageRankProgram(_PageRankBase):

@@ -1,0 +1,65 @@
+"""Statistics post-pass operators.
+
+Reference: Vermeer's per-run statistics workers —
+``vermeer/apps/compute/statistics.go:30-55``: count, modularity, top_k,
+sketches. Each is a single aggregation pass over the result + graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.operators.triangle_count import undirected_edges
+
+
+def top_k_by(df: DataFrame, value_col: str, k: int = 10) -> DataFrame:
+    """Top-k rows by value (StatisticsTypeTopK); deterministic tie-break
+    on id."""
+    w = Window.orderBy(F.desc(value_col), F.asc("id"))
+    return df.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def modularity(graph: Graph, assignment: DataFrame, label_col: str = "comp") -> DataFrame:
+    """Newman modularity of a vertex partition over the undirected
+    deduplicated graph: Q = Σ_c [ m_c/m − (d_c / 2m)² ].
+
+    One row: (modularity double). assignment: (id, <label_col>).
+    """
+    und = undirected_edges(graph.edges).persist()
+    m = und.count()
+    la = assignment.select(F.col("id").alias("a"), F.col(label_col).alias("ca"))
+    lb = assignment.select(F.col("id").alias("b"), F.col(label_col).alias("cb"))
+    labelled = und.join(la, "a").join(lb, "b")
+    internal = (
+        labelled.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("m_c"))
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg_c = (
+        assignment.join(deg, "id", "left")
+        .groupBy(F.col(label_col).alias("c"))
+        .agg(F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("d_c"))
+    )
+    per_c = deg_c.join(internal, "c", "left").select(
+        (
+            F.coalesce(F.col("m_c"), F.lit(0)).cast("double") / F.lit(float(m))
+            - F.pow(F.col("d_c").cast("double") / F.lit(2.0 * m), 2)
+        ).alias("q_c")
+    )
+    return per_c.agg(F.sum("q_c").alias("modularity"))
+
+
+def graph_counts(graph: Graph) -> DataFrame:
+    """(n_vertices, n_edges) — the count statistics worker."""
+    n_v = graph.num_vertices()
+    n_e = graph.num_edges()
+    return graph.spark.createDataFrame(
+        [(n_v, n_e)], "n_vertices long, n_edges long"
+    )

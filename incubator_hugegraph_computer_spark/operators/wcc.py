@@ -56,10 +56,6 @@ class WccProgram(BspProgram):
             (new_comp < F.col("comp")).alias("active"),
         )
 
-    def aggregate(self, state: DataFrame, ctx: SuperstepContext) -> dict[str, Any]:
-        return {"changed": ctx.active_vertices}
-
-
 def wcc(graph: Graph, max_supersteps: int = 100, **engine_kwargs) -> DataFrame:
     """(id, comp) over the symmetrized graph; comp = min id in component.
 

@@ -10,25 +10,35 @@ On Spark the whole structure collapses:
 - message transport  → the shuffle of ``groupBy(dst).agg(combiner)``
   (map-side partial agg == the reference's sender-side combining,
   ``SortManager.java:180-215``; reduce-side merge == shuffle read)
-- aggregators        → driver-side ``agg().collect()`` scalars
+- aggregators        → driver-side scalars, folded into ONE agg action
+  per superstep together with the active-vertex count
 - vote-to-halt       → an ``active`` boolean column + frontier pruning
 - termination        → stop if program says stop, OR superstep >= max,
   OR (no messages AND no active vertices) — the exact rule of
   ``MasterService.finishedIteration`` (MasterService.java:350-361)
 
-A program supplies five hooks (the Computation/MasterComputation surface,
-``computer-api/.../worker/Computation.java:50-64``,
+A program supplies the Computation/MasterComputation surface
+(``computer-api/.../worker/Computation.java:50-64``,
 ``master/MasterComputation.java``):
 
     initial_state(graph)                  -> state DF    (compute0)
     messages(state, graph, ctx)           -> msg DF (dst, ...)   (sendMessage*)
     combine(messages)                     -> inbox DF (id, ...)  (Combiner)
     update(state, inbox, ctx)             -> state' DF   (compute)
-    aggregate(state, ctx)                 -> dict         (Aggregator4Master)
+    agg_exprs(ctx)                        -> {name: Column}      (Aggregator4Master;
+                                             evaluated over state' in one pass)
     halt(ctx)                             -> bool         (master compute)
 
 State DataFrames must carry ``id`` and may carry ``active``; everything
 else is program-defined columns.
+
+Per-superstep cost = exactly two Spark jobs: (1) materialize the
+combined inbox (the shuffle + its row count), (2) one full-state agg
+that materializes the new state into cache AND computes every
+aggregator + the active count. Lineage is truncated with an eager
+localCheckpoint every ``truncate_every`` supersteps (every superstep
+when a durable CheckpointManager is attached — resume needs the write
+anyway).
 """
 
 from __future__ import annotations
@@ -38,7 +48,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.plans.checkpoint import CheckpointManager
@@ -80,7 +90,8 @@ class BspProgram:
     def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
         raise NotImplementedError
 
-    def aggregate(self, state: DataFrame, ctx: SuperstepContext) -> dict[str, Any]:
+    def agg_exprs(self, ctx: SuperstepContext) -> dict[str, Column]:
+        """Named aggregator expressions evaluated over the new state."""
         return {}
 
     def halt(self, ctx: SuperstepContext) -> bool:
@@ -95,14 +106,36 @@ class BspEngine:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 1,
         run_id: str | None = None,
+        truncate_every: int = 1,
+        count_messages: bool = True,
     ):
         self.graph = graph
         self.max_supersteps = max_supersteps
+        self.truncate_every = max(1, truncate_every)
+        # Counting the combined inbox is one extra (cheap) job per
+        # superstep; it feeds the messages_sent counter and the
+        # no-messages half of the termination rule. Programs that halt
+        # via aggregators/active-count alone can disable it.
+        self.count_messages = count_messages
         self.ckpt = (
             CheckpointManager(checkpoint_dir, run_id or uuid.uuid4().hex, checkpoint_every)
             if checkpoint_dir
             else None
         )
+
+    # ------------------------------------------------------------------
+    def _collect_state(self, program: BspProgram, state: DataFrame, ctx: SuperstepContext):
+        """One action: aggregators + active count over the (persisted)
+        state — this is also what materializes the superstep (the BSP
+        barrier)."""
+        exprs = dict(program.agg_exprs(ctx))
+        if "active" in state.columns:
+            exprs["__active"] = F.sum(F.col("active").cast("long"))
+        else:
+            exprs["__active"] = F.count(F.lit(1))
+        row = state.agg(*[c.alias(n) for n, c in exprs.items()]).first()
+        ctx.active_vertices = int(row["__active"] or 0)
+        ctx.aggs = {n: row[n] for n in exprs if n != "__active"}
 
     def run(self, program: BspProgram, resume: bool = False) -> tuple[DataFrame, SuperstepContext]:
         g = self.graph.cache()
@@ -114,13 +147,12 @@ class BspEngine:
             latest = self.ckpt.latest_complete()
             if latest is not None:
                 state, saved = self.ckpt.load(g.spark, latest)
+                state = state.persist()
                 ctx.aggs = saved
                 start_step = latest + 1
         if state is None:
-            state = program.initial_state(g)
-            state = state.persist()
-            ctx.active_vertices = self._active_count(state)
-            ctx.aggs = program.aggregate(state, ctx)
+            state = program.initial_state(g).persist()
+            self._collect_state(program, state, ctx)
             if self.ckpt is not None and self.ckpt.should_checkpoint(0):
                 state = self.ckpt.save(
                     0, state, ctx.aggs, self._metrics(ctx, wall_ms=0)
@@ -134,11 +166,13 @@ class BspEngine:
 
             msgs = program.messages(state, g, ctx)
             inbox = program.combine(msgs).persist()
-            ctx.messages_sent = inbox.count()
+            if self.count_messages:
+                ctx.messages_sent = inbox.count()
+            else:
+                ctx.messages_sent = -1  # not tracked this run
 
             new_state = program.update(state, inbox, ctx).persist()
-            ctx.active_vertices = self._active_count(new_state)
-            ctx.aggs = program.aggregate(new_state, ctx)
+            self._collect_state(program, new_state, ctx)
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             if self.ckpt is not None and self.ckpt.should_checkpoint(step):
@@ -147,11 +181,15 @@ class BspEngine:
                 ).persist()
                 new_state.unpersist()
                 new_state = persisted
-            else:
-                # Truncate lineage even when skipping the durable write;
-                # 10+ supersteps of accumulated plan would otherwise blow
-                # up analysis time (SURVEY §7 "hard parts").
-                new_state = new_state.localCheckpoint(eager=True)
+            elif step % self.truncate_every == 0:
+                # Lineage truncation (default: every superstep): each
+                # superstep's plan nests the previous one's, and Catalyst
+                # re-analyzes the whole tree per action even over cached
+                # data — measured 5-10x per-step blowup by step 4 without
+                # this (SURVEY §7 hard parts). Reads from cache — cheap.
+                truncated = new_state.localCheckpoint(eager=True)
+                new_state.unpersist()
+                new_state = truncated
 
             state.unpersist()
             inbox.unpersist()
@@ -161,15 +199,9 @@ class BspEngine:
             # Termination rule of MasterService.finishedIteration.
             if program.halt(ctx):
                 break
-            if ctx.messages_sent == 0 and ctx.active_vertices == 0:
+            if ctx.active_vertices == 0 and ctx.messages_sent <= 0:
                 break
         return state, ctx
-
-    @staticmethod
-    def _active_count(state: DataFrame) -> int:
-        if "active" in state.columns:
-            return state.where(F.col("active")).count()
-        return state.count()
 
     @staticmethod
     def _metrics(ctx: SuperstepContext, wall_ms: int) -> dict[str, Any]:

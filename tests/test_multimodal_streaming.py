@@ -1,0 +1,76 @@
+import pytest
+
+from incubator_hugegraph_computer_spark.functions.multimodal import (
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from incubator_hugegraph_computer_spark.streaming.events import (
+    stream_windowed_event_counts,
+    windowed_event_counts,
+)
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthetic_media(spark, 10, kind="image")
+    feats = extract_features(media, feature_dim=8).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] == 64
+    # deterministic: same seed → same features
+    again = extract_features(synthetic_media(spark, 10, kind="image"), feature_dim=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_unknown_kind_raises(spark):
+    from pyspark.sql import functions as F
+
+    media = synthetic_media(spark, 2).withColumn("kind", F.lit("hologram"))
+    with pytest.raises(Exception, match="no decoder"):
+        extract_features(media).collect()
+
+
+def test_frame_sampling(spark):
+    media = synthetic_media(spark, 3, kind="video")
+    frames = frame_sample(media, every_nth=2).collect()
+    # 64-byte payload = 4 frames of 16 bytes; every 2nd → frames 0 and 2
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_no"])
+    assert all(sorted(v) == [0, 2] for v in per_media.values())
+    assert all(len(r["frame"]) == 16 for r in frames)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """AvailableNow streaming over the events table produces the same
+    windowed aggregation as the batch query (append-mode finalized
+    windows; watermark far past event time so all windows close)."""
+    import shutil
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir / "events.parquet")
+    events = spark.read.parquet(str(src_dir))
+    batch = windowed_event_counts(events, "1 hour")
+    stream_windowed_event_counts(
+        spark,
+        str(src_dir),
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_dir=str(tmp_path / "out"),
+        window="1 hour",
+        watermark="0 seconds",
+    )
+    got = spark.read.parquet(str(tmp_path / "out"))
+    # append mode emits only windows the final watermark closed: the last
+    # open window (containing max event ts) is correctly withheld
+    from pyspark.sql import functions as F
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    closed = batch.where(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(max_ts)
+    )
+    b = {tuple(map(str, r)) for r in closed.collect()}
+    g = {tuple(map(str, r)) for r in got.collect()}
+    assert g == b
+    assert len(g) > 0
