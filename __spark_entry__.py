@@ -39,6 +39,7 @@ KCORE_K = 3
 KCORE_ROUNDS = 12
 CLOSENESS_SEED_MAX = 50
 TOPK = 10
+RINGS_LEN = 4
 
 
 # ====================================================================
@@ -163,6 +164,18 @@ def _q_modularity(spark, sf_dir):
     return q.select(F.round("modularity", 6).alias("modularity"))
 
 
+def _q_rings(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.rings import ring_counts
+
+    return ring_counts(orders_graph(spark, sf_dir), max_length=RINGS_LEN)
+
+
+def _q_scc(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.scc import scc
+
+    return scc(orders_graph(spark, sf_dir))
+
+
 def _q_docs_tokens(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.text import (
         document_fingerprint,
@@ -271,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closeness": _q_closeness,
         "graph_top_degree": _q_top_degree,
         "graph_modularity": _q_modularity,
+        "graph_rings": _q_rings,
+        "graph_scc": _q_scc,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -581,6 +596,33 @@ per_c AS (SELECT COALESCE(i.m_c,0)::DOUBLE / (SELECT m FROM m)
                  - POW(dc.d_c::DOUBLE / (2.0 * (SELECT m FROM m)), 2) AS q_c
           FROM dc LEFT JOIN internal i ON i.c = dc.c)
 SELECT ROUND(SUM(q_c), 6) AS modularity FROM per_c
+"""
+
+    o["graph_rings"] = f"""
+WITH RECURSIVE {_G},
+p(start, cur, path) AS (
+    SELECT id, id, [id] FROM v
+    UNION ALL
+    SELECT p.start, e.dst, list_append(p.path, e.dst)
+    FROM p JOIN e ON e.src = p.cur
+    WHERE e.dst > p.start AND NOT list_contains(p.path, e.dst)
+      AND len(p.path) < {RINGS_LEN}
+)
+SELECT p.start, COUNT(*) AS n_rings
+FROM p JOIN e ON e.src = p.cur AND e.dst = p.start
+GROUP BY p.start
+"""
+
+    o["graph_scc"] = f"""
+WITH RECURSIVE {_G},
+r(a, b) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+)
+SELECT x.a AS id, MIN(x.b) AS scc
+FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+GROUP BY x.a
 """
 
     o["docs_token_stats"] = f"""

@@ -63,7 +63,7 @@ def main() -> None:
 
     def _extract():
         vertices, edges = extract_edges(files, verify=True)
-        g = Graph(vertices.select("id"), edges).cache()
+        g = Graph(vertices.select("id"), edges).cache().with_csr()
         g_edges = g.num_edges()
         return g, g_edges
 

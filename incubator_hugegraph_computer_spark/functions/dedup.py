@@ -109,18 +109,30 @@ def minhash_signatures(
     reproducible in any engine; the min is a plain groupBy agg (partial
     map-side min → tiny shuffle)."""
     sh = shingles(documents, n, text_col)
-    seeds = documents.sparkSession.range(num_hashes).select(
-        F.col("id").cast("int").alias("seed")
+    # One projection computes all hash-family values per shingle, one
+    # groupBy computes all mins: no num_hashes-fold row blowup, single
+    # shuffle of |docs| rows (vs |shingles|·num_hashes with a seed
+    # cross-join).
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("|", F.lit(s), F.col("shingle"))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ],
     )
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
+    )
+    # unpivot back to the (doc_id, seed, minhash) long form the LSH
+    # banding consumes
+    pairs = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"h{s}").alias("minhash"))
+            for s in range(num_hashes)
+        ]
+    )
+    return sig.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.seed").alias("seed"), F.col("p.minhash").alias("minhash")
     )
 
 

@@ -48,6 +48,10 @@ class Graph:
         self.edges = edges if prepartitioned else edges.repartition(num_partitions, "src")
         self._cached = False
         self._degrees: DataFrame | None = None
+        self.csr_df: DataFrame | None = None
+        self.salted_df: DataFrame | None = None
+        self.hubs_df: DataFrame | None = None
+        self.salt_factor: int = 1
 
     # ---------------------------------------------------------- build
     @classmethod
@@ -158,3 +162,42 @@ class Graph:
         at build time, then message passes become explode() with no
         per-superstep edge shuffle."""
         return self.edges.groupBy("src").agg(F.collect_list("dst").alias("neighbors"))
+
+    def with_salting(self, hub_threshold: int = 100_000, salt_factor: int = 16) -> "Graph":
+        """Enable explicit hub salting for message passes.
+
+        Power-law hub *sources* own adjacency runs far larger than a
+        partition's fair share; hash partitioning alone (the reference's
+        only strategy, ``HashPartitioner.java:41-44``) leaves one task
+        holding the whole run. Salting splits each hub's edges across
+        ``salt_factor`` sub-keys: edges are re-partitioned by
+        (src, salt) and the *state* side of the pass replicates rows —
+        only for hubs (a broadcast semi-set decides) — across the salts,
+        so every task handles ≤ 1/salt_factor of any hub's fan-out.
+        Results are identical (verified in tests); only the physical
+        distribution changes.
+        """
+        self.salted_df = self.salted_edges(hub_threshold, salt_factor).repartition(
+            self.num_partitions, "src", "salt"
+        ).persist()
+        self.hubs_df = (
+            self.out_degrees()
+            .where(F.col("out_deg") >= hub_threshold)
+            .select("id")
+            .persist()
+        )
+        self.salt_factor = salt_factor
+        self.salted_df.count()
+        self.hubs_df.count()
+        return self
+
+    def with_csr(self) -> "Graph":
+        """Build + cache the CSR adjacency; message passes whose payload
+        depends only on source-side state then run as
+        state ⋈ csr → explode(neighbors) — the per-superstep edge-side
+        work drops from E join rows (sorted by SMJ every pass) to V
+        hash-join rows + a codegen'd Generate."""
+        if self.csr_df is None:
+            self.csr_df = self.csr().persist()
+            self.csr_df.count()
+        return self

@@ -27,7 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--algorithm",
         required=True,
-        choices=["pagerank", "pagerank_classic", "wcc", "lpa", "lpa_sync", "triangle_count", "degree"],
+        choices=[
+            "pagerank", "pagerank_classic", "wcc", "lpa", "lpa_sync",
+            "triangle_count", "degree", "kcore", "scc", "clustering_coefficient",
+            "rings", "random_walk", "betweenness", "closeness", "louvain",
+        ],
     )
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="path of the (repo,path,commit,lang,content,sha256) table")
@@ -90,6 +94,17 @@ def run(args: argparse.Namespace) -> dict:
         elif args.algorithm == "pagerank_classic":
             iter_kwargs["max_iterations"] = args.max_supersteps
 
+    from incubator_hugegraph_computer_spark.operators.betweenness import betweenness
+    from incubator_hugegraph_computer_spark.operators.closeness import closeness
+    from incubator_hugegraph_computer_spark.operators.clustering_coefficient import (
+        clustering_coefficient,
+    )
+    from incubator_hugegraph_computer_spark.operators.kcore import kcore
+    from incubator_hugegraph_computer_spark.operators.random_walk import random_walk
+    from incubator_hugegraph_computer_spark.operators.rings import ring_counts
+    from incubator_hugegraph_computer_spark.operators.louvain import louvain
+    from incubator_hugegraph_computer_spark.operators.scc import scc
+
     t1 = time.monotonic()
     algos = {
         "pagerank": lambda: pagerank(graph, **iter_kwargs),
@@ -99,6 +114,17 @@ def run(args: argparse.Namespace) -> dict:
         "lpa_sync": lambda: lpa_sync(graph, **iter_kwargs),
         "triangle_count": lambda: triangle_count(graph),
         "degree": lambda: degree_centrality(graph),
+        "kcore": lambda: kcore(graph),
+        "scc": lambda: scc(graph),
+        "clustering_coefficient": lambda: clustering_coefficient(graph),
+        "rings": lambda: ring_counts(graph).withColumnRenamed("start", "id"),
+        # walk's 'path' column would collide with the vertex dim's file path
+        "random_walk": lambda: random_walk(graph)
+        .withColumnRenamed("start", "id")
+        .withColumnRenamed("path", "walk"),
+        "betweenness": lambda: betweenness(graph, sample_rate=0.05),
+        "closeness": lambda: closeness(graph, sample_rate=0.05),
+        "louvain": lambda: louvain(graph),
     }
     result = algos[args.algorithm]()
     # join back the human-readable vertex dimension for output

@@ -1,0 +1,114 @@
+"""Betweenness centrality — sampled Brandes.
+
+Reference: ``computer-algorithm/.../centrality/betweenness/
+BetweennessCentrality.java`` (190 LoC): sampled shortest-path counting,
+forward BFS paths + backward credit; sampling via Math.random()
+(``:41,70-74``). Vermeer's functional tests allow a 0.45 relative error
+band for this algorithm — it is inherently approximate under sampling.
+
+Here: exact Brandes (1-source BFS DAG + dependency accumulation) run
+simultaneously for a seeded hash-sample of sources, all as DataFrame
+layers:
+
+  forward, level by level:  (source, v, dist, sigma)  — sigma = number
+    of shortest s→v paths = Σ sigma of predecessors one level up
+  backward, deepest level first:  delta(v) += σv/σw · (1 + delta(w))
+    over DAG edges v→w with dist(w) = dist(v)+1
+
+State is O(|sources| · V) rows — the reason the reference samples.
+Deterministic given ``seed``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+
+
+def betweenness(
+    graph: Graph,
+    sample_rate: float = 1.0,
+    seed: int = 42,
+    max_depth: int = 30,
+    sources: DataFrame | None = None,
+) -> DataFrame:
+    """(id, betweenness) — Σ over sampled sources of Brandes dependency;
+    endpoints excluded (standard definition, directed paths)."""
+    edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
+    if sources is None:
+        sources = graph.vertices.select("id")
+        if sample_rate < 1.0:
+            sources = sources.where(
+                (F.abs(F.hash(F.col("id"), F.lit(seed))) % 1_000_000)
+                < int(sample_rate * 1_000_000)
+            )
+    # ---------------- forward phase: BFS layers with path counts
+    layer = sources.select(
+        F.col("id").alias("source"), F.col("id").alias("v"),
+        F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    layers = [layer]
+    visited = layer.select("source", "v").persist()
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            layer.join(edges, layer.v == edges.src)
+            .groupBy("source", F.col("dst").alias("v"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["source", "v"], "left_anti")
+            .select("source", "v", F.lit(depth).alias("dist"), "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        layers.append(nxt)
+        visited = visited.unionAll(nxt.select("source", "v")).persist()
+        layer = nxt
+    # ---------------- backward phase: dependency accumulation
+    # delta for the deepest layer is 0; walk levels upward.
+    delta = layers[-1].select("source", "v", F.lit(0.0).alias("delta"))
+    acc: list[DataFrame] = []
+    for lvl in range(len(layers) - 2, -1, -1):
+        cur = layers[lvl]
+        below = layers[lvl + 1].select(
+            F.col("source").alias("source_b"),
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        dw = delta.select("source", F.col("v").alias("w"), F.col("delta").alias("delta_w"))
+        contrib = (
+            cur.join(edges, cur.v == edges.src)
+            .join(
+                below,
+                (F.col("dst") == F.col("w")) & (F.col("source") == F.col("source_b")),
+            )
+            .drop("source_b")
+            .join(dw, ["source", "w"], "left")
+            .groupBy("source", "v")
+            .agg(
+                F.sum(
+                    (F.col("sigma") / F.col("sigma_w"))
+                    * (F.lit(1.0) + F.coalesce(F.col("delta_w"), F.lit(0.0)))
+                ).alias("delta")
+            )
+        )
+        delta = (
+            cur.select("source", "v")
+            .join(contrib, ["source", "v"], "left")
+            .select("source", "v", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        acc.append(delta.where(F.col("source") != F.col("v")))
+    if not acc:
+        return graph.vertices.select("id", F.lit(0.0).alias("betweenness"))
+    allc = acc[0]
+    for a in acc[1:]:
+        allc = allc.unionAll(a)
+    bc = allc.groupBy(F.col("v").alias("id")).agg(F.sum("delta").alias("betweenness"))
+    return (
+        graph.vertices.select("id")
+        .join(bc, "id", "left")
+        .select("id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
+    )

@@ -40,6 +40,7 @@ from incubator_hugegraph_computer_spark.plans.bsp import (
     BspEngine,
     BspProgram,
     SuperstepContext,
+    message_pass,
 )
 
 
@@ -70,11 +71,8 @@ class LpaProgram(BspProgram):
         )
 
     def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
-        return (
-            state.where(F.col("active"))
-            .select(F.col("id").alias("src"), "label")
-            .join(graph.edges, "src")
-            .select("dst", F.col("label").alias("msg"))
+        return message_pass(
+            state, graph, msg_col=F.col("label"), frontier_filter=F.col("active")
         )
 
     def combine(self, messages: DataFrame) -> DataFrame:
@@ -111,11 +109,7 @@ class LpaSyncProgram(BspProgram):
         )
 
     def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
-        return (
-            state.select(F.col("id").alias("src"), "label")
-            .join(graph.edges, "src")
-            .select("dst", F.col("label").alias("msg"))
-        )
+        return message_pass(state, graph, msg_col=F.col("label"))
 
     def combine(self, messages: DataFrame) -> DataFrame:
         return _argmax_min_label(messages)

@@ -62,7 +62,7 @@ class _PageRankBase(BspProgram):
     def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
         return message_pass(
             state,
-            graph.edges,
+            graph,
             msg_col=F.col("rank") / F.col("out_deg"),
             frontier_filter=F.col("out_deg") > 0,
         )
@@ -80,6 +80,21 @@ class _PageRankBase(BspProgram):
         }
 
 
+def _with_scalars(state: DataFrame, **scalars: float) -> DataFrame:
+    """Attach per-superstep driver scalars as a broadcast one-row join
+    instead of literals. Literals are inlined into the whole-stage
+    codegen source, so a step-varying literal forces a Janino
+    recompilation every superstep; a constant-shape join keeps the
+    generated source identical and the codegen cache hot."""
+    spark = state.sparkSession
+    names = sorted(scalars)
+    row = spark.createDataFrame(
+        [tuple(float(scalars[n]) for n in names)],
+        ", ".join(f"{n} double" for n in names),
+    )
+    return state.crossJoin(F.broadcast(row))
+
+
 class PageRankProgram(_PageRankBase):
     """Exact Java Computer semantics (teleport alpha, cumulative-rank
     normalization)."""
@@ -92,15 +107,18 @@ class PageRankProgram(_PageRankBase):
 
     def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
         n = ctx.num_vertices
-        dangling_rank = ctx.prev_aggs["dangling"] / n
-        cumulative = ctx.prev_aggs["cum"]
         new_rank = (
-            (F.lit(dangling_rank) + F.coalesce(F.col("msg"), F.lit(0.0)))
+            (F.col("_dangling_rank") + F.coalesce(F.col("msg"), F.lit(0.0)))
             * F.lit(1.0 - self.alpha)
             + F.lit(self.alpha / n)
-        ) / F.lit(cumulative)
+        ) / F.col("_cum")
         return (
-            state.join(inbox, "id", "left")
+            _with_scalars(
+                state,
+                _dangling_rank=ctx.prev_aggs["dangling"] / n,
+                _cum=ctx.prev_aggs["cum"],
+            )
+            .join(inbox, "id", "left")
             .select(
                 "id",
                 "out_deg",
@@ -124,15 +142,18 @@ class PageRankClassicProgram(_PageRankBase):
 
     def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
         n = ctx.num_vertices
-        dangling = ctx.prev_aggs["dangling"] / n
         new_rank = F.lit((1.0 - self.damping) / n) + F.lit(self.damping) * (
-            F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(dangling)
+            F.coalesce(F.col("msg"), F.lit(0.0)) + F.col("_dangling_rank")
         )
-        return state.join(inbox, "id", "left").select(
-            "id",
-            "out_deg",
-            new_rank.alias("rank"),
-            F.abs(new_rank - F.col("rank")).alias("delta"),
+        return (
+            _with_scalars(state, _dangling_rank=ctx.prev_aggs["dangling"] / n)
+            .join(inbox, "id", "left")
+            .select(
+                "id",
+                "out_deg",
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("rank")).alias("delta"),
+            )
         )
 
     def halt(self, ctx: SuperstepContext) -> bool:

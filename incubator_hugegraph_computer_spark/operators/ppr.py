@@ -38,18 +38,23 @@ class PprProgram(_PageRankBase):
         )
 
     def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
-        dangling = ctx.prev_aggs["dangling"]
+        from incubator_hugegraph_computer_spark.operators.pagerank import _with_scalars
+
         is_src = (F.col("id") == self.source).cast("double")
         new_rank = (
             F.lit(1.0 - self.damping) * is_src
             + F.lit(self.damping)
-            * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(dangling) * is_src)
+            * (F.coalesce(F.col("msg"), F.lit(0.0)) + F.col("_dangling") * is_src)
         )
-        return state.join(inbox, "id", "left").select(
-            "id",
-            "out_deg",
-            new_rank.alias("rank"),
-            F.abs(new_rank - F.col("rank")).alias("delta"),
+        return (
+            _with_scalars(state, _dangling=ctx.prev_aggs["dangling"])
+            .join(inbox, "id", "left")
+            .select(
+                "id",
+                "out_deg",
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("rank")).alias("delta"),
+            )
         )
 
     def halt(self, ctx: SuperstepContext) -> bool:

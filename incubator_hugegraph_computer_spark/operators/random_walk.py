@@ -1,0 +1,91 @@
+"""Random walks (node2vec-style sampling).
+
+Reference: ``computer-algorithm/.../sampling/RandomWalk.java:44-389``:
+``walk_per_node`` walks of ``walk_length`` steps from every vertex,
+next hop drawn by (optionally weight-proportional) random choice over
+out-edges, weights clamped to [min,max] thresholds.
+
+Differences by design: the reference draws from ``Math.random()``
+(irreproducible); this engine derives every draw from
+``xxhash64(walk_id, step, candidate)`` so a seed pins the entire output
+— required for resumable runs and testable distributions.
+
+Mechanics per step (all vertices advance in lockstep — one superstep
+per hop, as in the reference):
+
+  walks ⋈ edges on (current = src)  →  candidate hops
+  uniform:   pick argmin hash(seed, walk, step, dst)
+  weighted:  exponential-race sampling — argmin (-ln(u)/w); the winner
+             is weight-proportional (Efraimidis-Spirakis reservoir key)
+  groupBy(walk) min(struct(key, dst)) → one winner per walk
+
+Walks that reach a dangling vertex stop (reference behavior: walk ends
+when no out-edge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+
+
+def random_walk(
+    graph: Graph,
+    walk_length: int = 5,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    weight_col: str | None = None,
+    min_weight: float = 0.0,
+    max_weight: float = float("inf"),
+) -> DataFrame:
+    """(walk_id, start, path array<long>) — one row per walk."""
+    starts = graph.vertices.select("id")
+    if walks_per_node > 1:
+        reps = graph.spark.range(walks_per_node).select(F.col("id").alias("rep"))
+        starts = starts.crossJoin(F.broadcast(reps))
+    else:
+        starts = starts.withColumn("rep", F.lit(0))
+    walks = starts.select(
+        F.concat_ws("_", F.col("id"), F.col("rep")).alias("walk_id"),
+        F.col("id").alias("start"),
+        F.col("id").alias("current"),
+        F.array(F.col("id")).alias("path"),
+    ).persist()
+
+    edges = graph.edges
+    for step in range(1, walk_length + 1):
+        cand = walks.join(edges, walks.current == edges.src)
+        u = (
+            (F.abs(F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step), F.col("dst")))
+             % F.lit(2**40)).cast("double") + F.lit(1.0)
+        ) / F.lit(float(2**40))  # u ∈ (0, 1]
+        if weight_col:
+            w = F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+            w = F.greatest(F.least(w, F.lit(max_weight)), F.lit(min_weight))
+            key = -F.log(u) / F.greatest(w, F.lit(1e-300))
+        else:
+            key = u
+        picked = (
+            cand.select("walk_id", key.alias("k"), F.col("dst"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(F.col("k"), F.col("dst"))).alias("best"))
+            .select("walk_id", F.col("best.dst").alias("next"))
+        )
+        new_walks = (
+            walks.join(picked, "walk_id", "left")
+            .select(
+                "walk_id",
+                "start",
+                F.coalesce(F.col("next"), F.col("current")).alias("current"),
+                F.when(
+                    F.col("next").isNotNull(), F.concat(F.col("path"), F.array(F.col("next")))
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        walks.unpersist()
+        walks = new_walks.persist()
+    return walks.select("walk_id", "start", "path")

@@ -40,7 +40,7 @@ class WccProgram(BspProgram):
 
     def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
         return message_pass(
-            state, graph.edges, msg_col=F.col("comp"), frontier_filter=F.col("active")
+            state, graph, msg_col=F.col("comp"), frontier_filter=F.col("active")
         )
 
     def combine(self, messages: DataFrame) -> DataFrame:

@@ -165,13 +165,24 @@ class BspEngine:
             ctx.superstep = step
 
             msgs = program.messages(state, g, ctx)
-            inbox = program.combine(msgs).persist()
+            inbox = program.combine(msgs)
             if self.count_messages:
+                inbox = inbox.persist()
                 ctx.messages_sent = inbox.count()
             else:
-                ctx.messages_sent = -1  # not tracked this run
+                # inbox is consumed exactly once inside the update job —
+                # persisting it would only add bookkeeping
+                ctx.messages_sent = -1
 
-            new_state = program.update(state, inbox, ctx).persist()
+            # Lazy local checkpoint: the aggregator action below both
+            # materializes the superstep AND truncates lineage in a
+            # single job (an eager checkpoint would be a second job).
+            new_state = program.update(state, inbox, ctx)
+            if step % self.truncate_every == 0 and not (
+                self.ckpt is not None and self.ckpt.should_checkpoint(step)
+            ):
+                new_state = new_state.localCheckpoint(eager=False)
+            new_state = new_state.persist()
             self._collect_state(program, new_state, ctx)
 
             wall_ms = int((time.monotonic() - t0) * 1000)
@@ -181,18 +192,14 @@ class BspEngine:
                 ).persist()
                 new_state.unpersist()
                 new_state = persisted
-            elif step % self.truncate_every == 0:
-                # Lineage truncation (default: every superstep): each
-                # superstep's plan nests the previous one's, and Catalyst
-                # re-analyzes the whole tree per action even over cached
-                # data — measured 5-10x per-step blowup by step 4 without
-                # this (SURVEY §7 hard parts). Reads from cache — cheap.
-                truncated = new_state.localCheckpoint(eager=True)
-                new_state.unpersist()
-                new_state = truncated
+            # else: lineage already truncated by the lazy localCheckpoint
+            # above (default every superstep) — without truncation each
+            # superstep's plan nests the previous one's and Catalyst
+            # re-analysis blows up 5-10x by step 4 (SURVEY §7 hard parts).
 
             state.unpersist()
-            inbox.unpersist()
+            if self.count_messages:
+                inbox.unpersist()
             state = new_state
             ctx.stats.append(self._metrics(ctx, wall_ms))
 
@@ -215,20 +222,52 @@ class BspEngine:
 
 def message_pass(
     state: DataFrame,
-    edges: DataFrame,
+    graph_or_edges,
     msg_col,
     frontier_filter=None,
 ) -> DataFrame:
     """``sendMessageToAllEdges`` (ComputationContext.java:44-54) as the
     canonical join-aggregate pass: join vertex state to its out-edges on
-    ``src`` (co-partitioned — no state-side shuffle after the first
-    superstep), emit (dst, msg). ``msg_col`` is a Column over the joined
-    row. ``frontier_filter`` prunes inactive vertices *before* the join —
-    the reference's inactive-vertex skipping
-    (``FileGraphPartition.java:213-222``)."""
+    ``src`` (co-partitioned), emit (dst, msg). ``msg_col`` is a Column
+    over the source-side state row. ``frontier_filter`` prunes inactive
+    vertices *before* the join — the reference's inactive-vertex
+    skipping (``FileGraphPartition.java:213-222``).
+
+    Physical shape (deliberate, verified via .explain):
+    - the join is hinted SHUFFLE_HASH with the state as build side — a
+      sort-merge join would re-sort the E-row edge side every superstep
+    - when the graph carries a cached CSR (``Graph.with_csr()``), the
+      pass joins V-row state to V-row adjacency and fans out via a
+      codegen'd explode — the E-row stream never enters a join
+    - the downstream groupBy(dst) partial-aggregates map-side, so
+      shuffle volume is bounded by distinct targets per partition, not E
+    """
     src_state = state if frontier_filter is None else state.where(frontier_filter)
-    return (
-        src_state.withColumnRenamed("id", "src")
-        .join(edges, "src")
-        .select(F.col("dst"), msg_col.alias("msg"))
-    )
+    src_state = src_state.withColumnRenamed("id", "src")
+    salted = getattr(graph_or_edges, "salted_df", None)
+    if salted is not None:
+        g: Graph = graph_or_edges
+        # replicate ONLY hub state rows across the salt domain; everyone
+        # else keeps salt 0 — then join on (src, salt), co-partitioned
+        # with the salted adjacency.
+        is_hub = F.broadcast(g.hubs_df.select(F.col("id").alias("src"), F.lit(True).alias("_hub")))
+        salts = F.when(
+            F.col("_hub"), F.sequence(F.lit(0), F.lit(g.salt_factor - 1))
+        ).otherwise(F.array(F.lit(0)))
+        replicated = (
+            src_state.join(is_hub, "src", "left")
+            .withColumn("salt", F.explode(salts))
+            .drop("_hub")
+            .hint("shuffle_hash")
+        )
+        return replicated.join(salted, ["src", "salt"]).select(
+            F.col("dst"), msg_col.alias("msg")
+        )
+    src_state = src_state.hint("shuffle_hash")
+    csr = getattr(graph_or_edges, "csr_df", None)
+    edges = graph_or_edges.edges if isinstance(graph_or_edges, Graph) else graph_or_edges
+    if csr is not None:
+        return src_state.join(csr, "src").select(
+            F.explode("neighbors").alias("dst"), msg_col.alias("msg")
+        )
+    return src_state.join(edges, "src").select(F.col("dst"), msg_col.alias("msg"))

@@ -55,6 +55,14 @@ def get_spark(
     active = SparkSession.getActiveSession()
     if active is None:
         builder = builder.master(master)
+        # Local mode: the driver JVM is the only executor — the 1g
+        # default heap starves it. Honored only at JVM creation.
+        if master.startswith("local") and not (extra_confs or {}).get(
+            "spark.driver.memory"
+        ):
+            builder = builder.config(
+                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+            )
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,45 @@
+from tests.conftest import make_graph
+from tests.oracles import random_graph
+
+from incubator_hugegraph_computer_spark.operators.louvain import louvain
+from incubator_hugegraph_computer_spark.operators.stats import modularity
+
+
+def _clique(members):
+    return [(a, b) for a in members for b in members if a < b]
+
+
+def test_louvain_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge → exactly the two cliques."""
+    edges = _clique([0, 1, 2, 3]) + _clique([10, 11, 12, 13]) + [(3, 10)]
+    ids = [0, 1, 2, 3, 10, 11, 12, 13]
+    g = make_graph(spark, edges, vertex_ids=ids)
+    got = {r["id"]: r["community"] for r in louvain(g).collect()}
+    assert got[0] == got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12] == got[13]
+    assert got[0] != got[10]
+
+
+def test_louvain_improves_modularity(spark):
+    edges = (
+        _clique([0, 1, 2, 3, 4])
+        + _clique([10, 11, 12, 13])
+        + _clique([20, 21, 22])
+        + [(4, 10), (13, 20)]
+    )
+    ids = sorted({v for e in edges for v in e})
+    g = make_graph(spark, edges, vertex_ids=ids)
+    comm = louvain(g).withColumnRenamed("community", "comp")
+    q = modularity(g, comm, label_col="comp").first()["modularity"]
+    assert q > 0.4  # three dense blocks → strongly modular partition
+    # deterministic across runs
+    a = sorted(map(tuple, louvain(g).collect()))
+    b = sorted(map(tuple, louvain(g).collect()))
+    assert a == b
+
+
+def test_louvain_runs_on_random_graph(spark):
+    edges = random_graph(40, 120, seed=17)
+    g = make_graph(spark, edges, vertex_ids=range(40))
+    got = louvain(g).collect()
+    assert len(got) == 40  # every vertex assigned

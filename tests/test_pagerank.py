@@ -57,3 +57,27 @@ def test_salting_equivalence(spark, fixture_graph):
         salted.groupBy("dst", "salt").count().groupBy("dst").agg(F.sum("count").alias("count"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, via_salt.collect()))
+
+
+def test_csr_message_pass_equivalence(spark, fixture_graph):
+    """CSR explode pass and edge-join pass produce identical ranks."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+
+    g2 = Graph(fixture_graph.vertices, fixture_graph.edges, 4).cache().with_csr()
+    plain = _as_dict(pagerank_classic(fixture_graph, max_iterations=10, tol=0.0))
+    via_csr = _as_dict(pagerank_classic(g2, max_iterations=10, tol=0.0))
+    assert plain == via_csr
+
+
+def test_salted_message_pass_equivalence(spark, fixture_graph):
+    """Hub-salted pass (threshold low enough to salt the hub vertex 0)
+    yields identical PageRank results."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+
+    g3 = Graph(fixture_graph.vertices, fixture_graph.edges, 4).cache().with_salting(
+        hub_threshold=3, salt_factor=4
+    )
+    assert g3.hubs_df.count() >= 1  # vertex 0 (out-degree 5) is a hub
+    plain = _as_dict(pagerank_classic(fixture_graph, max_iterations=10, tol=0.0))
+    via_salt = _as_dict(pagerank_classic(g3, max_iterations=10, tol=0.0))
+    assert plain == via_salt
