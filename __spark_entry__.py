@@ -40,6 +40,12 @@ KCORE_ROUNDS = 12
 CLOSENESS_SEED_MAX = 50
 TOPK = 10
 RINGS_LEN = 4
+BETW_SRC_MAX = 30
+BETW_DEPTH = 14
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+NEARDUP_TAU = 0.4
+SESSION_GAP_MIN = 30
 
 
 # ====================================================================
@@ -176,6 +182,41 @@ def _q_scc(spark, sf_dir):
     return scc(orders_graph(spark, sf_dir))
 
 
+def _q_depth(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth
+
+    return bfs_depth(orders_graph(spark, sf_dir), source=SSSP_SOURCE)
+
+
+def _q_counts(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.stats import graph_counts
+
+    return graph_counts(orders_graph(spark, sf_dir))
+
+
+def _q_betweenness(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.betweenness import betweenness
+
+    g = orders_graph(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") <= BETW_SRC_MAX).select("id")
+    b = betweenness(g, sources=srcs, max_depth=BETW_DEPTH)
+    return b.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _q_random_walk(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.random_walk import random_walk
+
+    g = orders_graph(spark, sf_dir)
+    w = random_walk(g, walk_length=5, walks_per_node=1, seed=42)
+    return w.select("walk_id", "start", F.size("path").alias("path_len"))
+
+
+def _q_louvain(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.louvain import louvain
+
+    return louvain(orders_graph(spark, sf_dir), max_levels=3, max_inner=5)
+
+
 def _q_docs_tokens(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.text import (
         document_fingerprint,
@@ -254,6 +295,47 @@ def _q_emb_lsh_buckets(spark, sf_dir):
     return lsh_buckets(emb, num_planes=8)
 
 
+def _q_emb_near_dup(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nd = embedding_near_duplicates(emb, threshold=NEARDUP_TAU, num_planes=8)
+    return nd.select("vec_a", "vec_b", F.round("score", 6).alias("score"))
+
+
+def _q_emb_ann_lsh(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 100)
+    t = ann_lsh_topk(emb, k=TOPK, num_planes=8)
+    return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _q_emb_ivf_topk(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    t = ivf_topk(emb, queries, k=TOPK, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE)
+    return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _q_events_sessions(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.streaming.sessions import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_batch(events, gap_minutes=SESSION_GAP_MIN)
+    return s.select(
+        "user_id",
+        F.round(F.col("session_start").cast("double"), 6).alias("session_start"),
+        F.round(F.col("session_end").cast("double"), 6).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     from incubator_hugegraph_computer_spark.streaming.events import windowed_event_counts
 
@@ -286,6 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _q_modularity,
         "graph_rings": _q_rings,
         "graph_scc": _q_scc,
+        "graph_depth": _q_depth,
+        "graph_counts": _q_counts,
+        "graph_betweenness": _q_betweenness,
+        "graph_random_walk": _q_random_walk,
+        "graph_louvain": _q_louvain,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -295,7 +382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": _q_docs_simhash,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
+        "emb_near_dup": _q_emb_near_dup,
+        "emb_ann_lsh": _q_emb_ann_lsh,
+        "emb_ivf_topk": _q_emb_ivf_topk,
         "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
     }
 
 
@@ -463,6 +554,73 @@ SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM bitsum
 """
 
 
+def _betweenness_sql(src_max: int, depth: int) -> str:
+    """Exact Brandes (directed, endpoints excluded) from sources
+    id<=src_max, unrolled to ``depth`` BFS layers — same truncation rule
+    as the Spark operator's max_depth."""
+    parts = [
+        f"WITH {_G},",
+        "e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),",
+        f"l0 AS MATERIALIZED (SELECT id AS source, id AS v, 1.0 AS sigma "
+        f"FROM v WHERE id <= {src_max}),",
+        "vis0 AS MATERIALIZED (SELECT source, v FROM l0),",
+    ]
+    for k in range(1, depth + 1):
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT p.source, t.dst AS v, SUM(p.sigma) AS sigma "
+            f"FROM l{k-1} p JOIN e2 t ON t.src = p.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vis{k-1} x WHERE x.source = p.source AND x.v = t.dst) "
+            f"GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"vis{k} AS MATERIALIZED (SELECT * FROM vis{k-1} "
+            f"UNION ALL SELECT source, v FROM l{k}),"
+        )
+    parts.append(f"d{depth} AS MATERIALIZED (SELECT source, v, 0.0 AS delta FROM l{depth}),")
+    for lvl in range(depth - 1, -1, -1):
+        parts.append(
+            f"c{lvl} AS MATERIALIZED (SELECT cur.source, cur.v, "
+            f"SUM(cur.sigma / b.sigma * (1.0 + COALESCE(dw.delta, 0.0))) AS delta "
+            f"FROM l{lvl} cur JOIN e2 t ON t.src = cur.v "
+            f"JOIN l{lvl+1} b ON b.source = cur.source AND b.v = t.dst "
+            f"LEFT JOIN d{lvl+1} dw ON dw.source = cur.source AND dw.v = t.dst "
+            f"GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"d{lvl} AS MATERIALIZED (SELECT cur.source, cur.v, "
+            f"COALESCE(c.delta, 0.0) AS delta FROM l{lvl} cur "
+            f"LEFT JOIN c{lvl} c ON c.source = cur.source AND c.v = cur.v),"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT v, delta FROM d{lvl} WHERE source <> v" for lvl in range(0, depth)
+    )
+    parts.append(f"alld AS ({unions}),")
+    parts.append("bc AS (SELECT v AS id, SUM(delta) AS b FROM alld GROUP BY 1)")
+    return (
+        "\n".join(parts)
+        + "\nSELECT v.id, ROUND(COALESCE(bc.b, 0.0), 6) AS betweenness "
+        "FROM v LEFT JOIN bc USING(id)"
+    )
+
+
+# Shared LSH-bucket CTE chain over a corpus CTE named ``corpus0``
+# (vec_id, embedding) — mirrors functions/similarity.lsh_buckets.
+_LSH_CTES = """planes AS (SELECT unnest(generate_series(0, 7)) AS plane),
+dims AS (SELECT unnest(generate_series(0, 63)) AS pos),
+w AS (SELECT plane, pos,
+             CASE WHEN substr(md5(plane::VARCHAR || '_' || pos::VARCHAR), 1, 1) >= '8'
+                  THEN 1.0 ELSE -1.0 END AS w
+      FROM planes CROSS JOIN dims),
+flat AS (SELECT vec_id, unnest(embedding) AS x,
+                unnest(generate_series(0, len(embedding) - 1)) AS pos
+         FROM corpus0),
+proj AS (SELECT f.vec_id, w.plane, SUM(CAST(f.x AS DOUBLE) * w.w) AS p
+         FROM flat f JOIN w USING(pos) GROUP BY 1, 2),
+bk AS (SELECT vec_id,
+       CAST(SUM(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
+       FROM proj GROUP BY vec_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -623,6 +781,90 @@ r(a, b) AS (
 SELECT x.a AS id, MIN(x.b) AS scc
 FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
 GROUP BY x.a
+"""
+
+    o["graph_depth"] = f"""
+WITH RECURSIVE {_G},
+r(id, d) AS (
+    SELECT CAST({SSSP_SOURCE} AS BIGINT), 0
+    UNION
+    SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 100
+)
+SELECT id, MIN(d) AS depth FROM r GROUP BY id
+"""
+
+    o["graph_counts"] = f"""
+WITH {_G}
+SELECT (SELECT COUNT(*) FROM v) AS n_vertices, (SELECT COUNT(*) FROM e) AS n_edges
+"""
+
+    o["graph_betweenness"] = _betweenness_sql(BETW_SRC_MAX, BETW_DEPTH)
+
+    o["emb_near_dup"] = f"""
+WITH corpus0 AS (SELECT vec_id, embedding FROM embeddings),
+{_LSH_CTES},
+e2 AS (SELECT c.vec_id, c.embedding::DOUBLE[] AS vec, bk.bucket
+       FROM corpus0 c JOIN bk USING(vec_id)),
+pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_cosine_similarity(a.vec, b.vec) AS score
+          FROM e2 a JOIN e2 b ON b.bucket = a.bucket AND a.vec_id < b.vec_id)
+SELECT DISTINCT vec_a, vec_b, ROUND(score, 6) AS score
+FROM pairs WHERE score >= {NEARDUP_TAU}
+"""
+
+    o["emb_ann_lsh"] = f"""
+WITH corpus0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+{_LSH_CTES},
+e2 AS (SELECT c.vec_id, c.embedding::DOUBLE[] AS vec, bk.bucket
+       FROM corpus0 c JOIN bk USING(vec_id)),
+s AS (SELECT q.vec_id AS query_id, c.vec_id,
+             list_cosine_similarity(c.vec, q.vec) AS score
+      FROM e2 c JOIN e2 q ON q.bucket = c.bucket AND c.vec_id <> q.vec_id),
+r AS (SELECT query_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM r WHERE rank <= {TOPK}
+"""
+
+    o["emb_ivf_topk"] = f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+asg AS (SELECT vec_id, vec, cell FROM (
+          SELECT c.vec_id, c.vec, ct.cent_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC,
+                              ct.cent_id ASC) AS rn
+          FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+probes AS (SELECT query_id, qvec, cell FROM (
+             SELECT q.query_id, q.qvec, ct.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY list_cosine_similarity(q.qvec, ct.cvec) DESC,
+                                 ct.cent_id ASC) AS rn
+             FROM q CROSS JOIN cents ct) WHERE rn <= {IVF_PROBE}),
+s AS (SELECT p.query_id, a.vec_id, list_cosine_similarity(a.vec, p.qvec) AS score
+      FROM asg a JOIN probes p ON p.cell = a.cell WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM r WHERE rank <= {TOPK}
+"""
+
+    o["events_sessions"] = f"""
+WITH o AS (SELECT user_id, ts, value,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts) <= {SESSION_GAP_MIN * 60 * 1000000}
+         THEN 0 ELSE 1 END AS new_sess
+    FROM events),
+x AS (SELECT user_id, ts, value,
+      SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS UNBOUNDED PRECEDING) AS sess_no FROM o)
+SELECT user_id,
+       ROUND(epoch_us(MIN(ts)) / 1000000.0, 6) AS session_start,
+       ROUND(epoch_us(MAX(ts)) / 1000000.0, 6) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM x GROUP BY user_id, sess_no
 """
 
     o["docs_token_stats"] = f"""

@@ -137,6 +137,66 @@ def ann_lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, score, rank) — IVF-style approximate top-k.
+
+    The scale path for ANN beyond LSH: partition the corpus into
+    ``n_centroids`` inverted lists, score a query only against the
+    ``n_probe`` lists whose centroids it is closest to. Centroids are
+    chosen **deterministically** (the ``n_centroids`` lowest-id vectors)
+    rather than by k-means so the whole operator is reproducible and
+    oracle-checkable; on a real deployment the centroid table is the
+    only piece to swap for trained centroids — assignment, probing and
+    re-ranking are unchanged.
+
+    Physical plan: centroids are broadcast twice (corpus assignment,
+    query probing); the candidate join corpus⋈probes is a shuffle hash
+    join on ``cell`` — each inverted list is one key group, so work is
+    |corpus|/n_centroids × n_probe per query instead of |corpus|.
+    """
+    cents = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+    corpus = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    # assignment: nearest centroid by cosine, ties → lowest centroid id
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "vec", "cent_id", cosine(F.col("vec"), F.col("cvec")).alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "vec", F.col("cent_id").alias("cell"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qvec", "cent_id", cosine(F.col("qvec"), F.col("cvec")).alias("csim"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", F.col("cent_id").alias("cell"))
+    )
+    scored = (
+        assigned.join(probes.hint("shuffle_hash"), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.95,

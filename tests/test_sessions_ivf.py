@@ -1,0 +1,71 @@
+"""Stateful-streaming sessionization + IVF ANN tests."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_computer_spark.functions.similarity import (
+    cosine_topk,
+    ivf_topk,
+)
+from incubator_hugegraph_computer_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _key(r):
+    return (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+            r["n_events"], round(r["sum_value"], 4))
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over an AvailableNow drain
+    equals the batch window-function form: every session closed by a
+    successor event must be emitted; each user's final (open) session is
+    emitted iff the final watermark passed its close boundary."""
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "events.parquet")
+    events = spark.read.parquet(str(src_dir))
+    gap_min = 30
+
+    batch = sessionize_batch(events, gap_minutes=gap_min).collect()
+    last_start = {}
+    for r in batch:
+        k = r["user_id"]
+        if k not in last_start or r["session_start"] > last_start[k]:
+            last_start[k] = r["session_start"]
+    must = {_key(r) for r in batch if r["session_start"] != last_start[r["user_id"]]}
+    maybe = {_key(r) for r in batch if r["session_start"] == last_start[r["user_id"]]}
+
+    sessionize_stream(
+        spark,
+        str(src_dir),
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_dir=str(tmp_path / "out"),
+        gap_minutes=gap_min,
+    )
+    got = {_key(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert must <= got, f"missing closed sessions: {list(must - got)[:3]}"
+    assert got <= must | maybe, f"unexpected sessions: {list(got - (must | maybe))[:3]}"
+    assert len(must) > 100  # non-trivial corpus
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8).collect()
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # embeddings are label-clustered; probing half the cells must find
+    # most true neighbors
+    assert recall >= 0.6, f"IVF recall {recall}"
+    again = {(r["query_id"], r["vec_id"], round(r["score"], 9)) for r in
+             ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8).collect()}
+    first = {(r["query_id"], r["vec_id"], round(r["score"], 9)) for r in approx}
+    assert first == again
