@@ -217,6 +217,26 @@ def _q_louvain(spark, sf_dir):
     return louvain(orders_graph(spark, sf_dir), max_levels=3, max_inner=5)
 
 
+def _q_rings_filtered(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.rings import rings
+
+    g = orders_graph(spark, sf_dir)
+    r = rings(g, max_length=RINGS_LEN, vertex_filter=F.col("id") % 3 != 0)
+    return r.groupBy("start").agg(F.count(F.lit(1)).alias("n_rings"))
+
+
+def _q_slpa(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.slpa import slpa
+
+    return slpa(orders_graph(spark, sf_dir), rounds=5, threshold=0.3)
+
+
+def _q_degree_sketch(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.stats import degree_sketch
+
+    return degree_sketch(orders_graph(spark, sf_dir))
+
+
 def _q_docs_tokens(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.text import (
         document_fingerprint,
@@ -370,6 +390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": _q_scc,
         "graph_depth": _q_depth,
         "graph_counts": _q_counts,
+        "graph_rings_filtered": _q_rings_filtered,
+        "graph_slpa": _q_slpa,
+        "graph_degree_sketch": _q_degree_sketch,
         "graph_betweenness": _q_betweenness,
         "graph_random_walk": _q_random_walk,
         "graph_louvain": _q_louvain,
@@ -781,6 +804,24 @@ r(a, b) AS (
 SELECT x.a AS id, MIN(x.b) AS scc
 FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
 GROUP BY x.a
+"""
+
+    o["graph_rings_filtered"] = f"""
+WITH RECURSIVE {_G},
+vf AS (SELECT id FROM v WHERE id % 3 <> 0),
+ef AS (SELECT e.src, e.dst FROM e JOIN vf a ON a.id = e.src JOIN vf b ON b.id = e.dst
+       WHERE e.src <> e.dst),
+p(start, cur, path) AS (
+    SELECT id, id, [id] FROM vf
+    UNION ALL
+    SELECT p.start, ef.dst, list_append(p.path, ef.dst)
+    FROM p JOIN ef ON ef.src = p.cur
+    WHERE ef.dst > p.start AND NOT list_contains(p.path, ef.dst)
+      AND len(p.path) < {RINGS_LEN}
+)
+SELECT p.start, COUNT(*) AS n_rings
+FROM p JOIN ef ON ef.src = p.cur AND ef.dst = p.start
+GROUP BY p.start
 """
 
     o["graph_depth"] = f"""

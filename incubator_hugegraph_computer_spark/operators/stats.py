@@ -56,6 +56,29 @@ def modularity(graph: Graph, assignment: DataFrame, label_col: str = "comp") -> 
     return per_c.agg(F.sum("q_c").alias("modularity"))
 
 
+def degree_sketch(graph: Graph, direction: str = "both") -> DataFrame:
+    """One-row sketch of the degree distribution — the analogue of
+    Vermeer's sketch statistics workers (``statistics.go:35-55``,
+    StatisticsTypeSketchDegree/Count): HLL distinct counts +
+    approximate quantiles, all single-pass approximate aggregates that
+    stay cheap at any scale.
+
+    (n_vertices_approx, n_edges, avg_degree, p50, p90, p99, max_degree)
+    """
+    deg = graph.degrees(direction).persist()
+    n_e = graph.num_edges()
+    out = deg.agg(
+        F.approx_count_distinct("id").alias("n_vertices_approx"),
+        F.lit(n_e).alias("n_edges"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.percentile_approx("degree", 0.5).alias("p50"),
+        F.percentile_approx("degree", 0.9).alias("p90"),
+        F.percentile_approx("degree", 0.99).alias("p99"),
+        F.max("degree").alias("max_degree"),
+    )
+    return out
+
+
 def graph_counts(graph: Graph) -> DataFrame:
     """(n_vertices, n_edges) — the count statistics worker."""
     n_v = graph.num_vertices()
