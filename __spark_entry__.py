@@ -74,26 +74,26 @@ def _q_pagerank(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.pagerank import pagerank_classic
 
     g = orders_graph(spark, sf_dir)
-    pr = pagerank_classic(g, max_iterations=PR_ITERS, tol=0.0)
+    pr = pagerank_classic(g, max_iterations=PR_ITERS, tol=0.0, count_messages=False)
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
 def _q_wcc(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.wcc import wcc
 
-    return wcc(orders_graph(spark, sf_dir))
+    return wcc(orders_graph(spark, sf_dir), count_messages=False)
 
 
 def _q_lpa(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.lpa import lpa
 
-    return lpa(orders_graph(spark, sf_dir), max_supersteps=LPA_ROUNDS)
+    return lpa(orders_graph(spark, sf_dir), max_supersteps=LPA_ROUNDS, count_messages=False)
 
 
 def _q_lpa_sync(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.lpa import lpa_sync
 
-    return lpa_sync(orders_graph(spark, sf_dir), max_supersteps=LPA_SYNC_ITERS, fixed=True)
+    return lpa_sync(orders_graph(spark, sf_dir), max_supersteps=LPA_SYNC_ITERS, fixed=True, count_messages=False)
 
 
 def _q_triangles(spark, sf_dir):
@@ -120,13 +120,13 @@ def _q_kcore(spark, sf_dir):
 def _q_sssp(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.sssp import sssp
 
-    return sssp(orders_graph(spark, sf_dir), source=SSSP_SOURCE)
+    return sssp(orders_graph(spark, sf_dir), source=SSSP_SOURCE, count_messages=False)
 
 
 def _q_ppr(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.ppr import ppr
 
-    r = ppr(orders_graph(spark, sf_dir), source=PPR_SOURCE, max_iterations=PPR_ITERS)
+    r = ppr(orders_graph(spark, sf_dir), source=PPR_SOURCE, max_iterations=PPR_ITERS, count_messages=False)
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 

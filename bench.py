@@ -72,14 +72,19 @@ def main() -> None:
     derived["graph_edges"] = n_edges
 
     pr_steps = 10
-    timed("pagerank_10", lambda: pagerank(g, max_supersteps=pr_steps, l1_threshold=0.0).count())
+    timed(
+        "pagerank_10",
+        lambda: pagerank(
+            g, max_supersteps=pr_steps, l1_threshold=0.0, count_messages=False
+        ).count(),
+    )
     derived["pagerank_edges_per_sec"] = round(n_edges * pr_steps / queries["pagerank_10"], 1)
     derived["pagerank_supersteps_per_min"] = round(60.0 * pr_steps / queries["pagerank_10"], 2)
 
-    wcc_res = timed("wcc", lambda: wcc(g, max_supersteps=30))
+    wcc_res = timed("wcc", lambda: wcc(g, max_supersteps=30, count_messages=False).count())
     derived["wcc_edges_per_sec"] = round(2 * n_edges / queries["wcc"], 1)  # symmetrized
 
-    timed("lpa_5", lambda: lpa(g, max_supersteps=5).count())
+    timed("lpa_5", lambda: lpa(g, max_supersteps=5, count_messages=False).count())
     timed("triangle_count", lambda: triangle_count(g).count())
 
     # ---- workload 2: sf-dir queries ----------------------------------

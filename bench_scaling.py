@@ -14,8 +14,18 @@ effective CPU capacity fluctuates):
    NumPy parallel-capacity probe of the host taken at run time —
    the hardware ceiling the JVM numbers must be read against.
 
+Fixed per-superstep driver overhead (~0.7s: plan construction +
+Catalyst + one job's scheduling) is serial and identical at both core
+counts — Amdahl noise at small inputs — so the default corpus is sized
+(4M files → ~20M edges) to make JVM compute dominate each superstep.
+The report also includes ``hw_normalized`` efficiencies: raw efficiency
+divided by the host-probe ceiling (what perfectly-parallel work
+achieves on this shared-host microVM at the same thread counts), i.e.
+the engine's own scaling quality with the hardware's oversubscription
+factored out.
+
 Env: SCALE_N (default 2), SCALE_4N (default 8), BENCH_FILES (default
-1000000), SCALE_TRIALS (default 2).
+4000000), SCALE_TRIALS (default 3).
 """
 
 from __future__ import annotations
@@ -112,10 +122,10 @@ def hw_probe() -> dict:
 
 
 def main() -> None:
-    n_files = int(os.environ.get("BENCH_FILES", "1000000"))
+    n_files = int(os.environ.get("BENCH_FILES", "4000000"))
     n_small = int(os.environ.get("SCALE_N", "2"))
     n_big = int(os.environ.get("SCALE_4N", "8"))
-    trials = int(os.environ.get("SCALE_TRIALS", "2"))
+    trials = int(os.environ.get("SCALE_TRIALS", "3"))
 
     data = tempfile.mkdtemp(prefix="scale_input_")
     _run_py(PREPARE, str(n_files), data)
@@ -156,8 +166,24 @@ def main() -> None:
             f"local[{n_small}]": round(edges * 10 / s_small["pagerank_sec_best"], 1),
             f"local[{n_big}]": round(edges * 10 / s_big["pagerank_sec_best"], 1),
         },
+        "pagerank_supersteps_per_min_best": {
+            f"local[{n_small}]": round(600.0 / s_small["pagerank_sec_best"], 2),
+            f"local[{n_big}]": round(600.0 / s_big["pagerank_sec_best"], 2),
+        },
         "host_capacity_probe": hw_probe(),
     }
+    # Hardware ceiling: efficiency a perfectly-parallel workload reaches
+    # between the same two thread counts on this host, from the probe.
+    probe = report["host_capacity_probe"]
+    e_s = probe.get(f"eff_{n_small}_threads")
+    e_b = probe.get(f"eff_{n_big}_threads")
+    if e_s and e_b:
+        ceiling = (n_big * e_b) / (n_small * e_s) / factor
+        report["hw_ceiling_efficiency"] = round(ceiling, 3)
+        report["hw_normalized"] = {
+            "pagerank": round(report["scaling_efficiency_pagerank_best"] / ceiling, 3),
+            "wcc": round(report["scaling_efficiency_wcc_best"] / ceiling, 3),
+        }
     print(json.dumps(report))
 
 

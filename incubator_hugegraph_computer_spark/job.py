@@ -31,8 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
             "pagerank", "pagerank_classic", "wcc", "lpa", "lpa_sync",
             "triangle_count", "degree", "kcore", "scc", "clustering_coefficient",
             "rings", "random_walk", "betweenness", "closeness", "louvain",
+            "sssp", "ppr", "slpa", "depth", "jaccard",
         ],
     )
+    p.add_argument("--source", type=int, default=0,
+                   help="source vertex id for sssp/ppr/depth/jaccard")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="path of the (repo,path,commit,lang,content,sha256) table")
     src.add_argument("--generate", type=int, metavar="NUM_FILES",
@@ -104,6 +107,11 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.rings import ring_counts
     from incubator_hugegraph_computer_spark.operators.louvain import louvain
     from incubator_hugegraph_computer_spark.operators.scc import scc
+    from incubator_hugegraph_computer_spark.operators.sssp import sssp as _sssp
+    from incubator_hugegraph_computer_spark.operators.ppr import ppr as _ppr
+    from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
+    from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
+    from incubator_hugegraph_computer_spark.operators.jaccard import jaccard as _jaccard
 
     t1 = time.monotonic()
     algos = {
@@ -125,6 +133,11 @@ def run(args: argparse.Namespace) -> dict:
         "betweenness": lambda: betweenness(graph, sample_rate=0.05),
         "closeness": lambda: closeness(graph, sample_rate=0.05),
         "louvain": lambda: louvain(graph),
+        "sssp": lambda: _sssp(graph, source=args.source, **engine_kwargs),
+        "ppr": lambda: _ppr(graph, source=args.source, **engine_kwargs),
+        "slpa": lambda: _slpa(graph).withColumnRenamed("label", "community"),
+        "depth": lambda: _bfs_depth(graph, source=args.source),
+        "jaccard": lambda: _jaccard(graph, source=args.source),
     }
     result = algos[args.algorithm]()
     # join back the human-readable vertex dimension for output

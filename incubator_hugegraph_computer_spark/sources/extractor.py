@@ -82,6 +82,24 @@ def build_catalog(files: DataFrame, dense_ids: bool = True) -> DataFrame:
     )
 
 
+def mint_bytesid_ordered_ids(values: DataFrame, col: str = "sid") -> DataFrame:
+    """(sid, id) — dense long ids whose numeric order equals the
+    reference's UTF8 BytesId order: **length first, then bytewise**
+    (``BytesId.compareTo`` → ``BytesUtil.compare``,
+    computer-api/.../util/BytesUtil.java:61-73). Any algorithm taking a
+    min over ids (WCC component representative, K-core's WCC phase,
+    rings' "smallest vertex") then reproduces the reference's choice
+    exactly: numeric ``min`` over these ids == BytesId min over the
+    strings. Global sort + row_number — use at fixture/moderate scale;
+    at catalog scale prefer :func:`build_catalog`'s dense path."""
+    w = Window.orderBy(F.length(F.col(col)), F.col(col))
+    return (
+        values.select(col)
+        .distinct()
+        .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
 def extract_edges(
     files: DataFrame,
     catalog: DataFrame | None = None,

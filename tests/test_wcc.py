@@ -32,3 +32,39 @@ def test_wcc_chain_diameter(spark):
     g = make_graph(spark, edges, vertex_ids=ids)
     got = _as_dict(wcc(g, max_supersteps=40))
     assert set(got.values()) == {0}
+
+
+def test_wcc_string_id_bytesid_order_parity(spark):
+    """UTF8 ids must take component minima in the reference's BytesId
+    order — LENGTH FIRST, then bytes (BytesUtil.compare, SURVEY §1.3):
+    "b" < "aa". Minting dense ids in that order makes numeric min
+    reproduce it exactly."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.sources.extractor import (
+        mint_bytesid_ordered_ids,
+    )
+
+    str_edges = [("aa", "b"), ("b", "ccc"), ("xyz", "qq"), ("zz", "qq")]
+    sdf = spark.createDataFrame(str_edges, "s string, d string")
+    ids = mint_bytesid_ordered_ids(
+        sdf.select(F.col("s").alias("sid")).unionAll(sdf.select(F.col("d").alias("sid")))
+    ).persist()
+    edges = (
+        sdf.join(ids.withColumnRenamed("sid", "s").withColumnRenamed("id", "src"), "s")
+        .join(ids.withColumnRenamed("sid", "d").withColumnRenamed("id", "dst"), "d")
+        .select("src", "dst")
+    )
+    comp = wcc(Graph.from_edges(edges, num_partitions=4))
+    back = (
+        comp.join(ids.withColumnRenamed("id", "comp").withColumnRenamed("sid", "rep"), "comp")
+        .join(ids.withColumnRenamed("sid", "member"), "id")
+        .select("member", "rep")
+    )
+    got = {r["member"]: r["rep"] for r in back.collect()}
+    # BytesId order: "b" < "aa" < "ccc"; "qq" < "xyz"/"zz"
+    assert got == {
+        "aa": "b", "b": "b", "ccc": "b",
+        "xyz": "qq", "qq": "qq", "zz": "qq",
+    }
