@@ -56,14 +56,22 @@ class WccProgram(BspProgram):
             (new_comp < F.col("comp")).alias("active"),
         )
 
-def wcc(graph: Graph, max_supersteps: int = 100, **engine_kwargs) -> DataFrame:
+def wcc(
+    graph: Graph,
+    max_supersteps: int = 100,
+    presymmetrized: bool = False,
+    **engine_kwargs,
+) -> DataFrame:
     """(id, comp) over the symmetrized graph; comp = min id in component.
 
     max_supersteps bounds at graph diameter; the engine's built-in
     no-messages-and-no-active termination fires at convergence.
-    """
+    ``presymmetrized=True`` skips the one-time symmetrization shuffle —
+    pass it when the caller's edge table is already the undirected
+    distinct set (e.g. built once at ingest and reused across
+    algorithms, optionally CSR-packed)."""
     resume = engine_kwargs.pop("resume", False)
-    g = graph.symmetrized().cache()
+    g = graph if presymmetrized else graph.symmetrized().cache()
     engine = BspEngine(g, max_supersteps=max_supersteps, **engine_kwargs)
     state, _ = engine.run(WccProgram(), resume=resume)
     result = state.select("id", "comp")

@@ -98,6 +98,60 @@ class BspProgram:
         return False
 
 
+class ReduceProgram(BspProgram):
+    """Template mirroring ``ReduceComputation``
+    (computer-api/.../worker/ReduceComputation.java:30-75): all messages
+    to a vertex are combined into ONE value (``reduce_agg``), and the
+    vertex folds that single value into its state (``merge``). Subclass
+    provides three expressions instead of the full program surface:
+
+        message_col(ctx)  -> Column over (state ⋈ edges src side)
+        reduce_agg(col)   -> aggregate Column (the Combiner)
+        merge(state, inbox, ctx) -> state' DataFrame (compute with the
+                                    already-combined single message)
+    """
+
+    value_col = "value"
+
+    def message_col(self, ctx: SuperstepContext) -> Column:
+        raise NotImplementedError
+
+    def reduce_agg(self, col: Column) -> Column:
+        raise NotImplementedError
+
+    def merge(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        raise NotImplementedError
+
+    def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
+        frontier = F.col("active") if "active" in state.columns else None
+        return message_pass(state, graph, self.message_col(ctx), frontier_filter=frontier)
+
+    def combine(self, messages: DataFrame) -> DataFrame:
+        return messages.groupBy(F.col("dst").alias("id")).agg(
+            self.reduce_agg(F.col("msg")).alias("msg")
+        )
+
+    def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        return self.merge(state, inbox, ctx)
+
+
+class FilterProgram(ReduceProgram):
+    """Template mirroring ``FilterComputation``
+    (computer-api/.../worker/FilterComputation.java:34-110): messages
+    pass a per-message predicate (``keep``), vertices inactivate by
+    default each superstep (vote-to-halt) and only reactivate when a
+    kept message arrives."""
+
+    def keep(self, msg: Column) -> Column:
+        return F.lit(True)
+
+    def combine(self, messages: DataFrame) -> DataFrame:
+        kept = messages.where(self.keep(F.col("msg")))
+        return kept.groupBy(F.col("dst").alias("id")).agg(
+            self.reduce_agg(F.col("msg")).alias("msg")
+        )
+
+
 class BspEngine:
     def __init__(
         self,
