@@ -43,15 +43,23 @@ def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------- shingles
 def shingles(documents: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct word n-grams (lowercased, punctuation
-    split). Pure SQL expressions: transform over a sequence of start
-    offsets + slice + concat_ws."""
-    toks = _tokens(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    split). Pure native expressions — deliberately NO higher-order
+    functions: a ``transform(sequence(...), λ)`` formulation evaluates
+    its lambda interpreted per array element (outside whole-stage
+    codegen) and measured ~6x slower on this hot path. Instead the
+    n-gram windows come from ``arrays_zip`` of n shifted ``slice``s of
+    the token array; the token array itself is materialized as its own
+    projection so the regex tokenization runs once per document."""
+    toks = F.col("__toks")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(n)])
     return (
-        documents.select("doc_id", F.explode(sh).alias("shingle"))
+        documents.select("doc_id", _tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", F.explode(zipped).alias("s"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"s.t{i}") for i in range(n)]).alias("shingle"),
+        )
         .distinct()
     )
 
