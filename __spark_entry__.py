@@ -225,6 +225,13 @@ def _q_rings_filtered(spark, sf_dir):
     return r.groupBy("start").agg(F.count(F.lit(1)).alias("n_rings"))
 
 
+def _q_cycle_detection(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.rings import cycle_detection
+
+    g = orders_graph(spark, sf_dir)
+    return cycle_detection(g, min_length=3, max_length=RINGS_LEN, mode="boolean")
+
+
 def _q_slpa(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.slpa import slpa
 
@@ -391,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_depth": _q_depth,
         "graph_counts": _q_counts,
         "graph_rings_filtered": _q_rings_filtered,
+        "graph_cycle_detection": _q_cycle_detection,
         "graph_slpa": _q_slpa,
         "graph_degree_sketch": _q_degree_sketch,
         "graph_betweenness": _q_betweenness,
@@ -792,6 +800,23 @@ p(start, cur, path) AS (
 SELECT p.start, COUNT(*) AS n_rings
 FROM p JOIN e ON e.src = p.cur AND e.dst = p.start
 GROUP BY p.start
+"""
+
+    o["graph_cycle_detection"] = f"""
+WITH RECURSIVE {_G},
+p(start, cur, path) AS (
+    SELECT id, id, [id] FROM v
+    UNION ALL
+    SELECT p.start, e.dst, list_append(p.path, e.dst)
+    FROM p JOIN e ON e.src = p.cur
+    WHERE e.dst > p.start AND NOT list_contains(p.path, e.dst)
+      AND len(p.path) < {RINGS_LEN}
+),
+cyc AS (SELECT p.path FROM p JOIN e ON e.src = p.cur AND e.dst = p.start
+        WHERE len(p.path) >= 3),
+members AS (SELECT DISTINCT unnest(path) AS id FROM cyc)
+SELECT v.id, CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END AS in_cycle
+FROM v LEFT JOIN members m USING(id)
 """
 
     o["graph_scc"] = f"""

@@ -17,7 +17,7 @@ bounds it by superstep budget, identical effect).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
 
@@ -74,6 +74,56 @@ def rings(
     for f in found[1:]:
         out = out.unionAll(f)
     return out
+
+
+def cycle_detection(
+    graph: Graph,
+    min_length: int = 1,
+    max_length: int = 6,
+    mode: str = "all",
+    limit: int | None = None,
+    edge_filter: Column | None = None,
+    vertex_filter: Column | None = None,
+) -> DataFrame:
+    """Vermeer's ``cycle_detection`` (vermeer/algorithms/cycle_detection.go:55-118):
+    bounded directed-cycle search with ``cycle.min_length`` /
+    ``cycle.max_length`` and three output modes —
+
+    - ``all``:     (start, path) every cycle in the length band
+    - ``limit``:   at most ``limit`` cycles per anchor vertex
+      (deterministic: shortest, then lexicographically smallest, where
+      Vermeer keeps the first found)
+    - ``boolean``: (id, in_cycle 0/1) per vertex — lies on any cycle
+
+    Property filters (``filter.vertex_expr`` / ``filter.edge_expr``)
+    map to the same Column predicates as the filtered rings variant.
+    """
+    r = rings(graph, max_length, edge_filter, vertex_filter).where(
+        F.size("path") >= min_length
+    )
+    if mode == "boolean":
+        members = (
+            r.select(F.explode("path").alias("id"))
+            .distinct()
+            .withColumn("in_cycle", F.lit(1))
+        )
+        return (
+            graph.vertices.select("id")
+            .join(members, "id", "left")
+            .select("id", F.coalesce("in_cycle", F.lit(0)).alias("in_cycle"))
+        )
+    if mode == "limit":
+        if not limit:
+            raise ValueError("mode='limit' requires limit (cycle.max_cycles)")
+        w = Window.partitionBy("start").orderBy(F.size("path"), F.col("path"))
+        return (
+            r.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= limit)
+            .drop("__rn")
+        )
+    if mode != "all":
+        raise ValueError("cycle detection mode must be 'all', 'limit', 'boolean'")
+    return r
 
 
 def ring_counts(graph: Graph, max_length: int = 6) -> DataFrame:

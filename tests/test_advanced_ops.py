@@ -207,3 +207,30 @@ def test_random_walk_weighted_bias(spark):
     picks = [r["path"][1] for r in walks.collect() if r["start"] == 1 and len(r["path"]) > 1]
     frac2 = sum(1 for p in picks if p == 2) / len(picks)
     assert 0.8 < frac2 < 1.0
+
+
+def test_cycle_detection_modes(spark):
+    from incubator_hugegraph_computer_spark.operators.rings import cycle_detection
+
+    # 1->2->3->1 triangle, 4->5->4 two-cycle, 6 isolated-from-cycles tail
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 6)]
+    g = make_graph(spark, edges, vertex_ids=[1, 2, 3, 4, 5, 6])
+
+    boolean = {
+        r["id"]: r["in_cycle"]
+        for r in cycle_detection(g, min_length=1, max_length=6, mode="boolean").collect()
+    }
+    assert boolean == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 0}
+
+    # min_length band excludes the 2-cycle
+    banded = {
+        r["id"]: r["in_cycle"]
+        for r in cycle_detection(g, min_length=3, max_length=6, mode="boolean").collect()
+    }
+    assert banded == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0}
+
+    allc = cycle_detection(g, min_length=1, max_length=6, mode="all").collect()
+    assert sorted(tuple(r["path"]) for r in allc) == [(1, 2, 3), (4, 5)]
+
+    limited = cycle_detection(g, min_length=1, max_length=6, mode="limit", limit=1).collect()
+    assert len(limited) == 2  # one cycle per anchor (1 and 4)
