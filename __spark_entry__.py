@@ -225,6 +225,13 @@ def _q_rings_filtered(spark, sf_dir):
     return r.groupBy("start").agg(F.count(F.lit(1)).alias("n_rings"))
 
 
+def _q_depth_sketch(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth
+    from incubator_hugegraph_computer_spark.operators.stats import value_sketch
+
+    return value_sketch(bfs_depth(orders_graph(spark, sf_dir), source=SSSP_SOURCE), "depth")
+
+
 def _q_cycle_detection(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.rings import cycle_detection
 
@@ -304,6 +311,16 @@ def _q_docs_simhash(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_signatures(docs, bits=32)
+
+
+def _q_media_byte_stats(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        byte_stats,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return byte_stats(media_from_documents(docs)).withColumnRenamed("media_id", "doc_id")
 
 
 def _q_emb_cosine_topk(spark, sf_dir):
@@ -399,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_counts": _q_counts,
         "graph_rings_filtered": _q_rings_filtered,
         "graph_cycle_detection": _q_cycle_detection,
+        "graph_depth_sketch": _q_depth_sketch,
         "graph_slpa": _q_slpa,
         "graph_degree_sketch": _q_degree_sketch,
         "graph_betweenness": _q_betweenness,
@@ -411,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_dedup": _q_docs_ngram_dedup,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
         "docs_simhash": _q_docs_simhash,
+        "media_byte_stats": _q_media_byte_stats,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_near_dup": _q_emb_near_dup,
@@ -669,6 +688,20 @@ SELECT v.id, COALESCE(d.degree, 0) AS degree FROM v LEFT JOIN d USING(id)
     o["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
     o["docs_simhash"] = _simhash_sql(32)
 
+    # documents are printable ASCII (checked at generation), so UTF-8
+    # byte values == ascii() of each character
+    o["media_byte_stats"] = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+SELECT d.doc_id,
+       strlen(d.text) AS n_bytes,
+       COALESCE(s.byte_sum, 0) AS byte_sum,
+       COALESCE(s.byte_mean, 0.0) AS byte_mean
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(ascii(c)) AS byte_sum,
+                  ROUND(AVG(ascii(c)), 6) AS byte_mean
+           FROM ch GROUP BY doc_id) s USING (doc_id)
+"""
+
     o["graph_wcc"] = f"""
 WITH RECURSIVE {_G},
 cc(id, anc) AS (
@@ -800,6 +833,20 @@ p(start, cur, path) AS (
 SELECT p.start, COUNT(*) AS n_rings
 FROM p JOIN e ON e.src = p.cur AND e.dst = p.start
 GROUP BY p.start
+"""
+
+    o["graph_depth_sketch"] = f"""
+WITH RECURSIVE {_G},
+r(id, d) AS (
+    SELECT CAST({SSSP_SOURCE} AS BIGINT), 0
+    UNION
+    SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 100
+),
+depths AS (SELECT id, MIN(d) AS depth FROM r GROUP BY id)
+SELECT COUNT(*) AS n, COUNT(DISTINCT depth) AS n_distinct,
+       ROUND(AVG(depth), 6) AS avg, ROUND(VAR_POP(depth), 6) AS dispersion,
+       MIN(depth) AS min, MAX(depth) AS max
+FROM depths
 """
 
     o["graph_cycle_detection"] = f"""

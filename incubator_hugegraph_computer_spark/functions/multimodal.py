@@ -126,3 +126,50 @@ def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema="media_id long, frame_no int, frame binary")
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Treat each document's UTF-8 bytes as an opaque media payload —
+    the plumbing used when the corpus carries real image/audio bytes:
+    (media_id, kind, payload binary, meta)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def byte_stats(media: DataFrame) -> DataFrame:
+    """(media_id, n_bytes, byte_sum, byte_mean) via the same Arrow
+    mapInPandas decode path as ``extract_features`` — the decoded sample
+    grid reduced to closed-form statistics so an external SQL oracle can
+    verify the binary plumbing bit-for-bit."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, b_sum, b_mean = [], [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                arr = _decode_stub(payload, kind)
+                n_bytes.append(len(payload))
+                b_sum.append(int(arr.sum(dtype=np.int64)) if len(arr) else 0)
+                # float64 accumulation: the decoded grid is float32, but
+                # the oracle averages in double precision
+                b_mean.append(round(float(arr.mean(dtype=np.float64)), 6) if len(arr) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": np.array(n_bytes, dtype=np.int64),
+                    "byte_sum": np.array(b_sum, dtype=np.int64),
+                    "byte_mean": np.array(b_mean, dtype=np.float64),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel, schema="media_id long, n_bytes long, byte_sum long, byte_mean double"
+    )

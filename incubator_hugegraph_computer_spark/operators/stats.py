@@ -86,3 +86,24 @@ def graph_counts(graph: Graph) -> DataFrame:
     return graph.spark.createDataFrame(
         [(n_v, n_e)], "n_vertices long, n_edges long"
     )
+
+
+def value_sketch(df: DataFrame, value_col: str) -> DataFrame:
+    """One-row sketch of any per-vertex integer result column — the
+    analogue of Vermeer's sketch_depth / sketch_count statistics workers
+    (``statistics.go:38-40``: a per-value histogram reduced on the
+    master to avg / dispersion / min / max). The histogram reduction is
+    expressed directly as the closed-form aggregates so the output is
+    exact and oracle-checkable:
+
+    (n, n_distinct, avg, dispersion (= population variance), min, max)
+    """
+    c = F.col(value_col).cast("double")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(value_col)).alias("n_distinct"),
+        F.round(F.avg(c), 6).alias("avg"),
+        F.round(F.var_pop(c), 6).alias("dispersion"),
+        F.min(F.col(value_col)).alias("min"),
+        F.max(F.col(value_col)).alias("max"),
+    )
