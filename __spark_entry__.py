@@ -217,6 +217,18 @@ def _q_louvain(spark, sf_dir):
     return louvain(orders_graph(spark, sf_dir), max_levels=3, max_inner=5)
 
 
+def _q_louvain_weighted(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.louvain import louvain
+
+    g = orders_graph(spark, sf_dir)
+    weighted = Graph(
+        g.vertices,
+        g.edges.withColumn("weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
+    )
+    return louvain(weighted, max_levels=3, max_inner=5, weight_col="weight")
+
+
 def _q_rings_filtered(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.rings import rings
 
@@ -422,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness": _q_betweenness,
         "graph_random_walk": _q_random_walk,
         "graph_louvain": _q_louvain,
+        "graph_louvain_weighted": _q_louvain_weighted,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,

@@ -33,12 +33,24 @@ from incubator_hugegraph_computer_spark.operators.triangle_count import undirect
 
 
 def _initial_adjacency(graph: Graph, weight_col: str | None = None) -> DataFrame:
-    """(i, j, w) symmetric; input graph undirected-deduplicated."""
-    und = undirected_edges(graph.edges)  # (a, b), a < b, no loops
-    w = F.lit(1.0)
-    return und.select(F.col("a").alias("i"), F.col("b").alias("j"), w.alias("w")).unionAll(
-        und.select(F.col("b").alias("i"), F.col("a").alias("j"), w.alias("w"))
+    """(i, j, w) symmetric; input graph undirected-deduplicated.
+
+    With ``weight_col`` (louvain_weighted.go semantics) parallel and
+    reverse edges sum their weights into one symmetric entry; without,
+    every distinct undirected edge weighs 1."""
+    if weight_col is None:
+        und = undirected_edges(graph.edges)  # (a, b), a < b, no loops
+        w = F.lit(1.0)
+        return und.select(
+            F.col("a").alias("i"), F.col("b").alias("j"), w.alias("w")
+        ).unionAll(und.select(F.col("b").alias("i"), F.col("a").alias("j"), w.alias("w")))
+    e = graph.edges.where(F.col("src") != F.col("dst")).select(
+        "src", "dst", F.col(weight_col).cast("double").alias("w")
     )
+    sym = e.select(F.col("src").alias("i"), F.col("dst").alias("j"), "w").unionAll(
+        e.select(F.col("dst").alias("i"), F.col("src").alias("j"), "w")
+    )
+    return sym.groupBy("i", "j").agg(F.sum("w").alias("w"))
 
 
 def _move_phase(
@@ -86,11 +98,18 @@ def _move_phase(
                 "c_i",
             )
         )
-        parity_ok = (F.abs(F.hash("id")) % 2) == (it % 2)
+        # Simultaneous moves can livelock: two vertices swapping into
+        # each other's community every round. Gate by direction — even
+        # inner iterations admit only moves to a LOWER community id,
+        # odd ones only HIGHER — so a 2-swap (one down + one up) can
+        # never happen in one round, and a same-direction move chain
+        # cannot cycle (community ids strictly decrease/increase).
+        move_down = F.col("best_c") < F.col("c_i")
+        dir_ok = move_down if it % 2 == 0 else ~move_down
         moved = best.select(
             "id",
-            F.when(F.col("better") & parity_ok, F.col("best_c")).otherwise(F.col("c_i")).alias("c"),
-            (F.col("better") & parity_ok & (F.col("best_c") != F.col("c_i"))).cast("int").alias("mv"),
+            F.when(F.col("better") & dir_ok, F.col("best_c")).otherwise(F.col("c_i")).alias("c"),
+            (F.col("better") & dir_ok & (F.col("best_c") != F.col("c_i"))).cast("int").alias("mv"),
         )
         new_comm = (
             comm.select("id", "k")
@@ -110,10 +129,12 @@ def louvain(
     max_levels: int = 5,
     max_inner: int = 10,
     resolution: float = 1.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(id, community) — community = representative supervertex id
-    (min id within community at each contraction, applied recursively)."""
-    adj = _initial_adjacency(graph).persist()
+    (min id within community at each contraction, applied recursively).
+    ``weight_col`` selects the weighted variant (louvain_weighted.go)."""
+    adj = _initial_adjacency(graph, weight_col).persist()
     two_m = adj.agg(F.sum("w")).first()[0] or 0.0
     if two_m == 0:
         return graph.vertices.select("id", F.col("id").alias("community"))

@@ -43,3 +43,21 @@ def test_louvain_runs_on_random_graph(spark):
     g = make_graph(spark, edges, vertex_ids=range(40))
     got = louvain(g).collect()
     assert len(got) == 40  # every vertex assigned
+
+
+def test_louvain_weighted_changes_partition(spark):
+    """4-cycle with heavy (0,1) and (2,3) edges: the weighted variant
+    must pair heavy endpoints; unweighted modularity on a 4-cycle cannot
+    distinguish pairings."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10.0), (1, 2, 1.0), (2, 3, 10.0), (3, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    verts = spark.createDataFrame([(v,) for v in range(4)], "id long")
+    g = Graph(verts, edges, num_partitions=4)
+    got = {r["id"]: r["community"] for r in louvain(g, weight_col="weight").collect()}
+    assert got[0] == got[1]
+    assert got[2] == got[3]
+    assert got[0] != got[2]
