@@ -56,6 +56,92 @@ class WccProgram(BspProgram):
             (new_comp < F.col("comp")).alias("active"),
         )
 
+class WccShortcutProgram(WccProgram):
+    """Min-propagation fused with pointer jumping (path halving).
+
+    Plain min-label WCC needs O(diameter) supersteps; on large-diameter
+    graphs the fixed per-superstep driver cost (plan + schedule + one
+    barrier action) becomes the serial Amdahl term that caps scaling
+    efficiency. Each round here additionally shortcuts comp(v) :=
+    comp(comp(v)) — a V-row self-join on the label table — so labels
+    traverse 2^k-length paths after k rounds and the loop converges in
+    O(log diameter) rounds (the hash-to-min / star-contraction family:
+    Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Output is identical to ``WccProgram``: comp = min member id.
+    """
+
+    name = "wcc_shortcut"
+
+    def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        merged = state.join(inbox, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("msg"), F.col("comp"))).alias("comp"),
+            F.col("comp").alias("_old"),
+        )
+        # comp values are vertex ids, so the label table joins to itself:
+        # one extra V-row shuffle per round buys exponential propagation.
+        parents = merged.select(F.col("id").alias("_pid"), F.col("comp").alias("_pcomp"))
+        new_comp = F.least(F.col("comp"), F.coalesce(F.col("_pcomp"), F.col("comp")))
+        return (
+            merged.hint("shuffle_hash")
+            .join(parents, merged["comp"] == parents["_pid"], "left")
+            .select(
+                "id",
+                new_comp.alias("comp"),
+                (new_comp < F.col("_old")).alias("active"),
+            )
+        )
+
+
+class WccStrideProgram(WccProgram):
+    """Min-propagation with ``stride`` passes unrolled per superstep.
+
+    Same total join/aggregate work as ``WccProgram``, but ``stride``
+    message passes execute inside ONE superstep job — one Spark action,
+    one barrier, one driver round-trip per ``stride`` propagation hops.
+    The fixed per-superstep serial cost (planning + scheduling + the
+    collect) is the Amdahl term that caps N→4N scaling efficiency on
+    converged WCC, so dividing the barrier count by ``stride`` raises
+    scaling efficiency without touching per-hop semantics: output is
+    identical to the reference's min-label loop. Unlike pointer jumping
+    (``WccShortcutProgram``) it adds no join keyed on the label value —
+    labels collapse to few distinct values as components merge, which
+    makes a label-keyed shuffle pathologically skewed; here every join
+    stays keyed on vertex id (uniform)."""
+
+    def __init__(self, graph: Graph, stride: int = 2):
+        self.graph = graph
+        self.stride = max(1, stride)
+        self._scratch: list[DataFrame] = []
+
+    def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        # Intermediate states from the PREVIOUS superstep are safe to
+        # drop now (that superstep's action has completed).
+        for df in self._scratch:
+            df.unpersist()
+        self._scratch = []
+
+        def merge(s: DataFrame, ib: DataFrame) -> DataFrame:
+            new_comp = F.least(F.col("comp"), F.coalesce(F.col("msg"), F.col("comp")))
+            return s.join(ib, "id", "left").select(
+                "id", new_comp.alias("comp"), (new_comp < F.col("comp")).alias("active")
+            )
+
+        cur = merge(state, inbox)
+        for _ in range(self.stride - 1):
+            # Each inner state feeds BOTH the next message pass and the
+            # next merge join; without persist the two consumers each
+            # recompute it, doubling work per unrolled level —
+            # 2^(stride-1) blowup (measured 3.4x at stride=4). The
+            # persist is populated lazily inside the superstep's single
+            # action and read by the second consumer.
+            cur = cur.persist()
+            self._scratch.append(cur)
+            msgs = self.messages(cur, self.graph, ctx)
+            cur = merge(cur, self.combine(msgs))
+        return cur
+
+
 def wcc(
     graph: Graph,
     max_supersteps: int = 100,
@@ -69,10 +155,26 @@ def wcc(
     ``presymmetrized=True`` skips the one-time symmetrization shuffle —
     pass it when the caller's edge table is already the undirected
     distinct set (e.g. built once at ingest and reused across
-    algorithms, optionally CSR-packed)."""
+    algorithms, optionally CSR-packed).
+
+    ``method`` selects the physical strategy (identical output in all
+    three): ``"propagate"`` (default) is the reference-shaped min-label
+    loop, one hop per barrier; ``"stride"`` unrolls ``stride`` hops per
+    barrier (the scale path — same work, 1/stride the serial barrier
+    cost); ``"shortcut"`` is pointer jumping, O(log d) rounds but its
+    label-keyed self-join skews as components merge — kept for
+    high-diameter graphs where log-round count wins despite the skew."""
     resume = engine_kwargs.pop("resume", False)
+    method = engine_kwargs.pop("method", "propagate")
+    stride = engine_kwargs.pop("stride", 4)
     g = graph if presymmetrized else graph.symmetrized().cache()
     engine = BspEngine(g, max_supersteps=max_supersteps, **engine_kwargs)
-    state, _ = engine.run(WccProgram(), resume=resume)
+    if method == "shortcut":
+        program = WccShortcutProgram()
+    elif method == "stride":
+        program = WccStrideProgram(g, stride=stride)
+    else:
+        program = WccProgram()
+    state, _ = engine.run(program, resume=resume)
     result = state.select("id", "comp")
     return result
