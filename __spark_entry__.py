@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.sources.tpch_graph import (
     BOTH_SQL,
+    DST_MOD,
     EDGES_SQL,
     SYM_SQL,
     VERTICES_SQL,
@@ -44,6 +45,13 @@ BETW_SRC_MAX = 30
 BETW_DEPTH = 14
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
+RW_LEN = 5
+SSSP_PATH_ITERS = 15
+# Floor for the louvain gate: the sf0.01 orders graph is quasi-random
+# (max modularity ~0.16; measured louvain Q = 0.155 deterministic),
+# sf0.001 reaches 0.66 — 0.1 is meaningful (trivial partitions score
+# <= 0: singletons Q<0, one-community Q=0) and holds at every SF.
+LOUVAIN_MIN_Q = 0.1
 NEARDUP_TAU = 0.4
 SESSION_GAP_MIN = 30
 
@@ -121,6 +129,36 @@ def _q_sssp(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.sssp import sssp
 
     return sssp(orders_graph(spark, sf_dir), source=SSSP_SOURCE, count_messages=False)
+
+
+def _q_sssp_weighted_path(spark, sf_dir):
+    """Full Java SSSP surface: weighted edges (derived (src+dst)%5+1 —
+    SQL-expressible, strictly positive), value carries the path IdList;
+    fixed superstep budget on BOTH sides so the unrolled oracle
+    recurrence is level-for-level identical. Path emitted as '->' string
+    for a representation-stable value hash."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.sssp import sssp_paths
+
+    g = orders_graph(spark, sf_dir)
+    weighted = Graph(
+        g.vertices,
+        g.edges.withColumn("weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
+        prepartitioned=True,
+    )
+    r = sssp_paths(
+        weighted,
+        source=SSSP_SOURCE,
+        targets="*",
+        weight_col="weight",
+        max_supersteps=SSSP_PATH_ITERS,
+        count_messages=False,
+    )
+    return r.select(
+        "id",
+        F.round("dist", 6).alias("dist"),
+        F.concat_ws("->", F.col("path")).alias("path_str"),
+    )
 
 
 def _q_ppr(spark, sf_dir):
@@ -204,29 +242,91 @@ def _q_betweenness(spark, sf_dir):
 
 
 def _q_random_walk(spark, sf_dir):
+    """Walk validity, checkable without replaying the seeded draws: every
+    consecutive path pair must be a real edge, and a walk may end short
+    of walk_length only at a dangling vertex (RandomWalk.java semantics:
+    the walk stops when the current vertex has no out-edge). The oracle
+    asserts the expected constants: one walk per vertex, all hops valid,
+    all terminations legal."""
     from incubator_hugegraph_computer_spark.operators.random_walk import random_walk
 
     g = orders_graph(spark, sf_dir)
-    w = random_walk(g, walk_length=5, walks_per_node=1, seed=42)
-    return w.select("walk_id", "start", F.size("path").alias("path_len"))
+    w = random_walk(g, walk_length=RW_LEN, walks_per_node=1, seed=42)
+    w2 = w.select(
+        "walk_id",
+        "start",
+        "path",
+        F.element_at("path", -1).alias("last"),
+        F.size("path").alias("plen"),
+    )
+    hops = w2.where(F.col("plen") > 1).select(
+        "walk_id",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(path, 1, size(path)-1)").alias("a"),
+                F.expr("slice(path, 2, size(path)-1)").alias("b"),
+            )
+        ).alias("h"),
+    ).select("walk_id", F.col("h.a").alias("src"), F.col("h.b").alias("dst"))
+    edge_set = g.edges.select("src", "dst").withColumn("_e", F.lit(1))
+    hop_ok = (
+        hops.join(edge_set, ["src", "dst"], "left")
+        .groupBy("walk_id")
+        .agg(F.min(F.col("_e").isNotNull().cast("int")).alias("_ok"))
+    )
+    outdeg = g.edges.groupBy(F.col("src").alias("last")).agg(F.count(F.lit(1)).alias("od"))
+    return (
+        w2.join(hop_ok, "walk_id", "left")
+        .join(outdeg, "last", "left")
+        .select(
+            "walk_id",
+            "start",
+            F.coalesce(F.col("_ok") == 1, F.lit(True)).alias("hops_are_edges"),
+            ((F.col("plen") == RW_LEN + 1) | F.col("od").isNull()).alias("ended_ok"),
+        )
+    )
+
+
+def _louvain_checked(spark, sf_dir, weight_col=None, min_modularity=LOUVAIN_MIN_Q):
+    """Louvain is order-dependent (Vermeer's own tests only band-check
+    modularity — vermeer/test/functional/), so the gate is on
+    SQL-checkable invariants of the returned assignment: every vertex
+    gets exactly one community, the community id is the min member id
+    (the operator's canonicalization contract), and the partition's
+    Newman modularity — recomputed from the assignment — clears a
+    pinned floor."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.louvain import louvain
+    from incubator_hugegraph_computer_spark.operators.stats import modularity
+
+    g = orders_graph(spark, sf_dir)
+    if weight_col is not None:
+        g = Graph(
+            g.vertices,
+            g.edges.withColumn(weight_col, ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
+        )
+    asn = louvain(g, max_levels=3, max_inner=5, weight_col=weight_col).persist()
+    n = asn.count()
+    n_ids = asn.select("id").distinct().count()
+    rep_ok = (
+        asn.groupBy("community")
+        .agg(F.min("id").alias("mn"))
+        .where(F.col("mn") != F.col("community"))
+        .isEmpty()
+    )
+    q = modularity(g, asn, label_col="community").first()["modularity"]
+    return spark.createDataFrame(
+        [(n, n == n_ids, bool(rep_ok), float(q) >= min_modularity)],
+        "n_assigned long, one_community_each boolean, rep_is_min_member boolean, modularity_ok boolean",
+    )
 
 
 def _q_louvain(spark, sf_dir):
-    from incubator_hugegraph_computer_spark.operators.louvain import louvain
-
-    return louvain(orders_graph(spark, sf_dir), max_levels=3, max_inner=5)
+    return _louvain_checked(spark, sf_dir)
 
 
 def _q_louvain_weighted(spark, sf_dir):
-    from incubator_hugegraph_computer_spark.graph import Graph
-    from incubator_hugegraph_computer_spark.operators.louvain import louvain
-
-    g = orders_graph(spark, sf_dir)
-    weighted = Graph(
-        g.vertices,
-        g.edges.withColumn("weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
-    )
-    return louvain(weighted, max_levels=3, max_inner=5, weight_col="weight")
+    return _louvain_checked(spark, sf_dir, weight_col="weight")
 
 
 def _q_rings_filtered(spark, sf_dir):
@@ -248,19 +348,129 @@ def _q_cycle_detection(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.rings import cycle_detection
 
     g = orders_graph(spark, sf_dir)
-    return cycle_detection(g, min_length=3, max_length=RINGS_LEN, mode="boolean")
+    # Vermeer band: stack length excludes the root, so min_length=2 /
+    # max_length=3 admits cycles of 3..4 VERTICES (cycle_detection.go
+    # records at len(stack) >= minLen, prunes at len(stack) > maxLen)
+    return cycle_detection(g, min_length=2, max_length=RINGS_LEN - 1, mode="boolean")
 
 
 def _q_slpa(spark, sf_dir):
+    """One SLPA round is fully deterministic regardless of the seed —
+    every speaker's memory holds only its own id, so each listener hears
+    exactly its symmetrized neighbors' ids and adopts the most frequent
+    (all counts 1 → min neighbor id); with threshold 0.3 both memory
+    entries are retained. Exact-oracle-checkable end-to-end exercise of
+    the speak/listen/retain machinery; the multi-round path is gated by
+    ``graph_slpa_multi``."""
     from incubator_hugegraph_computer_spark.operators.slpa import slpa
 
-    return slpa(orders_graph(spark, sf_dir), rounds=5, threshold=0.3)
+    return slpa(orders_graph(spark, sf_dir), rounds=1, threshold=0.3)
+
+
+def _q_slpa_multi(spark, sf_dir):
+    """Multi-round SLPA invariants (the draws are seeded-hash based and
+    not replayable in SQL): full vertex coverage, labels drawn from the
+    vertex-id domain, memory bounded by rounds+1."""
+    from incubator_hugegraph_computer_spark.operators.slpa import slpa
+
+    g = orders_graph(spark, sf_dir)
+    out = slpa(g, rounds=5, threshold=0.3).persist()
+    covered = out.select("id").distinct().count()
+    bad_labels = out.join(
+        g.vertices.select(F.col("id").alias("label")), "label", "left_anti"
+    ).count()
+    max_labels = out.groupBy("id").count().agg(F.max("count")).first()[0]
+    return spark.createDataFrame(
+        [(covered, bad_labels == 0, int(max_labels) <= 6)],
+        "n_vertices_covered long, labels_are_vertex_ids boolean, memory_bounded boolean",
+    )
 
 
 def _q_degree_sketch(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.stats import degree_sketch
 
     return degree_sketch(orders_graph(spark, sf_dir))
+
+
+def _q_kcore_wcc(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.kcore import kcore
+
+    return kcore(orders_graph(spark, sf_dir), k=KCORE_K)
+
+
+def _q_property_ingest(spark, sf_dir):
+    """EdgeFrequency ingest-dedup audit (EdgeFrequency.java:23-42): the
+    same raw labelled edge rows deduplicated under all three identity
+    keys, counted per label — (frequency, label, n_edges)."""
+    from incubator_hugegraph_computer_spark.sources.property_graph import load_edges
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("o_orderkey") % DST_MOD).cast("long").alias("dst"),
+        F.concat(F.lit("L"), (F.col("o_orderkey") % 3).cast("string")).alias("label"),
+        (F.col("o_orderkey") % 7).cast("string").alias("name"),
+        F.create_map(F.lit("p"), (F.col("o_orderkey") % 100).cast("string")).alias(
+            "properties"
+        ),
+    ).where(F.col("src") != F.col("dst"))
+    single = (
+        load_edges(base, "SINGLE")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(F.lit("SINGLE").alias("frequency"), F.lit("all").alias("label"), "n_edges")
+    )
+    spl = (
+        load_edges(base, "SINGLE_PER_LABEL")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(F.lit("SINGLE_PER_LABEL").alias("frequency"), "label", "n_edges")
+    )
+    mult = (
+        load_edges(base, "MULTIPLE")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(F.lit("MULTIPLE").alias("frequency"), "label", "n_edges")
+    )
+    return single.unionAll(spl).unionAll(mult)
+
+
+def _q_wcc_strid(spark, sf_dir):
+    """String-id WCC end-to-end through the BytesId order (SURVEY §1.3):
+    vertex ids become reversed decimal strings (so byte order differs
+    from numeric order), dense longs are minted in the reference's
+    length-first-then-bytewise order, WCC runs on the minted ids, and
+    the component representative maps back to the string id — the
+    returned comp_sid must be the BytesId-minimum member, which the
+    oracle recomputes with an explicit (strlen, sid) min."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+    from incubator_hugegraph_computer_spark.sources.extractor import (
+        mint_bytesid_ordered_ids,
+    )
+
+    g = orders_graph(spark, sf_dir)
+    sv = g.vertices.select(
+        F.col("id").alias("orig"), F.reverse(F.col("id").cast("string")).alias("sid")
+    )
+    minted = mint_bytesid_ordered_ids(sv.select("sid"), col="sid").withColumnRenamed(
+        "id", "mid"
+    )
+    mapping = sv.join(minted, "sid").persist()  # (orig, sid, mid)
+    msrc = mapping.select(F.col("orig").alias("src"), F.col("mid").alias("msrc"))
+    mdst = mapping.select(F.col("orig").alias("dst"), F.col("mid").alias("mdst"))
+    medges = (
+        g.edges.join(msrc, "src")
+        .join(mdst, "dst")
+        .select(F.col("msrc").alias("src"), F.col("mdst").alias("dst"))
+    )
+    mg = Graph(mapping.select(F.col("mid").alias("id")), medges)
+    comp = wcc(mg, count_messages=False)
+    back = mapping.select(F.col("mid").alias("comp"), F.col("sid").alias("comp_sid"))
+    return (
+        comp.join(mapping.select(F.col("mid").alias("id"), "sid"), "id")
+        .join(back, "comp")
+        .select("sid", "comp_sid")
+    )
 
 
 def _q_docs_tokens(spark, sf_dir):
@@ -332,7 +542,10 @@ def _q_media_byte_stats(spark, sf_dir):
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return byte_stats(media_from_documents(docs)).withColumnRenamed("media_id", "doc_id")
+    raw = byte_stats(media_from_documents(docs)).withColumnRenamed("media_id", "doc_id")
+    # boundary rounding with F.round (HALF_UP == DuckDB ROUND); the
+    # kernel emits the raw double
+    return raw.select("doc_id", "n_bytes", "byte_sum", F.round("byte_mean", 6).alias("byte_mean"))
 
 
 def _q_emb_cosine_topk(spark, sf_dir):
@@ -416,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coefficient": _q_clustering,
         "graph_kcore": _q_kcore,
         "graph_sssp": _q_sssp,
+        "graph_sssp_weighted_path": _q_sssp_weighted_path,
         "graph_ppr": _q_ppr,
         "graph_jaccard": _q_jaccard,
         "graph_kout": _q_kout,
@@ -430,11 +644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cycle_detection": _q_cycle_detection,
         "graph_depth_sketch": _q_depth_sketch,
         "graph_slpa": _q_slpa,
+        "graph_slpa_multi": _q_slpa_multi,
+        "graph_kcore_wcc": _q_kcore_wcc,
         "graph_degree_sketch": _q_degree_sketch,
         "graph_betweenness": _q_betweenness,
         "graph_random_walk": _q_random_walk,
         "graph_louvain": _q_louvain,
         "graph_louvain_weighted": _q_louvain_weighted,
+        "graph_property_ingest": _q_property_ingest,
+        "graph_wcc_strid": _q_wcc_strid,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -579,8 +797,8 @@ def _lpa_directed_sql(rounds: int) -> str:
     return "\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
 
 
-def _kcore_sql(k: int, rounds: int) -> str:
-    parts = [f"WITH {_G},", "e0 AS MATERIALIZED (SELECT src, dst FROM sym),"]
+def _kcore_peel_ctes(k: int, rounds: int) -> list[str]:
+    parts = ["e0 AS MATERIALIZED (SELECT src, dst FROM sym),"]
     for r in range(1, rounds + 1):
         p = f"e{r-1}"
         parts.append(
@@ -590,11 +808,71 @@ def _kcore_sql(k: int, rounds: int) -> str:
             f"e{r} AS MATERIALIZED (SELECT p.src, p.dst FROM {p} p JOIN s{r} a ON a.id=p.src "
             f"JOIN s{r} b ON b.id=p.dst),"
         )
+    return parts
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    parts = [f"WITH {_G},", *_kcore_peel_ctes(k, rounds)]
     parts[-1] = parts[-1].rstrip(",")
     return (
         "\n".join(parts)
         + f"\nSELECT src AS id, COUNT(*) AS degree FROM e{rounds} GROUP BY 1 HAVING COUNT(*) >= {k}"
     )
+
+
+def _sssp_path_sql(source: int, iters: int) -> str:
+    """Level-unrolled Bellman-Ford with path tracking, mirroring the
+    BSP recurrence exactly: level k candidates = level k-1 state rows ∪
+    relaxations; winner per vertex by (d, keep-prev-on-tie, path) — a
+    vertex never replaces an equal-weight path it already holds, and
+    same-level ties resolve to the lexicographically smallest path,
+    matching the Spark combiner's min(struct(w, path))."""
+    parts = [
+        f"WITH {_G},",
+        "we AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e),",
+        f"l0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, 0.0 AS d, "
+        f"CAST([] AS BIGINT[]) AS path),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED ("
+            f"SELECT id, d, path, 1 AS keep_prev FROM {p} "
+            f"UNION ALL "
+            f"SELECT we.dst AS id, p.d + we.w AS d, "
+            f"list_append(CASE WHEN p.id = {source} THEN [CAST({source} AS BIGINT)] "
+            f"ELSE p.path END, we.dst) AS path, 0 AS keep_prev "
+            f"FROM {p} p JOIN we ON we.src = p.id),"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT id, d, path FROM ("
+            f"SELECT id, d, path, ROW_NUMBER() OVER (PARTITION BY id "
+            f"ORDER BY d ASC, keep_prev DESC, path ASC) AS rn FROM c{k}) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return (
+        "\n".join(parts)
+        + f"\nSELECT id, ROUND(d, 6) AS dist, "
+        f"COALESCE(array_to_string(path, '->'), '') AS path_str FROM l{iters}"
+    )
+
+
+def _kcore_wcc_sql(k: int, rounds: int) -> str:
+    """Kcore.java phase 2: WCC (min-id propagation) over the surviving
+    k-core subgraph — peel CTEs + a recursive component closure."""
+    parts = [f"WITH RECURSIVE {_G},", *_kcore_peel_ctes(k, rounds)]
+    parts.append(
+        f"core AS MATERIALIZED (SELECT src AS id FROM e{rounds} GROUP BY 1 HAVING COUNT(*) >= {k}),"
+    )
+    parts.append(
+        f"ce AS MATERIALIZED (SELECT p.src, p.dst FROM e{rounds} p "
+        f"JOIN core a ON a.id = p.src JOIN core b ON b.id = p.dst),"
+    )
+    parts.append(
+        "cc(id, anc) AS (SELECT id, id FROM core "
+        "UNION SELECT s.dst, cc.anc FROM cc JOIN ce s ON s.src = cc.id)"
+    )
+    return "\n".join(parts) + "\nSELECT id, MIN(anc) AS core_comp FROM cc GROUP BY id"
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -699,7 +977,103 @@ SELECT v.id, COALESCE(d.degree, 0) AS degree FROM v LEFT JOIN d USING(id)
     o["graph_lpa_sync"] = _lpa_sync_sql(LPA_SYNC_ITERS)
     o["graph_lpa"] = _lpa_directed_sql(LPA_ROUNDS)
     o["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
+    o["graph_kcore_wcc"] = _kcore_wcc_sql(KCORE_K, KCORE_ROUNDS)
+    o["graph_sssp_weighted_path"] = _sssp_path_sql(SSSP_SOURCE, SSSP_PATH_ITERS)
     o["docs_simhash"] = _simhash_sql(32)
+
+    # degree distribution summary — exact interpolated percentiles
+    # (Spark F.percentile == DuckDB quantile_cont, both (1-g)*lo + g*hi
+    # at pos = p*(n-1))
+    o["graph_degree_sketch"] = f"""
+WITH {_G},
+ids AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+d AS (SELECT id, COUNT(*) AS degree FROM ids GROUP BY 1),
+alldeg AS (SELECT v.id, CAST(COALESCE(d.degree, 0) AS DOUBLE) AS degree
+           FROM v LEFT JOIN d USING(id))
+SELECT COUNT(DISTINCT id) AS n_vertices,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       ROUND(AVG(degree), 6) AS avg_degree,
+       ROUND(quantile_cont(degree, 0.5), 6) AS p50,
+       ROUND(quantile_cont(degree, 0.9), 6) AS p90,
+       ROUND(quantile_cont(degree, 0.99), 6) AS p99,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM alldeg
+"""
+
+    # walk contract: one walk per vertex, every hop a real edge, early
+    # termination only at dangling vertices (the draws themselves are
+    # seeded-hash and not replayable in SQL — validity IS the contract)
+    o["graph_random_walk"] = f"""
+WITH {_G}
+SELECT CAST(id AS VARCHAR) || '_0' AS walk_id, id AS start,
+       true AS hops_are_edges, true AS ended_ok
+FROM v
+"""
+
+    # louvain gates: invariant booleans recomputed Spark-side from the
+    # returned assignment must all come out true, coverage must be |V|
+    _louvain_oracle = f"""
+WITH {_G}
+SELECT (SELECT COUNT(*) FROM v) AS n_assigned,
+       true AS one_community_each, true AS rep_is_min_member, true AS modularity_ok
+"""
+    o["graph_louvain"] = _louvain_oracle
+    o["graph_louvain_weighted"] = _louvain_oracle
+
+    # one SLPA round is deterministic: listener v adopts min symmetrized
+    # neighbor id (all heard counts are 1); with threshold 0.3 both
+    # memory entries are retained → rows {(v,v)} ∪ {(v, min neighbor)}
+    o["graph_slpa"] = f"""
+WITH {_G},
+nb AS (SELECT src AS id, MIN(dst) AS adopt FROM sym GROUP BY 1)
+SELECT id, label FROM (
+  SELECT id, id AS label FROM v
+  UNION
+  SELECT id, adopt AS label FROM nb
+)
+"""
+
+    o["graph_slpa_multi"] = f"""
+WITH {_G}
+SELECT (SELECT COUNT(*) FROM v) AS n_vertices_covered,
+       true AS labels_are_vertex_ids, true AS memory_bounded
+"""
+
+    o["graph_property_ingest"] = f"""
+WITH base AS (SELECT o_custkey AS src, o_orderkey % {DST_MOD} AS dst,
+                     'L' || CAST(o_orderkey % 3 AS VARCHAR) AS label,
+                     CAST(o_orderkey % 7 AS VARCHAR) AS name
+              FROM orders WHERE o_custkey <> o_orderkey % {DST_MOD})
+SELECT 'SINGLE' AS frequency, 'all' AS label, COUNT(*) AS n_edges
+FROM (SELECT DISTINCT src, dst FROM base)
+UNION ALL
+SELECT 'SINGLE_PER_LABEL', label, COUNT(*)
+FROM (SELECT DISTINCT src, label, dst FROM base) GROUP BY label
+UNION ALL
+SELECT 'MULTIPLE', label, COUNT(*)
+FROM (SELECT DISTINCT src, label, name, dst FROM base) GROUP BY label
+"""
+
+    # comp_sid must be the BytesId-minimum member: length-first, then
+    # bytewise (BytesUtil.compare) — encoded as min over a
+    # zero-padded-length prefix + the string
+    o["graph_wcc_strid"] = f"""
+WITH RECURSIVE {_G},
+sv AS (SELECT id, reverse(CAST(id AS VARCHAR)) AS sid FROM v),
+cc(id, anc) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT s.dst, cc.anc FROM cc JOIN sym s ON s.src = cc.id
+),
+comp AS (
+    SELECT cc.id,
+           MIN(printf('%03d', strlen(a.sid)) || a.sid) AS k
+    FROM cc JOIN sv a ON a.id = cc.anc
+    GROUP BY cc.id
+)
+SELECT sv.sid, substr(comp.k, 4) AS comp_sid
+FROM comp JOIN sv ON sv.id = comp.id
+"""
 
     # documents are printable ASCII (checked at generation), so UTF-8
     # byte values == ascii() of each character
@@ -873,7 +1247,7 @@ p(start, cur, path) AS (
       AND len(p.path) < {RINGS_LEN}
 ),
 cyc AS (SELECT p.path FROM p JOIN e ON e.src = p.cur AND e.dst = p.start
-        WHERE len(p.path) >= 3),
+        WHERE len(p.path) >= 3 AND len(p.path) <= {RINGS_LEN}),
 members AS (SELECT DISTINCT unnest(path) AS id FROM cyc)
 SELECT v.id, CASE WHEN m.id IS NOT NULL THEN 1 ELSE 0 END AS in_cycle
 FROM v LEFT JOIN members m USING(id)

@@ -81,7 +81,15 @@ def main() -> None:
     derived["pagerank_edges_per_sec"] = round(n_edges * pr_steps / queries["pagerank_10"], 1)
     derived["pagerank_supersteps_per_min"] = round(60.0 * pr_steps / queries["pagerank_10"], 2)
 
-    wcc_res = timed("wcc", lambda: wcc(g, max_supersteps=30, count_messages=False).count())
+    # stride is the scale default: 4 propagation hops per barrier — same
+    # per-hop work, 1/4 the serial per-superstep driver cost (the Amdahl
+    # term that capped WCC's N->4N scaling; see BASELINE.md)
+    wcc_res = timed(
+        "wcc",
+        lambda: wcc(
+            g, max_supersteps=30, method="stride", stride=4, count_messages=False
+        ).count(),
+    )
     derived["wcc_edges_per_sec"] = round(2 * n_edges / queries["wcc"], 1)  # symmetrized
 
     timed("lpa_5", lambda: lpa(g, max_supersteps=5, count_messages=False).count())
@@ -91,7 +99,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ("graph_pagerank", "graph_wcc", "docs_minhash_dedup", "emb_cosine_topk"):
+    for name in (
+        "graph_pagerank",
+        "graph_wcc",
+        "graph_triangle_count",
+        "graph_betweenness",
+        "docs_minhash_dedup",
+        "docs_ngram_dedup",
+        "emb_cosine_topk",
+    ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 
     total = round(sum(queries.values()), 3)

@@ -77,7 +77,10 @@ t0 = time.monotonic()
 pagerank(g, max_supersteps=10, l1_threshold=0.0, count_messages=False).count()
 t_pr = time.monotonic() - t0
 t0 = time.monotonic()
-wcc(gsym, max_supersteps=30, presymmetrized=True, count_messages=False).count()
+# stride: 4 hops per barrier -- divides the serial per-superstep driver
+# cost (the Amdahl term that capped WCC scaling efficiency) by 4
+wcc(gsym, max_supersteps=30, presymmetrized=True, method="stride", stride=4,
+    count_messages=False).count()
 t_wcc = time.monotonic() - t0
 print(json.dumps({"cpus": cpus, "edges": n_edges,
                   "pagerank_sec": round(t_pr, 3), "wcc_sec": round(t_wcc, 3)}))

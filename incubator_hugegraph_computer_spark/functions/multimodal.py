@@ -158,9 +158,10 @@ def byte_stats(media: DataFrame) -> DataFrame:
                 arr = _decode_stub(payload, kind)
                 n_bytes.append(len(payload))
                 b_sum.append(int(arr.sum(dtype=np.int64)) if len(arr) else 0)
-                # float64 accumulation: the decoded grid is float32, but
-                # the oracle averages in double precision
-                b_mean.append(round(float(arr.mean(dtype=np.float64)), 6) if len(arr) else 0.0)
+                # float64 accumulation, emitted RAW: boundary rounding
+                # (F.round, HALF_UP like SQL ROUND) is the caller's job —
+                # Python round() is half-even and diverges on ties
+                b_mean.append(float(arr.mean(dtype=np.float64)) if len(arr) else 0.0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

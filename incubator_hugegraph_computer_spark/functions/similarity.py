@@ -91,12 +91,16 @@ def lsh_buckets(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, bucket) — sign pattern of ``num_planes`` random
     hyperplane projections packed into a long. One explode + groupBy;
-    weights are broadcast."""
+    weights are broadcast. Pass ``dim`` when known (a 100 TB pipeline
+    knows its embedding width); the single-row probe fallback is for
+    ad-hoc use only."""
     spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     weights = _plane_weights(spark, num_planes, dim)
     flat = embeddings.select(
         F.col(id_col).alias("vec_id"),

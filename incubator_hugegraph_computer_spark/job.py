@@ -42,6 +42,20 @@ def build_parser() -> argparse.ArgumentParser:
                      help="generate a deterministic synthetic corpus of this size")
     p.add_argument("--input-format", default="parquet", choices=["parquet", "iceberg", "csv"])
     p.add_argument("--output", required=True)
+    p.add_argument(
+        "--output-format",
+        default="parquet",
+        choices=["parquet", "hdfs_text", "csv", "json"],
+        help="parquet (default) | hdfs_text (HdfsOutput 'id<delim>value' "
+        "lines) | csv/json (Csv/JsonStructGraphOutput)",
+    )
+    p.add_argument("--output-delimiter", default=",",
+                   help="delimiter for hdfs_text/csv outputs")
+    p.add_argument("--output-merge", action="store_true",
+                   help="merge hdfs_text partition files into one (HdfsOutputMerger)")
+    p.add_argument("--output-filter", default=None,
+                   help="SQL predicate applied to result rows before write "
+                   "(the ComputerOutput.filter hook)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--run-id", default=None)
@@ -54,6 +68,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(args: argparse.Namespace) -> dict:
+    from pyspark.sql import functions as F
+
     from incubator_hugegraph_computer_spark.graph import Graph
     from incubator_hugegraph_computer_spark.operators import (
         degree_centrality,
@@ -142,7 +158,27 @@ def run(args: argparse.Namespace) -> dict:
     result = algos[args.algorithm]()
     # join back the human-readable vertex dimension for output
     out = result.join(vertices, "id")
-    out.write.mode("overwrite").parquet(args.output)
+    # ComputerOutput.filter hook (FileGraphPartition.java:258)
+    flt = F.expr(args.output_filter) if args.output_filter else None
+    if args.output_format == "hdfs_text":
+        from incubator_hugegraph_computer_spark.sinks import write_hdfs_text
+
+        write_hdfs_text(
+            out, args.output, delimiter=args.output_delimiter,
+            merge=args.output_merge, output_filter=flt,
+        )
+    elif args.output_format == "csv":
+        from incubator_hugegraph_computer_spark.sinks import write_csv_struct
+
+        write_csv_struct(out, args.output, delimiter=args.output_delimiter, output_filter=flt)
+    elif args.output_format == "json":
+        from incubator_hugegraph_computer_spark.sinks import write_json_struct
+
+        write_json_struct(out, args.output, output_filter=flt)
+    else:
+        if flt is not None:
+            out = out.where(flt)
+        out.write.mode("overwrite").parquet(args.output)
     t_compute = time.monotonic() - t1
 
     stats = {

@@ -27,9 +27,19 @@ def closeness(
     seed: int = 42,
     max_depth: int = 30,
     sources: DataFrame | None = None,
+    edge_sample_rate: float = 1.0,
 ) -> DataFrame:
     """(id, closeness) with closeness = Σ_{sampled sources u ≠ v
-    reaching v} 1 / d(u, v)."""
+    reaching v} 1 / d(u, v).
+
+    Two samplers, composable:
+    - ``sample_rate`` thins the SOURCE set (cuts the O(V·sources) state
+      — the cheaper estimator, kept as the default knob);
+    - ``edge_sample_rate`` is the reference's EXACT estimator shape
+      (``ClosenessCentrality.java:148-151``: each message send is
+      dropped with probability 1-p, per edge per superstep) — a seeded
+      hash Bernoulli over (v, source, dst, depth) instead of
+      ``Math.random()`` so runs reproduce."""
     if sources is None:
         sources = graph.vertices.select("id")
         if sample_rate < 1.0:
@@ -43,8 +53,22 @@ def closeness(
     ).persist()
     visited = frontier
     for depth in range(1, max_depth + 1):
+        expanded = frontier.join(graph.edges, frontier.v == graph.edges.src)
+        if edge_sample_rate < 1.0:
+            # per-edge-per-superstep Bernoulli drop — the reference's
+            # sampling point, made deterministic
+            expanded = expanded.where(
+                (
+                    F.abs(
+                        F.hash(F.col("v"), F.col("source"), F.col("dst"),
+                               F.lit(seed), F.lit(depth))
+                    )
+                    % 1_000_000
+                )
+                < int(edge_sample_rate * 1_000_000)
+            )
         nxt = (
-            frontier.join(graph.edges, frontier.v == graph.edges.src)
+            expanded
             .select(F.col("dst").alias("v"), "source", (F.col("dist") + 1).alias("dist"))
             .distinct()
             .join(visited.select("v", "source"), ["v", "source"], "left_anti")

@@ -59,6 +59,7 @@ def _move_phase(
     """One level of local moves. Returns (id, c) assignment."""
     k = adj.groupBy(F.col("i").alias("id")).agg(F.sum("w").alias("k")).persist()
     comm = k.select("id", F.col("id").alias("c"), "k").localCheckpoint(eager=True)
+    zero_streak = 0
     for it in range(max_inner):
         ktot = comm.groupBy("c").agg(F.sum("k").alias("tot"))
         cj = comm.select(F.col("id").alias("j"), F.col("c").alias("c_j"))
@@ -118,7 +119,12 @@ def _move_phase(
         )
         n_moves = new_comm.agg(F.sum("mv")).first()[0] or 0
         comm = new_comm.drop("mv").persist()
-        if n_moves == 0:
+        # A round admits only one move direction (down on even it, up on
+        # odd), so a single zero-move round may just mean every improving
+        # move pointed the blocked way — converged only after BOTH
+        # directions come up empty back-to-back.
+        zero_streak = zero_streak + 1 if n_moves == 0 else 0
+        if zero_streak >= 2:
             break
     k.unpersist()
     return comm.select("id", "c")

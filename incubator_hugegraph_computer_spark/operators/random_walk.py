@@ -38,18 +38,34 @@ def random_walk(
     weight_col: str | None = None,
     min_weight: float = 0.0,
     max_weight: float = float("inf"),
+    return_factor: float = 1.0,
+    inout_factor: float = 1.0,
 ) -> DataFrame:
-    """(walk_id, start, path array<long>) — one row per walk."""
+    """(walk_id, start, path array<long>) — one row per walk.
+
+    ``return_factor`` / ``inout_factor`` are node2vec's p / q
+    (``RandomWalk.java:52-53,305-334``): with previous vertex t and
+    candidate next hop x from current vertex v, the edge weight is
+    multiplied by α — 1/p when x == t (distance 0), 1 when x ∈ N(t)
+    (distance 1, membership against t's out-neighbors exactly as the
+    reference accumulates preVertexAdjacence), 1/q otherwise
+    (distance 2). Both default 1 (first-order walk — the biased path,
+    which needs one extra edge-membership join per hop, is skipped
+    entirely then)."""
+    if return_factor <= 0 or inout_factor <= 0:
+        raise ValueError("return_factor and inout_factor must be > 0")
     starts = graph.vertices.select("id")
     if walks_per_node > 1:
         reps = graph.spark.range(walks_per_node).select(F.col("id").alias("rep"))
         starts = starts.crossJoin(F.broadcast(reps))
     else:
         starts = starts.withColumn("rep", F.lit(0))
+    second_order = return_factor != 1.0 or inout_factor != 1.0
     walks = starts.select(
         F.concat_ws("_", F.col("id"), F.col("rep")).alias("walk_id"),
         F.col("id").alias("start"),
         F.col("id").alias("current"),
+        F.lit(None).cast("long").alias("prev"),
         F.array(F.col("id")).alias("path"),
     ).persist()
 
@@ -63,6 +79,26 @@ def random_walk(
         if weight_col:
             w = F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
             w = F.greatest(F.least(w, F.lit(max_weight)), F.lit(min_weight))
+        else:
+            w = F.lit(1.0)
+        if second_order:
+            # is the candidate dst an out-neighbor of the previous
+            # vertex? one semi-membership join on (prev, dst)
+            prev_nbr = edges.select(
+                F.col("src").alias("prev"), F.col("dst").alias("dst"), F.lit(1).alias("_pn")
+            )
+            cand = cand.join(prev_nbr, ["prev", "dst"], "left")
+            alpha = (
+                F.when(F.col("dst") == F.col("prev"), F.lit(1.0 / return_factor))
+                .when(F.col("_pn").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / inout_factor))
+            )
+            # first hop has no previous vertex — plain weighted draw
+            # (node2vec's first step is unbiased)
+            w = w * F.when(F.col("prev").isNull(), F.lit(1.0)).otherwise(alpha)
+        # exponential-race key: argmin -ln(u)/w is weight-proportional
+        # (Efraimidis-Spirakis); reduces to plain u for uniform walks
+        if weight_col or second_order:
             key = -F.log(u) / F.greatest(w, F.lit(1e-300))
         else:
             key = u
@@ -78,6 +114,9 @@ def random_walk(
                 "walk_id",
                 "start",
                 F.coalesce(F.col("next"), F.col("current")).alias("current"),
+                F.when(F.col("next").isNotNull(), F.col("current"))
+                .otherwise(F.col("prev"))
+                .alias("prev"),
                 F.when(
                     F.col("next").isNotNull(), F.concat(F.col("path"), F.array(F.col("next")))
                 )

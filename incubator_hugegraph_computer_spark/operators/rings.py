@@ -22,14 +22,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from incubator_hugegraph_computer_spark.graph import Graph
 
 
-def rings(
+def _cycle_search_edges(
     graph: Graph,
-    max_length: int = 6,
-    edge_filter: Column | None = None,
-    vertex_filter: Column | None = None,
-) -> DataFrame:
-    """(start, path array<long>) — one row per directed cycle of length
-    ≤ max_length; start = min(path)."""
+    edge_filter: Column | None,
+    vertex_filter: Column | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared setup: deduplicated self-loop-free edges + vertex set,
+    both restricted by the optional property filters."""
     # EdgeFrequency.SINGLE dedup + self-loop drop (parallel edges would
     # enumerate the same cycle twice; self-cycles are degenerate).
     edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
@@ -42,6 +41,28 @@ def rings(
         edges = edges.join(keep, "src", "left_semi").join(
             verts.select(F.col("id").alias("dst")), "dst", "left_semi"
         )
+    return edges, verts
+
+
+def rings(
+    graph: Graph,
+    max_length: int = 6,
+    edge_filter: Column | None = None,
+    vertex_filter: Column | None = None,
+    per_anchor_limit: int | None = None,
+    per_anchor_limit_min_size: int = 1,
+) -> DataFrame:
+    """(start, path array<long>) — one row per directed cycle of length
+    ≤ max_length vertices; start = min(path).
+
+    ``per_anchor_limit``: stop extending paths from anchors that already
+    recorded that many cycles of size ≥ ``per_anchor_limit_min_size``
+    (Vermeer's limit-mode DFS cutoff, ``cycle_detection.go:206-209`` —
+    its cycleList holds only in-band cycles, so sub-band finds must not
+    count toward the limit). Lossless for the
+    shortest-then-lexicographic final selection because the frontier
+    discovers all shorter cycles before any longer one."""
+    edges, verts = _cycle_search_edges(graph, edge_filter, vertex_filter)
     edges = edges.persist()
 
     frontier = verts.select(
@@ -63,8 +84,23 @@ def rings(
                 F.col("dst").alias("current"),
                 F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
             )
-            .localCheckpoint(eager=True)
         )
+        if per_anchor_limit is not None:
+            # anchors that already hold >= limit cycles stop searching —
+            # the found list is tiny (bounded by limit x anchors), so the
+            # recount each round is cheap relative to the frontier join
+            acc = found[0]
+            for f in found[1:]:
+                acc = acc.unionAll(f)
+            sat = (
+                acc.where(F.size("path") >= per_anchor_limit_min_size)
+                .groupBy("start")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") >= per_anchor_limit)
+                .select("start")
+            )
+            nxt = nxt.join(sat, "start", "left_anti")
+        nxt = nxt.localCheckpoint(eager=True)
         frontier.unpersist()
         if nxt.isEmpty():
             frontier = nxt
@@ -74,6 +110,64 @@ def rings(
     for f in found[1:]:
         out = out.unionAll(f)
     return out
+
+
+def _boolean_cycles(
+    graph: Graph,
+    min_vertices: int,
+    max_vertices: int,
+    edge_filter: Column | None,
+    vertex_filter: Column | None,
+) -> DataFrame:
+    """Vermeer Boolean mode (``cycle_detection.go:224-235``): every
+    vertex searches for a cycle through ITSELF (no min-anchor ordering)
+    and short-circuits as soon as one is found — anchors with a recorded
+    cycle are anti-joined out of the frontier each round, so on
+    cyclic-dense graphs the frontier collapses instead of enumerating
+    every cycle. (id, in_cycle 0/1) for every vertex."""
+    edges, verts = _cycle_search_edges(graph, edge_filter, vertex_filter)
+    edges = edges.persist()
+
+    frontier = verts.select(
+        F.col("id").alias("start"),
+        F.col("id").alias("current"),
+        F.array(F.col("id")).alias("path"),
+    ).persist()
+    has = None  # (start) anchors with a cycle found
+    for _ in range(1, max_vertices + 1):
+        ext = frontier.join(edges, frontier.current == edges.src)
+        closed = (
+            ext.where((F.col("dst") == F.col("start")) & (F.size("path") >= min_vertices))
+            .select("start")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        has = closed if has is None else has.unionAll(closed).distinct().localCheckpoint(eager=True)
+        nxt = (
+            ext.where(
+                (F.col("dst") != F.col("start"))
+                & ~F.array_contains(F.col("path"), F.col("dst"))
+                & (F.size("path") < max_vertices)
+            )
+            .select(
+                "start",
+                F.col("dst").alias("current"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+            )
+            .join(has, "start", "left_anti")  # the short-circuit
+            .localCheckpoint(eager=True)
+        )
+        frontier.unpersist()
+        if nxt.isEmpty():
+            frontier = nxt
+            break
+        frontier = nxt.persist()
+    members = has.select(F.col("start").alias("id")).withColumn("in_cycle", F.lit(1))
+    return (
+        graph.vertices.select("id")
+        .join(members, "id", "left")
+        .select("id", F.coalesce("in_cycle", F.lit(0)).alias("in_cycle"))
+    )
 
 
 def cycle_detection(
@@ -97,32 +191,41 @@ def cycle_detection(
 
     Property filters (``filter.vertex_expr`` / ``filter.edge_expr``)
     map to the same Column predicates as the filtered rings variant.
+
+    ⚠ Length-band semantics are Vermeer's EXACTLY: min_length/max_length
+    bound the DFS *stack* length, which excludes the root vertex
+    (``cycle_detection.go:175-177`` prunes at ``len(stack) > maxLen``,
+    ``:190-197`` records at ``len(stack) >= minLen``; the stack holds
+    the cycle vertices minus the root). A cycle with k vertices has
+    stack length k-1, so the admitted cycle sizes are
+    **[min_length+1, max_length+1] vertices** — e.g. min_length=3
+    excludes triangles.
     """
-    r = rings(graph, max_length, edge_filter, vertex_filter).where(
-        F.size("path") >= min_length
-    )
+    if mode not in ("all", "limit", "boolean"):
+        raise ValueError("cycle detection mode must be 'all', 'limit', 'boolean'")
+    min_vertices, max_vertices = min_length + 1, max_length + 1
     if mode == "boolean":
-        members = (
-            r.select(F.explode("path").alias("id"))
-            .distinct()
-            .withColumn("in_cycle", F.lit(1))
-        )
-        return (
-            graph.vertices.select("id")
-            .join(members, "id", "left")
-            .select("id", F.coalesce("in_cycle", F.lit(0)).alias("in_cycle"))
-        )
+        return _boolean_cycles(graph, min_vertices, max_vertices, edge_filter, vertex_filter)
+    per_anchor = None
     if mode == "limit":
         if not limit:
             raise ValueError("mode='limit' requires limit (cycle.max_cycles)")
+        per_anchor = limit
+    r = rings(
+        graph,
+        max_vertices,
+        edge_filter,
+        vertex_filter,
+        per_anchor_limit=per_anchor,
+        per_anchor_limit_min_size=min_vertices,
+    ).where(F.size("path") >= min_vertices)
+    if mode == "limit":
         w = Window.partitionBy("start").orderBy(F.size("path"), F.col("path"))
         return (
             r.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= limit)
             .drop("__rn")
         )
-    if mode != "all":
-        raise ValueError("cycle detection mode must be 'all', 'limit', 'boolean'")
     return r
 
 

@@ -9,10 +9,16 @@ holds ≥ ``r`` of its memory.
 
 Spark formulation (deterministic): the speaker's weighted draw uses a
 seeded xxhash64 uniform per (edge, round) instead of ``rand()`` —
-reproducible across runs and partitionings. Memory is a map column
-folded per round; the speak step explodes memory (≤ round+1 entries)
-against the symmetrized edge list, so per-round work is
-O(E · round) rows through one window — bounded by T·E total.
+reproducible across runs and partitionings.
+
+Physical shape (scale-deliberate): memory is aggregated ONCE per round
+into a per-vertex sorted array with cumulative counts (groupBy over
+O(V·round) rows), then each edge's draw is a pure JVM higher-order-
+function lookup against the speaker's packed array — inverse-CDF
+sampling with NO per-edge window (the naive formulation windows over
+E·memory rows twice per round; this does one V-row groupBy + one E-row
+join). Memory arrays are tiny (≤ round+1 entries), so the O(k²) HOF
+cumsum inside a row is negligible.
 """
 
 from __future__ import annotations
@@ -33,35 +39,51 @@ def slpa(
     sym = graph.symmetrized().edges.persist()
     # memory as (id, label, cnt) long rows — simpler to fold than a map
     mem = graph.vertices.select(
-        "id", F.col("id").alias("label"), F.lit(1).alias("cnt")
+        "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
     ).localCheckpoint(eager=True)
 
     for rnd in range(1, rounds + 1):
-        speaker = mem.withColumnRenamed("id", "src")
-        cand = sym.join(speaker.hint("shuffle_hash"), "src")
-        # weighted draw: u = hash(seed, rnd, src, dst) in [0,1);
-        # pick the first label (ordered) whose cumulative count exceeds
-        # u * total — exact inverse-CDF sampling, fully deterministic.
-        w_edge = Window.partitionBy("src", "dst").orderBy("label")
-        drawn = (
-            cand.withColumn("cum", F.sum("cnt").over(w_edge))
-            .withColumn("tot", F.sum("cnt").over(Window.partitionBy("src", "dst")))
+        # pack each speaker's memory: label-sorted structs + cumulative
+        # counts (running sum via HOF — arrays are <= rnd+1 entries)
+        packed = (
+            mem.groupBy("id")
+            .agg(F.sort_array(F.collect_list(F.struct("label", "cnt"))).alias("m"))
             .withColumn(
+                "cums",
+                F.expr(
+                    "transform(sequence(1, size(m)), "
+                    "i -> aggregate(slice(m, 1, i), CAST(0 AS LONG), (a, y) -> a + y.cnt))"
+                ),
+            )
+            .withColumn("tot", F.element_at("cums", F.size("cums")))
+        )
+        speaker = packed.withColumnRenamed("id", "src")
+        # weighted draw per edge: u = hash(seed, rnd, src, dst) in [0,1);
+        # pick the first label (label order) whose cumulative count
+        # exceeds u * total — exact inverse-CDF, fully deterministic,
+        # all whole-stage-codegen expressions.
+        cand = sym.join(speaker.hint("shuffle_hash"), "src")
+        drawn = (
+            cand.withColumn(
                 "u",
                 (F.abs(F.xxhash64(F.lit(seed), F.lit(rnd), "src", "dst")) % 1_000_000)
                 / 1_000_000.0,
             )
-            .where(F.col("cum") - F.col("cnt") <= F.col("u") * F.col("tot"))
-            .where(F.col("cum") > F.col("u") * F.col("tot"))
-            .select(F.col("dst").alias("id"), "label")
+            .withColumn(
+                "pick",
+                F.expr("filter(sequence(1, size(m)), i -> cums[i-1] > u * tot)[0]"),
+            )
+            .select(F.col("dst").alias("id"), F.expr("m[pick-1].label").alias("label"))
         )
-        # listener: most frequent heard label, min-label tie-break
-        heard = drawn.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
-        w_id = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
+        # listener: most frequent heard label, min-label tie-break —
+        # argmax folded into one aggregation tree (no window), the same
+        # min(struct(-cnt, label)) trick as LPA
         adopted = (
-            heard.withColumn("rn", F.row_number().over(w_id))
-            .where(F.col("rn") == 1)
-            .select("id", "label", F.lit(1).alias("cnt"))
+            drawn.groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("id")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("b"))
+            .select("id", F.col("b.l").alias("label"), F.lit(1).cast("long").alias("cnt"))
         )
         mem = (
             mem.unionAll(adopted)
@@ -70,9 +92,17 @@ def slpa(
             .localCheckpoint(eager=True)
         )
 
-    tot = Window.partitionBy("id")
+    # Retain labels holding >= threshold of the memory, but never leave a
+    # vertex label-less: the argmax label(s) are always kept (Vermeer's
+    # post-processing is a top-k selection that likewise guarantees >= 1
+    # label per vertex — slpa.go:209-220).
+    w_id = Window.partitionBy("id")
     return (
-        mem.withColumn("tot", F.sum("cnt").over(tot))
-        .where(F.col("cnt") >= F.col("tot") * F.lit(threshold))
+        mem.withColumn("tot", F.sum("cnt").over(w_id))
+        .withColumn("mx", F.max("cnt").over(w_id))
+        .where(
+            (F.col("cnt") >= F.col("tot") * F.lit(threshold))
+            | (F.col("cnt") == F.col("mx"))
+        )
         .select("id", "label")
     )

@@ -89,3 +89,143 @@ def sssp(
     engine = BspEngine(graph, max_supersteps=max_supersteps, **engine_kwargs)
     state, _ = engine.run(SsspProgram(source, weight_col), resume=resume)
     return state.where(F.col("dist").isNotNull()).select("id", "dist")
+
+
+class SsspPathProgram(BspProgram):
+    """Full Java SSSP surface
+    (``computer-algorithm/.../path/shortest/SingleSourceShortestPath.java:40-285``):
+
+    - the value carries the **path IdList** alongside the total weight —
+      a message holds the sender's path, the adopter appends itself
+      (``SingleSourceShortestPathValue.shorterPath`` at ``:73-78``:
+      path = msg.path + [self]; the source's own path is empty,
+      ``zeroDistance`` ``:69-71``)
+    - ``targets``: ``'*'`` or an id list (``OPTION_TARGET_ID`` parsing
+      at ``:100-118``); reached targets accumulate in an **IdSet
+      aggregator** (``SingleSourceShortestPathMaster`` registers
+      ``ID_SET``/``IdSetMergeCombiner``), and once ALL targets are
+      reached, target vertices stop forwarding
+      (``isAllTargetsReached`` gate at ``:187-189``)
+    - edge weight = ``weight_col`` (must be > 0), default 1
+      (``getEdgeWeight`` ``:232-249``)
+
+    Combiner: min over struct(weight, path) — the reference's
+    ``SingleSourceShortestPathCombiner`` keeps the shorter totalWeight;
+    ties are pinned here to the lexicographically smallest path (the
+    reference keeps whichever arrives first — nondeterministic), and a
+    vertex never replaces an equal-weight path it already holds.
+    """
+
+    name = "sssp_path"
+
+    def __init__(self, source: int, targets="*", weight_col: str | None = None,
+                 default_weight: float = 1.0):
+        self.source = source
+        self.targets = None if targets == "*" else [int(t) for t in targets]
+        self.weight_col = weight_col
+        self.default_weight = default_weight
+
+    def initial_state(self, graph: Graph) -> DataFrame:
+        is_src = F.col("id") == self.source
+        return graph.vertices.select(
+            "id",
+            F.when(is_src, F.lit(0.0)).alias("dist"),
+            F.when(is_src, F.array().cast("array<long>")).alias("path"),
+            is_src.alias("active"),
+        )
+
+    def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
+        frontier = state.where(F.col("active"))
+        if self.targets == [self.source]:
+            # single target == source: compute0 inactivates without
+            # sending (SingleSourceShortestPath.java:142-147)
+            frontier = frontier.where(F.lit(False))
+        if self.targets is not None:
+            reached = ctx.prev_aggs.get("reached_targets") or []
+            if set(self.targets) <= set(reached):
+                # all targets reached → target vertices stop forwarding
+                # (non-targets continue, exactly the reference's gate)
+                frontier = frontier.where(~F.col("id").isin(self.targets))
+        if self.weight_col is None:
+            w = F.lit(self.default_weight)
+        else:
+            w = F.coalesce(F.col(self.weight_col).cast("double"), F.lit(self.default_weight))
+        # The forwarded path is the sender's value.path verbatim — it
+        # already ends with the sender (adoption appends self,
+        # shorterPath :73-78) — except the source, whose stored path is
+        # empty (zeroDistance) but whose compute0 message carries
+        # [source] (addToPath(vertex, w), :158-163).
+        msg_path = F.when(
+            F.col("src") == F.lit(self.source), F.array(F.col("src").cast("long"))
+        ).otherwise(F.col("path"))
+        return (
+            frontier.select(F.col("id").alias("src"), "dist", "path")
+            .hint("shuffle_hash")
+            .join(graph.edges, "src")
+            .select(
+                "dst",
+                F.struct(
+                    (F.col("dist") + w).alias("w"),
+                    msg_path.alias("path"),
+                ).alias("msg"),
+            )
+        )
+
+    def combine(self, messages: DataFrame) -> DataFrame:
+        # min over (weight, path) — arrays order lexicographically, so
+        # equal-weight candidates resolve deterministically
+        return messages.groupBy(F.col("dst").alias("id")).agg(F.min("msg").alias("msg"))
+
+    def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        improved = F.col("msg").isNotNull() & (
+            F.col("dist").isNull() | (F.col("msg.w") < F.col("dist"))
+        )
+        return state.join(inbox, "id", "left").select(
+            "id",
+            F.when(improved, F.col("msg.w")).otherwise(F.col("dist")).alias("dist"),
+            F.when(improved, F.concat(F.col("msg.path"), F.array(F.col("id"))))
+            .otherwise(F.col("path"))
+            .alias("path"),
+            improved.alias("active"),
+        )
+
+    def agg_exprs(self, ctx: SuperstepContext) -> dict[str, Any]:
+        exprs: dict[str, Any] = {
+            "reached": F.sum(F.col("dist").isNotNull().cast("long"))
+        }
+        if self.targets is not None:
+            # the IdSet aggregator: reached targets this superstep
+            exprs["reached_targets"] = F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("id").isin(self.targets) & F.col("dist").isNotNull(),
+                        F.col("id"),
+                    )
+                )
+            )
+        return exprs
+
+    def halt(self, ctx: SuperstepContext) -> bool:
+        # single target == source: nothing to do (reference inactivates
+        # immediately in compute0, :142-147)
+        return self.targets == [self.source]
+
+
+def sssp_paths(
+    graph: Graph,
+    source: int,
+    targets="*",
+    weight_col: str | None = None,
+    default_weight: float = 1.0,
+    max_supersteps: int = 100,
+    **engine_kwargs,
+) -> DataFrame:
+    """(id, dist, path array<long>) for reached vertices; path is the
+    full vertex sequence [source, ..., id]. The source's own row
+    carries an empty path — matching the reference's ``zeroDistance``
+    value exactly."""
+    resume = engine_kwargs.pop("resume", False)
+    engine = BspEngine(graph, max_supersteps=max_supersteps, **engine_kwargs)
+    program = SsspPathProgram(source, targets, weight_col, default_weight)
+    state, _ = engine.run(program, resume=resume)
+    return state.where(F.col("dist").isNotNull()).select("id", "dist", "path")

@@ -15,9 +15,16 @@ from incubator_hugegraph_computer_spark.operators.triangle_count import undirect
 
 def top_k_by(df: DataFrame, value_col: str, k: int = 10) -> DataFrame:
     """Top-k rows by value (StatisticsTypeTopK); deterministic tie-break
-    on id."""
+    on id.
+
+    Physical shape: ``orderBy(...).limit(k)`` compiles to TakeOrdered —
+    each partition keeps its own top-k heap, the driver merges k·P rows.
+    No global Window.orderBy (that would funnel every row through one
+    task); the rank column is stamped by a window over the already-
+    reduced k-row result, which is trivially cheap."""
+    top = df.orderBy(F.desc(value_col), F.asc("id")).limit(k)
     w = Window.orderBy(F.desc(value_col), F.asc("id"))
-    return df.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 def modularity(graph: Graph, assignment: DataFrame, label_col: str = "comp") -> DataFrame:
@@ -57,17 +64,40 @@ def modularity(graph: Graph, assignment: DataFrame, label_col: str = "comp") -> 
 
 
 def degree_sketch(graph: Graph, direction: str = "both") -> DataFrame:
-    """One-row sketch of the degree distribution — the analogue of
+    """One-row summary of the degree distribution — the analogue of
     Vermeer's sketch statistics workers (``statistics.go:35-55``,
-    StatisticsTypeSketchDegree/Count): HLL distinct counts +
-    approximate quantiles, all single-pass approximate aggregates that
-    stay cheap at any scale.
+    StatisticsTypeSketchDegree/Count). Exact closed-form aggregates
+    (count_distinct + interpolated percentiles) so an external SQL
+    oracle can verify the row bit-for-bit; the HLL/approx variant for
+    100 TB-scale runs is :func:`degree_sketch_approx`.
+
+    (n_vertices, n_edges, avg_degree, p50, p90, p99, max_degree)
+    """
+    deg = graph.degrees(direction)
+    n_e = graph.num_edges()
+    d = F.col("degree").cast("double")
+    return deg.agg(
+        F.count_distinct("id").alias("n_vertices"),
+        F.lit(n_e).alias("n_edges"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.round(F.percentile(d, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(d, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(d, F.lit(0.99)), 6).alias("p99"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+def degree_sketch_approx(graph: Graph, direction: str = "both") -> DataFrame:
+    """Approximate variant of :func:`degree_sketch` — HLL distinct count
+    + t-digest quantiles, single-pass mergeable sketches that stay cheap
+    at any scale (the shape Vermeer's sketch workers actually compute).
+    Not oracle-gated (approx results are engine-specific by nature).
 
     (n_vertices_approx, n_edges, avg_degree, p50, p90, p99, max_degree)
     """
-    deg = graph.degrees(direction).persist()
+    deg = graph.degrees(direction)
     n_e = graph.num_edges()
-    out = deg.agg(
+    return deg.agg(
         F.approx_count_distinct("id").alias("n_vertices_approx"),
         F.lit(n_e).alias("n_edges"),
         F.round(F.avg("degree"), 6).alias("avg_degree"),
@@ -76,7 +106,6 @@ def degree_sketch(graph: Graph, direction: str = "both") -> DataFrame:
         F.percentile_approx("degree", 0.99).alias("p99"),
         F.max("degree").alias("max_degree"),
     )
-    return out
 
 
 def graph_counts(graph: Graph) -> DataFrame:

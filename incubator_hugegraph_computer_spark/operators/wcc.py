@@ -167,6 +167,10 @@ def wcc(
     resume = engine_kwargs.pop("resume", False)
     method = engine_kwargs.pop("method", "propagate")
     stride = engine_kwargs.pop("stride", 4)
+    if method not in ("propagate", "stride", "shortcut"):
+        raise ValueError(
+            f"wcc method must be 'propagate', 'stride' or 'shortcut', got {method!r}"
+        )
     g = graph if presymmetrized else graph.symmetrized().cache()
     engine = BspEngine(g, max_supersteps=max_supersteps, **engine_kwargs)
     if method == "shortcut":
@@ -177,4 +181,10 @@ def wcc(
         program = WccProgram()
     state, _ = engine.run(program, resume=resume)
     result = state.select("id", "comp")
+    if isinstance(program, WccStrideProgram):
+        # drop the final superstep's persisted stride intermediates —
+        # the run is over, nothing reads them again
+        for df in program._scratch:
+            df.unpersist()
+        program._scratch = []
     return result

@@ -60,23 +60,55 @@ def verify_sha256(files: DataFrame, hash_col: str = "sha256") -> DataFrame:
     return checked.drop("_sha_ok")
 
 
+def dense_ids_by_sort(df: DataFrame, order_cols: list[str], id_col: str = "id") -> DataFrame:
+    """Mint dense ids 0..N-1 in (order_cols) sort order WITHOUT a global
+    single-task window: range-repartition (partition p holds a
+    contiguous key range, all ranges ordered), rank within each
+    partition in parallel (the window partitions by spark_partition_id,
+    so every partition sorts its own rows concurrently), then add the
+    per-partition cumulative offsets — a P-row driver cumsum broadcast
+    back as a join. Same ids as ``row_number() OVER (ORDER BY ...)``,
+    no stage with one task."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        ((r["_pid"], r["cnt"]) for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect())
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        part.join(off_df, "_pid")
+        .withColumn(id_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_pid", "_off")
+    )
+    return out
+
+
 def build_catalog(files: DataFrame, dense_ids: bool = True) -> DataFrame:
     """(id, repo, path, module) — one row per file, long ids.
 
-    ``dense_ids=True`` mints 0..V-1 via a global sort + row_number —
-    exact min-id semantics and compact downstream state, fine into the
-    hundreds of millions. At 10^12-file scale flip to ``False``:
-    ``xxhash64(repo, path)`` is shuffle-free and collision-audited here
-    via a distinct-count assertion (the reference's BytesId would call
-    these LONG ids; ordering caveats in SURVEY §1.3 apply only to the
-    dense path's min-id outputs which stay non-negative).
+    ``dense_ids=True`` mints 0..V-1 in (repo, path) order via
+    :func:`dense_ids_by_sort` — exact min-id semantics and compact
+    downstream state with no single-task stage (range partition →
+    parallel per-partition rank → offset add). At 10^12-file scale flip
+    to ``False``: ``xxhash64(repo, path)`` is shuffle-free (the
+    reference's BytesId would call these LONG ids; ordering caveats in
+    SURVEY §1.3 apply only to the dense path's min-id outputs which
+    stay non-negative).
     """
     base = files.select("repo", "path", F.regexp_extract("path", r"([^/]+)\.[A-Za-z]+$", 1).alias("module"))
     if dense_ids:
-        w = Window.orderBy("repo", "path")
-        return base.withColumn("id", F.row_number().over(w) - F.lit(1)).select(
-            "id", "repo", "path", "module"
-        )
+        return dense_ids_by_sort(base, ["repo", "path"]).select("id", "repo", "path", "module")
     return base.select(
         F.xxhash64("repo", "path").alias("id"), "repo", "path", "module"
     )
@@ -90,14 +122,10 @@ def mint_bytesid_ordered_ids(values: DataFrame, col: str = "sid") -> DataFrame:
     min over ids (WCC component representative, K-core's WCC phase,
     rings' "smallest vertex") then reproduces the reference's choice
     exactly: numeric ``min`` over these ids == BytesId min over the
-    strings. Global sort + row_number — use at fixture/moderate scale;
-    at catalog scale prefer :func:`build_catalog`'s dense path."""
-    w = Window.orderBy(F.length(F.col(col)), F.col(col))
-    return (
-        values.select(col)
-        .distinct()
-        .withColumn("id", (F.row_number().over(w) - 1).cast("long"))
-    )
+    strings. Uses the same parallel dense-id minting as
+    :func:`build_catalog` (no single-task stage)."""
+    base = values.select(col).distinct().withColumn("_len", F.length(F.col(col)))
+    return dense_ids_by_sort(base, ["_len", col]).drop("_len")
 
 
 def extract_edges(

@@ -222,15 +222,141 @@ def test_cycle_detection_modes(spark):
     }
     assert boolean == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 0}
 
-    # min_length band excludes the 2-cycle
+    # Vermeer band excludes the root from the stack: min_length=2 admits
+    # cycles of >= 3 vertices (triangle in, 2-cycle out) ...
     banded = {
+        r["id"]: r["in_cycle"]
+        for r in cycle_detection(g, min_length=2, max_length=6, mode="boolean").collect()
+    }
+    assert banded == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0}
+
+    # ... and min_length=3 excludes triangles too (cycle_detection.go
+    # records only at len(stack) >= minLen; stack = cycle minus root)
+    banded3 = {
         r["id"]: r["in_cycle"]
         for r in cycle_detection(g, min_length=3, max_length=6, mode="boolean").collect()
     }
-    assert banded == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0, 6: 0}
+    assert banded3 == {1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0}
 
     allc = cycle_detection(g, min_length=1, max_length=6, mode="all").collect()
     assert sorted(tuple(r["path"]) for r in allc) == [(1, 2, 3), (4, 5)]
 
     limited = cycle_detection(g, min_length=1, max_length=6, mode="limit", limit=1).collect()
     assert len(limited) == 2  # one cycle per anchor (1 and 4)
+
+
+def test_sssp_paths_fixture(spark):
+    """Full Java SSSP surface (SingleSourceShortestPath.java:40-285):
+    path IdList values, weighted relax, target list + early stop."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.sssp import sssp_paths
+
+    # weighted diamond: 1->2 (1), 1->3 (4), 2->3 (1), 3->4 (1), 2->4 (5)
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 4.0), (2, 3, 1.0), (3, 4, 1.0), (2, 4, 5.0)],
+        "src long, dst long, weight double",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    g = Graph(verts, edges, num_partitions=4)
+
+    got = {
+        r["id"]: (r["dist"], tuple(r["path"]))
+        for r in sssp_paths(g, source=1, weight_col="weight").collect()
+    }
+    # source path is empty (zeroDistance), others carry [source..self]
+    assert got == {
+        1: (0.0, ()),
+        2: (1.0, (1, 2)),
+        3: (2.0, (1, 2, 3)),
+        4: (3.0, (1, 2, 3, 4)),
+    }
+
+    # unweighted default weight 1; vertex 5 unreachable -> omitted
+    got_u = {r["id"]: r["dist"] for r in sssp_paths(g, source=1).collect()}
+    assert got_u == {1: 0.0, 2: 1.0, 3: 1.0, 4: 2.0}
+
+
+def test_sssp_paths_targets_early_stop(spark):
+    """Once every listed target is reached, target vertices stop
+    forwarding (isAllTargetsReached gate) — downstream vertices keep
+    the distance that had already propagated."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.sssp import sssp_paths
+
+    # chain 1->2->3->4; target [2]: 2 is reached at step 1 and (being a
+    # target with all targets reached) must not forward at step 2+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    g = Graph(verts, edges, num_partitions=4)
+
+    got = {r["id"]: r["dist"] for r in sssp_paths(g, source=1, targets=[2]).collect()}
+    # 2 reached; the aggregator reports it AFTER superstep 1, so the
+    # gate kicks in at superstep 2: 3 and 4 never receive a message
+    assert got == {1: 0.0, 2: 1.0}
+
+    # single target == source: reference inactivates immediately
+    got_self = {r["id"]: r["dist"] for r in sssp_paths(g, source=1, targets=[1]).collect()}
+    assert got_self == {1: 0.0}
+
+    # targets '*' (all): no gate, full propagation
+    got_all = {r["id"]: r["dist"] for r in sssp_paths(g, source=1, targets="*").collect()}
+    assert got_all == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_random_walk_node2vec_bias(spark):
+    """node2vec p/q biases (RandomWalk.java:305-334): from current
+    vertex 2 with previous vertex 1, candidates split into distance-0
+    (back to 1, weight 1/p), distance-1 (3 in N(1), weight 1), and
+    distance-2 (4, weight 1/q)."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.random_walk import random_walk
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (2, 3), (2, 4)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    g = Graph(verts, edges, num_partitions=4)
+
+    # force the first hop to 2 by walking from a graph where 1 only
+    # points to 2? simpler: walk length 2, many walks, condition on
+    # paths whose first hop was 2
+    walks = random_walk(
+        g, walk_length=2, walks_per_node=600, seed=7,
+        return_factor=4.0, inout_factor=0.25,
+    )
+    second = [
+        r["path"][2]
+        for r in walks.collect()
+        if r["start"] == 1 and len(r["path"]) == 3 and r["path"][1] == 2
+    ]
+    n = len(second)
+    assert n > 200  # ~half the 600 walks take 1->2 first
+    # expected proportions: alpha = {1: 1/4, 3: 1, 4: 1/0.25=4}, Z=5.25
+    frac1 = sum(1 for v in second if v == 1) / n
+    frac3 = sum(1 for v in second if v == 3) / n
+    frac4 = sum(1 for v in second if v == 4) / n
+    assert abs(frac1 - 0.25 / 5.25) < 0.05
+    assert abs(frac3 - 1.0 / 5.25) < 0.07
+    assert abs(frac4 - 4.0 / 5.25) < 0.08
+
+
+def test_random_walk_first_order_unchanged(spark):
+    """p=q=1 must reproduce the first-order walk exactly (the biased
+    join is skipped entirely)."""
+    from incubator_hugegraph_computer_spark.operators.random_walk import random_walk
+    from tests.conftest import PRWCC_EDGES, PRWCC_VERTEX_IDS, make_graph
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    a = sorted(
+        (r["walk_id"], tuple(r["path"]))
+        for r in random_walk(g, walk_length=4, seed=3).collect()
+    )
+    b = sorted(
+        (r["walk_id"], tuple(r["path"]))
+        for r in random_walk(
+            g, walk_length=4, seed=3, return_factor=1.0, inout_factor=1.0
+        ).collect()
+    )
+    assert a == b
