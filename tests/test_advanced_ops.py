@@ -360,3 +360,24 @@ def test_random_walk_first_order_unchanged(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_closeness_edge_sampling(spark):
+    """The reference's per-edge sampling estimator
+    (ClosenessCentrality.java:148-151): rate 1.0 equals the exact run;
+    a low rate is deterministic for a fixed seed and prunes reachability
+    (scores never exceed the exact ones on this DAG)."""
+    from incubator_hugegraph_computer_spark.operators.closeness import closeness
+
+    edges = random_graph(25, 80, seed=11)
+    g = make_graph(spark, edges, vertex_ids=list(range(25)))
+    exact = {r["id"]: r["closeness"] for r in closeness(g).collect()}
+    full = {r["id"]: r["closeness"] for r in closeness(g, edge_sample_rate=1.0).collect()}
+    assert exact == full
+    s1 = {r["id"]: r["closeness"] for r in closeness(g, edge_sample_rate=0.5, seed=3).collect()}
+    s2 = {r["id"]: r["closeness"] for r in closeness(g, edge_sample_rate=0.5, seed=3).collect()}
+    assert s1 == s2  # seeded determinism
+    s3 = {r["id"]: r["closeness"] for r in closeness(g, edge_sample_rate=0.5, seed=4).collect()}
+    assert s3 != s1  # different seed, different sample
+    # dropping sends can only lengthen distances / lose sources
+    assert all(s1[v] <= exact[v] + 1e-9 for v in s1)

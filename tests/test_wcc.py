@@ -119,3 +119,25 @@ def test_wcc_stride_matches_propagate(spark):
     engine = BspEngine(chain, max_supersteps=100, count_messages=False)
     _, ctx = engine.run(WccStrideProgram(chain, stride=4))
     assert ctx.superstep <= 12  # 40 hops / 4 per barrier + convergence detect
+
+
+def test_uuid_id_bytesid_order(spark):
+    """UUID ids (IdType.java:22-27, UUID=3) serialize to 16 fixed-length
+    bytes, so BytesId order (length-first, then bytewise —
+    BytesUtil.compare) degenerates to plain bytewise order; canonical
+    lowercase-hex UUID strings sort identically, so
+    mint_bytesid_ordered_ids gives the reference's UUID order directly."""
+    import uuid as uuidlib
+
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.sources.extractor import (
+        mint_bytesid_ordered_ids,
+    )
+
+    uuids = [str(uuidlib.UUID(int=i * 7919, version=4)) for i in range(50)]
+    df = spark.createDataFrame([(u,) for u in uuids], "sid string")
+    minted = {r["sid"]: r["id"] for r in mint_bytesid_ordered_ids(df).collect()}
+    # minted dense ids must be 0..N-1 in byte order of the uuid strings
+    want = {u: i for i, u in enumerate(sorted(set(uuids)))}
+    assert minted == want
