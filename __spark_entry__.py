@@ -131,6 +131,29 @@ def _q_sssp(spark, sf_dir):
     return sssp(orders_graph(spark, sf_dir), source=SSSP_SOURCE, count_messages=False)
 
 
+def _q_sssp_weighted(spark, sf_dir):
+    """Weighted dist-only SSSP (sssp.go / SingleSourceShortestPath.java
+    weight handling without the path value) — fixed supersteps on both
+    sides, same derived weight as the path variant."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.sssp import sssp
+
+    g = orders_graph(spark, sf_dir)
+    weighted = Graph(
+        g.vertices,
+        g.edges.withColumn("weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
+        prepartitioned=True,
+    )
+    r = sssp(
+        weighted,
+        source=SSSP_SOURCE,
+        weight_col="weight",
+        max_supersteps=SSSP_PATH_ITERS,
+        count_messages=False,
+    )
+    return r.select("id", F.round("dist", 6).alias("dist"))
+
+
 def _q_sssp_weighted_path(spark, sf_dir):
     """Full Java SSSP surface: weighted edges (derived (src+dst)%5+1 —
     SQL-expressible, strictly positive), value carries the path IdList;
@@ -629,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coefficient": _q_clustering,
         "graph_kcore": _q_kcore,
         "graph_sssp": _q_sssp,
+        "graph_sssp_weighted": _q_sssp_weighted,
         "graph_sssp_weighted_path": _q_sssp_weighted_path,
         "graph_ppr": _q_ppr,
         "graph_jaccard": _q_jaccard,
@@ -820,6 +844,25 @@ def _kcore_sql(k: int, rounds: int) -> str:
     )
 
 
+def _sssp_dist_sql(source: int, iters: int) -> str:
+    """Level-unrolled weighted Bellman-Ford, dist only."""
+    parts = [
+        f"WITH {_G},",
+        "we AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e),",
+        f"l0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, 0.0 AS d),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT id, MIN(d) AS d FROM ("
+            f"SELECT id, d FROM {p} UNION ALL "
+            f"SELECT we.dst AS id, p.d + we.w AS d FROM {p} p JOIN we ON we.src = p.id"
+            f") GROUP BY id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + f"\nSELECT id, ROUND(d, 6) AS dist FROM l{iters}"
+
+
 def _sssp_path_sql(source: int, iters: int) -> str:
     """Level-unrolled Bellman-Ford with path tracking, mirroring the
     BSP recurrence exactly: level k candidates = level k-1 state rows ∪
@@ -978,6 +1021,7 @@ SELECT v.id, COALESCE(d.degree, 0) AS degree FROM v LEFT JOIN d USING(id)
     o["graph_lpa"] = _lpa_directed_sql(LPA_ROUNDS)
     o["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
     o["graph_kcore_wcc"] = _kcore_wcc_sql(KCORE_K, KCORE_ROUNDS)
+    o["graph_sssp_weighted"] = _sssp_dist_sql(SSSP_SOURCE, SSSP_PATH_ITERS)
     o["graph_sssp_weighted_path"] = _sssp_path_sql(SSSP_SOURCE, SSSP_PATH_ITERS)
     o["docs_simhash"] = _simhash_sql(32)
 

@@ -60,3 +60,36 @@ def test_metrics_recorded(spark, tmp_path):
         assert row["active_vertices"] >= 0
         assert row["bytes_checkpointed"] > 0
         assert "aggregators" in row
+
+
+def test_sssp_paths_resume_equivalence(spark, tmp_path):
+    """The path-carrying SSSP state (dist double + path array<long>) must
+    round-trip the durable checkpoint: interrupt after 2 supersteps,
+    resume, outputs equal an uninterrupted run (incl. the path arrays
+    and the reached-target aggregator)."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.sssp import sssp_paths
+
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in PRWCC_EDGES], "src long, dst long"
+    ).withColumn("weight", ((F.col("src") + F.col("dst")) % 3 + 1).cast("double"))
+    verts = spark.createDataFrame([(v,) for v in PRWCC_VERTEX_IDS], "id long")
+    g = Graph(verts, edges, num_partitions=4)
+
+    def as_dict(df):
+        return {r["id"]: (r["dist"], tuple(r["path"])) for r in df.collect()}
+
+    full = as_dict(sssp_paths(g, source=0, weight_col="weight", max_supersteps=20))
+    sssp_paths(
+        g, source=0, weight_col="weight", max_supersteps=2,
+        checkpoint_dir=str(tmp_path / "sp"), run_id="sp1",
+    )
+    resumed = as_dict(
+        sssp_paths(
+            g, source=0, weight_col="weight", max_supersteps=20,
+            checkpoint_dir=str(tmp_path / "sp"), run_id="sp1", resume=True,
+        )
+    )
+    assert resumed == full

@@ -74,3 +74,46 @@ def test_streaming_matches_batch(spark, tmp_path):
     g = {tuple(map(str, r)) for r in got.collect()}
     assert g == b
     assert len(g) > 0
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Late rows behind the persisted watermark are dropped on resume:
+    run 1 closes the 09:00 window (watermark = max_ts - 1h), run 2 then
+    replays a 09:40 straggler plus a fresh event — the straggler must
+    NOT reopen the already-emitted window, and the checkpointed stream
+    picks up exactly where it left off."""
+    import datetime as dt
+
+    from incubator_hugegraph_computer_spark.streaming.events import (
+        stream_windowed_event_counts,
+    )
+
+    indir, ckpt, outdir = (
+        str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    )
+
+    def write_batch(rows):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h, m), "click", 1.0) for h, m in rows],
+            "ts timestamp, event_type string, value double",
+        )
+        df.write.mode("append").parquet(indir)
+
+    # run 1: 09:30 event + 12:00 event -> watermark 11:00 closes 09-10
+    write_batch([(9, 30), (12, 0)])
+    stream_windowed_event_counts(spark, indir, ckpt, outdir, watermark="1 hour")
+    out1 = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert out1 == {9: 1}
+
+    # run 2 (same checkpoint): a 09:40 straggler (behind the persisted
+    # watermark -> dropped) + a 14:00 event that closes the 12-13 window
+    write_batch([(9, 40), (14, 0)])
+    stream_windowed_event_counts(spark, indir, ckpt, outdir, watermark="1 hour")
+    out2 = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert out2 == {9: 1, 12: 1}  # 09-10 still 1: the straggler was dropped
