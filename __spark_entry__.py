@@ -551,6 +551,13 @@ def _q_docs_minhash_dedup(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_docs_dedup_clusters(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(docs, num_hashes=16, bands=4, n=3, threshold=0.1)
+
+
 def _q_docs_simhash(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.dedup import simhash_signatures
 
@@ -683,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_dedup": _q_docs_ngram_dedup,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
+        "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_simhash": _q_docs_simhash,
         "media_byte_stats": _q_media_byte_stats,
         "emb_cosine_topk": _q_emb_cosine_topk,
@@ -1477,8 +1485,8 @@ j AS (SELECT i.doc_a, i.doc_b,
 SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.2
 """
 
-    o["docs_minhash_dedup"] = f"""
-WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
+    # shared CTE chain computing verified minhash near-dup pairs `j`
+    minhash_pair_ctes = f"""{_TOKS}, {_TOKPOS}, {_SHINGLES},
 seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
 mh AS (SELECT sh.doc_id, s.seed,
               MIN(md5(s.seed::VARCHAR || '|' || sh.shingle)) AS minhash
@@ -1497,9 +1505,24 @@ inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
 j AS (SELECT i.doc_a, i.doc_b,
              CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) AS jaccard
       FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
-      JOIN sizes sb ON sb.doc_id = i.doc_b)
-SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.1
-"""
+      JOIN sizes sb ON sb.doc_id = i.doc_b)"""
+
+    o["docs_minhash_dedup"] = (
+        f"WITH {minhash_pair_ctes}\n"
+        "SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.1"
+    )
+
+    # transitive near-dup closure: pairs -> undirected graph -> components,
+    # canonical = min member (the WCC engine on the Spark side)
+    o["docs_dedup_clusters"] = (
+        f"WITH RECURSIVE {minhash_pair_ctes},\n"
+        "p AS MATERIALIZED (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.1),\n"
+        "sp AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p "
+        "UNION SELECT doc_b, doc_a FROM p),\n"
+        "cc(id, anc) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT s.b, cc.anc FROM cc JOIN sp s ON s.a = cc.id)\n"
+        "SELECT id AS doc_id, MIN(anc) AS canonical_id FROM cc GROUP BY id"
+    )
 
     o["emb_cosine_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -274,3 +274,34 @@ def simhash_near_duplicates(
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, canonical_id) — near-duplicate CLUSTERS, not just pairs:
+    the MinHash-LSH pair set becomes an undirected graph and the BSP WCC
+    engine assigns every document to the component of its transitive
+    near-dup closure; canonical_id = min doc_id of the cluster
+    (singletons map to themselves).
+
+    This is the full training-data dedup pass — pair detection alone
+    under-removes because near-duplication is transitive in practice
+    (A≈B, B≈C ⇒ keep one of {A,B,C}) — and it is the integration point
+    between the pipeline operators and the graph engine: the pair table
+    IS an edge table.
+    """
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+
+    pairs = minhash_candidates(documents, num_hashes, bands, n, threshold, text_col)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = documents.select(F.col(id_col).alias("id"))
+    comp = wcc(Graph(verts, edges), count_messages=False)
+    return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
