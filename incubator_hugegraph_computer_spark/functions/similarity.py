@@ -117,17 +117,38 @@ def lsh_buckets(
     return proj.groupBy("vec_id").agg(bucket.alias("bucket"))
 
 
+def _cap_hot_buckets(bucketed: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop saturated LSH buckets — the within-bucket join is quadratic,
+    so one degenerate bucket (e.g. a mass of near-zero embeddings all
+    hashing to the same sign pattern) owns O(n²) of the work at 100 TB.
+    Same pattern as the n-gram path's hot-shingle drop
+    (``max_shingle_freq``): a bucket that saturated carries no
+    discriminative signal anyway. ``None`` disables (exact parity with
+    the SQL oracle)."""
+    if max_bucket_size is None:
+        return bucketed
+    hot = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket_size)
+        .select("bucket")
+    )
+    return bucketed.join(hot, "bucket", "left_anti")
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 10,
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, score, rank) approximate top-k: score only
     same-bucket pairs. Recall depends on num_planes; the brute-force
-    path is the oracle for recall measurement (tests)."""
-    b = lsh_buckets(embeddings, num_planes, id_col, vec_col)
+    path is the oracle for recall measurement (tests).
+    ``max_bucket_size`` drops saturated buckets (see _cap_hot_buckets)."""
+    b = _cap_hot_buckets(lsh_buckets(embeddings, num_planes, id_col, vec_col), max_bucket_size)
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
         b, "vec_id"
     )
@@ -207,10 +228,12 @@ def embedding_near_duplicates(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, score) cosine ≥ threshold pairs found via LSH
-    bucketing (vec_a < vec_b)."""
-    b = lsh_buckets(embeddings, num_planes, id_col, vec_col)
+    bucketing (vec_a < vec_b). ``max_bucket_size`` drops saturated
+    buckets (see _cap_hot_buckets)."""
+    b = _cap_hot_buckets(lsh_buckets(embeddings, num_planes, id_col, vec_col), max_bucket_size)
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
         b, "vec_id"
     )

@@ -69,3 +69,26 @@ def test_ivf_topk_recall_and_determinism(spark):
              ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8).collect()}
     first = {(r["query_id"], r["vec_id"], round(r["score"], 9)) for r in approx}
     assert first == again
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A saturated bucket is dropped when max_bucket_size is set: the
+    degenerate all-equal vectors stop producing O(n^2) pairs, distinct
+    vectors in small buckets are unaffected."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.functions.similarity import (
+        embedding_near_duplicates,
+    )
+
+    # 20 identical vectors (one hot bucket) + 2 identical outliers
+    # (their own small bucket)
+    rows = [(i, [1.0] * 8) for i in range(20)] + [(100, [-1.0] * 8), (101, [-1.0] * 8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = embedding_near_duplicates(emb, threshold=0.9, num_planes=4)
+    assert uncapped.where(F.col("vec_a") < 100).count() == 20 * 19 // 2
+
+    capped = embedding_near_duplicates(emb, threshold=0.9, num_planes=4, max_bucket_size=10)
+    got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert got == {(100, 101)}  # hot bucket dropped, small bucket kept
