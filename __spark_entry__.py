@@ -47,10 +47,11 @@ IVF_CENTROIDS = 16
 IVF_PROBE = 4
 RW_LEN = 5
 SSSP_PATH_ITERS = 15
-# Floor for the louvain gate: the sf0.01 orders graph is quasi-random
-# (max modularity ~0.16; measured louvain Q = 0.155 deterministic),
-# sf0.001 reaches 0.66 — 0.1 is meaningful (trivial partitions score
-# <= 0: singletons Q<0, one-community Q=0) and holds at every SF.
+# Floor for the louvain gate: the orders graph gets denser with SF so
+# max modularity falls — measured deterministic louvain Q: sf0.001
+# 0.660, sf0.01 0.155, sf0.1 0.122. 0.1 is meaningful (trivial
+# partitions score <= 0: singletons Q<0, one-community Q=0) and holds
+# at every generated SF.
 LOUVAIN_MIN_Q = 0.1
 NEARDUP_TAU = 0.4
 SESSION_GAP_MIN = 30

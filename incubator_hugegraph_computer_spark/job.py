@@ -31,11 +31,22 @@ def build_parser() -> argparse.ArgumentParser:
             "pagerank", "pagerank_classic", "wcc", "lpa", "lpa_sync",
             "triangle_count", "degree", "kcore", "scc", "clustering_coefficient",
             "rings", "random_walk", "betweenness", "closeness", "louvain",
-            "sssp", "ppr", "slpa", "depth", "jaccard",
+            "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
+            "cycle_detection",
         ],
     )
     p.add_argument("--source", type=int, default=0,
-                   help="source vertex id for sssp/ppr/depth/jaccard")
+                   help="source vertex id for sssp/sssp_paths/ppr/depth/jaccard")
+    p.add_argument("--targets", default="*",
+                   help="sssp_paths targets: '*' or comma-separated vertex ids "
+                   "(single_source_shortest_path.target_id)")
+    p.add_argument("--wcc-method", default="propagate",
+                   choices=["propagate", "stride", "shortcut"],
+                   help="WCC physical strategy (identical output)")
+    p.add_argument("--node2vec-p", type=float, default=1.0,
+                   help="random_walk return factor (random_walk.return_factor)")
+    p.add_argument("--node2vec-q", type=float, default=1.0,
+                   help="random_walk in-out factor (random_walk.inout_factor)")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="path of the (repo,path,commit,lang,content,sha256) table")
     src.add_argument("--generate", type=int, metavar="NUM_FILES",
@@ -124,6 +135,10 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.louvain import louvain
     from incubator_hugegraph_computer_spark.operators.scc import scc
     from incubator_hugegraph_computer_spark.operators.sssp import sssp as _sssp
+    from incubator_hugegraph_computer_spark.operators.sssp import sssp_paths as _sssp_paths
+    from incubator_hugegraph_computer_spark.operators.rings import (
+        cycle_detection as _cycle_detection,
+    )
     from incubator_hugegraph_computer_spark.operators.ppr import ppr as _ppr
     from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
@@ -133,7 +148,7 @@ def run(args: argparse.Namespace) -> dict:
     algos = {
         "pagerank": lambda: pagerank(graph, **iter_kwargs),
         "pagerank_classic": lambda: pagerank_classic(graph, **iter_kwargs),
-        "wcc": lambda: wcc(graph, **iter_kwargs),
+        "wcc": lambda: wcc(graph, method=args.wcc_method, **iter_kwargs),
         "lpa": lambda: lpa(graph, **iter_kwargs),
         "lpa_sync": lambda: lpa_sync(graph, **iter_kwargs),
         "triangle_count": lambda: triangle_count(graph),
@@ -143,13 +158,22 @@ def run(args: argparse.Namespace) -> dict:
         "clustering_coefficient": lambda: clustering_coefficient(graph),
         "rings": lambda: ring_counts(graph).withColumnRenamed("start", "id"),
         # walk's 'path' column would collide with the vertex dim's file path
-        "random_walk": lambda: random_walk(graph)
+        "random_walk": lambda: random_walk(
+            graph, return_factor=args.node2vec_p, inout_factor=args.node2vec_q
+        )
         .withColumnRenamed("start", "id")
         .withColumnRenamed("path", "walk"),
         "betweenness": lambda: betweenness(graph, sample_rate=0.05),
         "closeness": lambda: closeness(graph, sample_rate=0.05),
         "louvain": lambda: louvain(graph),
         "sssp": lambda: _sssp(graph, source=args.source, **engine_kwargs),
+        "sssp_paths": lambda: _sssp_paths(
+            graph,
+            source=args.source,
+            targets="*" if args.targets == "*" else args.targets.split(","),
+            **engine_kwargs,
+        ).withColumnRenamed("path", "walk"),
+        "cycle_detection": lambda: _cycle_detection(graph, mode="boolean"),
         "ppr": lambda: _ppr(graph, source=args.source, **engine_kwargs),
         "slpa": lambda: _slpa(graph).withColumnRenamed("label", "community"),
         "depth": lambda: _bfs_depth(graph, source=args.source),
