@@ -70,9 +70,34 @@ class SuperstepContext:
     num_vertices: int = 0
     active_vertices: int = 0
     messages_sent: int = 0
+    shuffle_read_bytes: int = -1
+    shuffle_write_bytes: int = -1
     aggs: dict[str, Any] = field(default_factory=dict)
     prev_aggs: dict[str, Any] = field(default_factory=dict)
     stats: list[dict[str, Any]] = field(default_factory=list)
+
+
+def shuffle_bytes_snapshot(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    stages of this SparkContext, from the live AppStatusStore. The BSP
+    driver diffs two snapshots to charge each superstep its shuffle
+    volume — the reference's per-superstep transport counters
+    (``WorkerStat`` / ``MessageStat`` in computer-core). Returns (-1,-1)
+    if the py4j surface is unavailable (e.g. Spark Connect)."""
+    try:
+        jvm = spark._jvm
+        store = spark._jsparkSession.sparkContext().statusStore()
+        empty = jvm.java.util.ArrayList()
+        no_quantiles = spark.sparkContext._gateway.new_array(jvm.double, 0)
+        stages = store.stageList(empty, False, False, no_quantiles, empty)
+        read = write = 0
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            read += s.shuffleReadBytes()
+            write += s.shuffleWriteBytes()
+        return read, write
+    except Exception:  # pragma: no cover - Connect / API drift fallback
+        return -1, -1
 
 
 class BspProgram:
@@ -162,10 +187,15 @@ class BspEngine:
         run_id: str | None = None,
         truncate_every: int = 1,
         count_messages: bool = True,
+        track_shuffle: bool | None = None,
     ):
         self.graph = graph
         self.max_supersteps = max_supersteps
         self.truncate_every = max(1, truncate_every)
+        # Shuffle-volume counters read the AppStatusStore over py4j —
+        # a per-stage round trip, so only on by default for durable
+        # (checkpointed) runs where the metrics row is persisted anyway.
+        self.track_shuffle = (checkpoint_dir is not None) if track_shuffle is None else track_shuffle
         # Counting the combined inbox is one extra (cheap) job per
         # superstep; it feeds the messages_sent counter and the
         # no-messages half of the termination rule. Programs that halt
@@ -215,6 +245,7 @@ class BspEngine:
 
         for step in range(start_step, self.max_supersteps + 1):
             t0 = time.monotonic()
+            sh0 = shuffle_bytes_snapshot(g.spark) if self.track_shuffle else (-1, -1)
             ctx.prev_aggs = ctx.aggs
             ctx.superstep = step
 
@@ -239,6 +270,10 @@ class BspEngine:
             new_state = new_state.persist()
             self._collect_state(program, new_state, ctx)
 
+            if self.track_shuffle:
+                sh1 = shuffle_bytes_snapshot(g.spark)
+                ctx.shuffle_read_bytes = sh1[0] - sh0[0] if sh0[0] >= 0 <= sh1[0] else -1
+                ctx.shuffle_write_bytes = sh1[1] - sh0[1] if sh0[1] >= 0 <= sh1[1] else -1
             wall_ms = int((time.monotonic() - t0) * 1000)
             if self.ckpt is not None and self.ckpt.should_checkpoint(step):
                 persisted = self.ckpt.save(
@@ -269,6 +304,8 @@ class BspEngine:
         return {
             "messages_sent": ctx.messages_sent,
             "active_vertices": ctx.active_vertices,
+            "shuffle_read_bytes": ctx.shuffle_read_bytes,
+            "shuffle_write_bytes": ctx.shuffle_write_bytes,
             "wall_ms": wall_ms,
             "aggregators": {k: v for k, v in ctx.aggs.items()},
         }

@@ -71,16 +71,32 @@ class CheckpointManager:
             .write.mode("overwrite")
             .parquet(state_dir)
         )
-        bytes_written = sum(
-            os.path.getsize(os.path.join(dp, f))
-            for dp, _, fs in os.walk(state_dir)
-            for f in fs
-        )
+        # Per-partition lineage from the parquet footers (driver-side,
+        # no extra Spark job): one part-file per write task, rows from
+        # the footer, so each checkpoint records which partition wrote
+        # how many state rows / bytes — SnapshotManager's per-partition
+        # snapshot manifest.
+        partition_lineage = []
+        bytes_written = 0
+        for dp, _, fs in os.walk(state_dir):
+            for f in sorted(fs):
+                path = os.path.join(dp, f)
+                size = os.path.getsize(path)
+                bytes_written += size
+                if f.endswith(".parquet"):
+                    try:
+                        import pyarrow.parquet as pq
+
+                        n_rows = pq.ParquetFile(path).metadata.num_rows
+                    except Exception:
+                        n_rows = -1
+                    partition_lineage.append({"file": f, "rows": n_rows, "bytes": size})
         if metrics is not None:
             row = {
                 "run_id": self.run_id,
                 "superstep": superstep,
                 "bytes_checkpointed": bytes_written,
+                "partitions": partition_lineage,
                 "ts": time.time(),
                 **metrics,
             }

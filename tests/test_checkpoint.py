@@ -60,6 +60,13 @@ def test_metrics_recorded(spark, tmp_path):
         assert row["active_vertices"] >= 0
         assert row["bytes_checkpointed"] > 0
         assert "aggregators" in row
+        # north-star counters: per-superstep shuffle volume from the
+        # AppStatusStore, per-partition lineage from parquet footers
+        assert row["shuffle_read_bytes"] > 0
+        assert row["shuffle_write_bytes"] > 0
+        assert len(row["partitions"]) >= 1
+        assert sum(p["rows"] for p in row["partitions"]) == len(PRWCC_VERTEX_IDS)
+        assert all(p["bytes"] > 0 for p in row["partitions"])
 
 
 def test_sssp_paths_resume_equivalence(spark, tmp_path):
