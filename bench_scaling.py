@@ -74,7 +74,9 @@ n_edges = g.num_edges()
 gsym = g.symmetrized().cache().with_csr()
 gsym.num_edges()
 t0 = time.monotonic()
-pagerank(g, max_supersteps=10, l1_threshold=0.0, count_messages=False).count()
+# stride=2: two PR iterations per barrier (scalars in-plan) — halves
+# the serial per-superstep driver cost; parity-pinned vs per-superstep
+pagerank(g, max_supersteps=10, l1_threshold=0.0, method="stride", stride=2).count()
 t_pr = time.monotonic() - t0
 t0 = time.monotonic()
 # stride: 4 hops per barrier -- divides the serial per-superstep driver

@@ -77,13 +77,18 @@ class SuperstepContext:
     stats: list[dict[str, Any]] = field(default_factory=list)
 
 
-def shuffle_bytes_snapshot(spark) -> tuple[int, int]:
-    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
-    stages of this SparkContext, from the live AppStatusStore. The BSP
-    driver diffs two snapshots to charge each superstep its shuffle
-    volume — the reference's per-superstep transport counters
-    (``WorkerStat`` / ``MessageStat`` in computer-core). Returns (-1,-1)
-    if the py4j surface is unavailable (e.g. Spark Connect)."""
+def shuffle_bytes_since(spark, after_stage_id: int = -1) -> tuple[int, int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes, max_stage_id) summed
+    over stages with ``stageId > after_stage_id``, from the live
+    AppStatusStore. The BSP driver watermarks the latest stage id at
+    superstep start and charges the superstep every stage submitted
+    after it — the reference's per-superstep transport counters
+    (``WorkerStat`` / ``MessageStat`` in computer-core). Summing *new*
+    stages (not diffing two cumulative totals) stays correct when the
+    status store evicts old stages (spark.ui.retainedStages), which
+    would make a cumulative diff go negative in long sessions. Returns
+    (-1, -1, after_stage_id) if the py4j surface is unavailable (e.g.
+    Spark Connect)."""
     try:
         jvm = spark._jvm
         store = spark._jsparkSession.sparkContext().statusStore()
@@ -91,13 +96,18 @@ def shuffle_bytes_snapshot(spark) -> tuple[int, int]:
         no_quantiles = spark.sparkContext._gateway.new_array(jvm.double, 0)
         stages = store.stageList(empty, False, False, no_quantiles, empty)
         read = write = 0
+        max_id = -1
         for i in range(stages.size()):
             s = stages.apply(i)
-            read += s.shuffleReadBytes()
-            write += s.shuffleWriteBytes()
-        return read, write
+            sid = s.stageId()
+            if sid > max_id:
+                max_id = sid
+            if sid > after_stage_id:
+                read += s.shuffleReadBytes()
+                write += s.shuffleWriteBytes()
+        return read, write, max_id
     except Exception:  # pragma: no cover - Connect / API drift fallback
-        return -1, -1
+        return -1, -1, None
 
 
 class BspProgram:
@@ -245,7 +255,11 @@ class BspEngine:
 
         for step in range(start_step, self.max_supersteps + 1):
             t0 = time.monotonic()
-            sh0 = shuffle_bytes_snapshot(g.spark) if self.track_shuffle else (-1, -1)
+            stage_mark = (
+                shuffle_bytes_since(g.spark, after_stage_id=2**62)[2]
+                if self.track_shuffle
+                else -1
+            )
             ctx.prev_aggs = ctx.aggs
             ctx.superstep = step
 
@@ -270,10 +284,10 @@ class BspEngine:
             new_state = new_state.persist()
             self._collect_state(program, new_state, ctx)
 
-            if self.track_shuffle:
-                sh1 = shuffle_bytes_snapshot(g.spark)
-                ctx.shuffle_read_bytes = sh1[0] - sh0[0] if sh0[0] >= 0 <= sh1[0] else -1
-                ctx.shuffle_write_bytes = sh1[1] - sh0[1] if sh0[1] >= 0 <= sh1[1] else -1
+            if self.track_shuffle and stage_mark is not None:
+                read, write, _ = shuffle_bytes_since(g.spark, stage_mark)
+                ctx.shuffle_read_bytes = read
+                ctx.shuffle_write_bytes = write
             wall_ms = int((time.monotonic() - t0) * 1000)
             if self.ckpt is not None and self.ckpt.should_checkpoint(step):
                 persisted = self.ckpt.save(

@@ -36,6 +36,19 @@ def test_hugegraph_formula_parity(spark, fixture_graph):
     assert np.allclose(got_vec, want, atol=1e-9, rtol=0)
 
 
+def test_pagerank_stride_parity(spark, fixture_graph):
+    """stride mode = same math, fewer barriers: per-vertex ranks must
+    match the per-superstep schedule to float-sum noise, for stride
+    sizes that divide the 10-step budget evenly and ones that don't."""
+    base = _as_dict(pagerank(fixture_graph, max_supersteps=10))
+    for stride in (2, 3, 4):
+        got = _as_dict(pagerank(fixture_graph, max_supersteps=10, method="stride", stride=stride))
+        assert set(got) == set(base)
+        assert max(abs(got[k] - base[k]) for k in base) < 1e-12, stride
+    with pytest.raises(ValueError):
+        pagerank(fixture_graph, method="strde")
+
+
 def test_classic_random_graph(spark):
     edges = random_graph(60, 300, seed=7)
     g = make_graph(spark, edges, vertex_ids=range(60))
