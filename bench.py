@@ -95,7 +95,9 @@ def main() -> None:
     )
     derived["wcc_edges_per_sec"] = round(2 * n_edges / queries["wcc"], 1)  # symmetrized
 
-    timed("lpa_5", lambda: lpa(g, max_supersteps=5, count_messages=False).count())
+    # stride=5: all 5 LPA rounds fused into one action (no scalar
+    # subqueries nest in LPA hops, unlike PageRank — see lpa.py)
+    timed("lpa_5", lambda: lpa(g, max_supersteps=5, method="stride", stride=5).count())
     timed("triangle_count", lambda: triangle_count(g).count())
 
     # ---- workload 2: sf-dir queries ----------------------------------

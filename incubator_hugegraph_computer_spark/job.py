@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wcc-method", default="propagate",
                    choices=["propagate", "stride", "shortcut"],
                    help="WCC physical strategy (identical output)")
+    p.add_argument("--method", default="superstep",
+                   choices=["superstep", "stride"],
+                   help="pagerank/lpa schedule: per-superstep barriers or "
+                   "stride-fused actions (identical output, parity-pinned)")
+    p.add_argument("--stride", type=int, default=None,
+                   help="iterations fused per action for --method stride "
+                   "(default: pagerank 2, lpa 4)")
     p.add_argument("--node2vec-p", type=float, default=1.0,
                    help="random_walk return factor (random_walk.return_factor)")
     p.add_argument("--node2vec-q", type=float, default=1.0,
@@ -146,10 +153,14 @@ def run(args: argparse.Namespace) -> dict:
 
     t1 = time.monotonic()
     algos = {
-        "pagerank": lambda: pagerank(graph, **iter_kwargs),
+        "pagerank": lambda: pagerank(
+            graph, method=args.method,
+            **({"stride": args.stride} if args.stride else {}), **iter_kwargs),
         "pagerank_classic": lambda: pagerank_classic(graph, **iter_kwargs),
         "wcc": lambda: wcc(graph, method=args.wcc_method, **iter_kwargs),
-        "lpa": lambda: lpa(graph, **iter_kwargs),
+        "lpa": lambda: lpa(
+            graph, method=args.method,
+            **({"stride": args.stride} if args.stride else {}), **iter_kwargs),
         "lpa_sync": lambda: lpa_sync(graph, **iter_kwargs),
         "triangle_count": lambda: triangle_count(graph),
         "degree": lambda: degree_centrality(graph),

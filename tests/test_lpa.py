@@ -35,3 +35,22 @@ def test_lpa_isolated_keeps_label(spark):
     g = make_graph(spark, [(1, 2)], vertex_ids=[1, 2, 9])
     got = _as_dict(lpa(g))
     assert got[9] == 9
+
+
+def test_lpa_stride_parity(spark):
+    """stride mode = same per-round math, fewer barriers: labels must
+    match the per-superstep schedule exactly, for strides that divide
+    the round budget and ones that don't."""
+    import pytest
+
+    edges = random_graph(80, 400, seed=11)
+    g = make_graph(spark, edges, range(80)).cache()
+    base = {r["id"]: r["label"] for r in lpa(g, max_supersteps=10).collect()}
+    for stride in (2, 3, 4):
+        got = {
+            r["id"]: r["label"]
+            for r in lpa(g, max_supersteps=10, method="stride", stride=stride).collect()
+        }
+        assert got == base, stride
+    with pytest.raises(ValueError):
+        lpa(g, method="strde")
