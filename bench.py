@@ -84,20 +84,22 @@ def main() -> None:
     derived["pagerank_edges_per_sec"] = round(n_edges * pr_steps / queries["pagerank_10"], 1)
     derived["pagerank_supersteps_per_min"] = round(60.0 * pr_steps / queries["pagerank_10"], 2)
 
-    # stride is the scale default: 4 propagation hops per barrier — same
-    # per-hop work, 1/4 the serial per-superstep driver cost (the Amdahl
-    # term that capped WCC's N->4N scaling; see BASELINE.md)
+    # method is regime-dependent (BENCH.md): stride=4 wins the pinned
+    # low-core scaling protocol (0.968 eff, faster at both core counts
+    # on 20.9M edges), but at local[32] on this ~1M-edge graph barriers
+    # are cheap and stride's per-hop cache writes show as heavy tails
+    # (interleaved trials: propagate 10.0/7.8/9.3s vs stride4
+    # 8.6/57.2/12.4s) — propagate here, stride in bench_scaling.py.
     wcc_res = timed(
         "wcc",
-        lambda: wcc(
-            g, max_supersteps=30, method="stride", stride=4, count_messages=False
-        ).count(),
+        lambda: wcc(g, max_supersteps=30, count_messages=False).count(),
     )
     derived["wcc_edges_per_sec"] = round(2 * n_edges / queries["wcc"], 1)  # symmetrized
 
-    # stride=5: all 5 LPA rounds fused into one action (no scalar
-    # subqueries nest in LPA hops, unlike PageRank — see lpa.py)
-    timed("lpa_5", lambda: lpa(g, max_supersteps=5, method="stride", stride=5).count())
+    # stride=2: two LPA rounds per action — consistent ~15% win in
+    # interleaved local[32] trials (6.8/7.4/6.5s vs base 7.6/7.9/9.7s);
+    # full fusion (stride=5) measured heavy tails (23.7/10.4/30.5s)
+    timed("lpa_5", lambda: lpa(g, max_supersteps=5, method="stride", stride=2).count())
     timed("triangle_count", lambda: triangle_count(g).count())
 
     # ---- workload 2: sf-dir queries ----------------------------------
