@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "(the ComputerOutput.filter hook)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=1)
+    p.add_argument("--checkpoint-messages", action="store_true",
+                   help="also snapshot the combined inbox each checkpointed "
+                   "superstep (replayable supersteps; one extra write job)")
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--max-supersteps", type=int, default=None)
@@ -123,6 +126,7 @@ def run(args: argparse.Namespace) -> dict:
             "checkpoint_every": args.checkpoint_every,
             "run_id": args.run_id,
             "resume": args.resume,
+            "checkpoint_messages": args.checkpoint_messages,
         }
     iter_kwargs = dict(engine_kwargs)
     if args.max_supersteps:

@@ -198,10 +198,16 @@ class BspEngine:
         truncate_every: int = 1,
         count_messages: bool = True,
         track_shuffle: bool | None = None,
+        checkpoint_messages: bool = False,
     ):
         self.graph = graph
         self.max_supersteps = max_supersteps
         self.truncate_every = max(1, truncate_every)
+        # Also snapshot the combined inbox each checkpointed superstep
+        # (SnapshotManager snapshots message files alongside vertex
+        # state) — lets step k's update be REPLAYED from load(k-1) +
+        # load_messages(k). Opt-in: one extra write job per superstep.
+        self.checkpoint_messages = checkpoint_messages
         # Shuffle-volume counters read the AppStatusStore over py4j —
         # a per-stage round trip, so only on by default for durable
         # (checkpointed) runs where the metrics row is persisted anyway.
@@ -291,7 +297,11 @@ class BspEngine:
             wall_ms = int((time.monotonic() - t0) * 1000)
             if self.ckpt is not None and self.ckpt.should_checkpoint(step):
                 persisted = self.ckpt.save(
-                    step, new_state, ctx.aggs, self._metrics(ctx, wall_ms)
+                    step,
+                    new_state,
+                    ctx.aggs,
+                    self._metrics(ctx, wall_ms),
+                    messages=inbox if self.checkpoint_messages else None,
                 ).persist()
                 new_state.unpersist()
                 new_state = persisted

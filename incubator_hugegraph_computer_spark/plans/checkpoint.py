@@ -57,6 +57,7 @@ class CheckpointManager:
         state: DataFrame,
         aggregators: dict[str, Any],
         metrics: dict[str, Any] | None = None,
+        messages: DataFrame | None = None,
     ) -> DataFrame:
         """Persist state + aggs + metrics; return the re-read state (which
         truncates the iterative plan's lineage — the Spark analogue of the
@@ -71,6 +72,15 @@ class CheckpointManager:
             .write.mode("overwrite")
             .parquet(state_dir)
         )
+        if messages is not None:
+            # the combined inbox this superstep's update consumed —
+            # SnapshotManager also snapshots message files per
+            # partition; replaying step k = load(k-1).state + these
+            (
+                messages.withColumn("partition_id", F.spark_partition_id())
+                .write.mode("overwrite")
+                .parquet(os.path.join(step_dir, "messages"))
+            )
         # Per-partition lineage from the parquet footers (driver-side,
         # no extra Spark job): one part-file per write task, rows from
         # the footer, so each checkpoint records which partition wrote
@@ -122,6 +132,14 @@ class CheckpointManager:
                 if os.path.exists(self._aggs_path(k)) and (best is None or k > best):
                     best = k
         return best
+
+    def load_messages(self, spark: SparkSession, superstep: int) -> DataFrame | None:
+        """The combined inbox consumed by ``superstep``'s update, if it
+        was checkpointed (engine ``checkpoint_messages=True``)."""
+        path = os.path.join(self._step_dir(superstep), "messages")
+        if not os.path.isdir(path):
+            return None
+        return spark.read.parquet(path).drop("partition_id")
 
     def load(self, spark: SparkSession, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
         with open(self._aggs_path(superstep)) as fh:
