@@ -527,6 +527,13 @@ def _q_docs_quality(spark, sf_dir):
     )
 
 
+def _q_docs_repetition(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.text import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
@@ -688,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
+        "docs_repetition": _q_docs_repetition,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_dedup": _q_docs_ngram_dedup,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
@@ -1463,6 +1471,31 @@ SELECT doc_id, ROUND(CAST(
   + (CASE WHEN stop_hits / GREATEST(n_tok, 1.0) > 0.01
            AND stop_hits / GREATEST(n_tok, 1.0) < 0.6 THEN 1.0 ELSE 0.0 END) * 0.3
  AS DOUBLE), 6) AS quality FROM base
+"""
+
+    o["docs_repetition"] = f"""
+WITH {_TOKS},
+base AS (
+  SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n_tokens,
+         len(list_distinct(l)) AS n_distinct,
+         GREATEST(len(l) - 1, 0) AS n_bigrams,
+         CASE WHEN len(l) < 2 THEN 0
+              ELSE len(list_distinct(list_transform(
+                     list_zip(l[:len(l)-1], l[2:]),
+                     x -> x[1] || '_' || x[2]))) END AS n_bi_dist
+  FROM toks),
+tokcnt AS (
+  SELECT b.doc_id, u.tok, COUNT(*) AS c
+  FROM base b, UNNEST(b.l) AS u(tok) GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS top_cnt FROM tokcnt GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+  ROUND(CASE WHEN b.n_tokens = 0 THEN 0.0
+        ELSE 1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE) END, 6) AS dup_word_frac,
+  ROUND(COALESCE(t.top_cnt / CAST(NULLIF(b.n_tokens, 0) AS DOUBLE), 0.0), 6)
+    AS top_word_share,
+  ROUND(CASE WHEN b.n_bigrams = 0 THEN 0.0
+        ELSE 1.0 - b.n_bi_dist / CAST(b.n_bigrams AS DOUBLE) END, 6) AS dup_bigram_frac
+FROM base b LEFT JOIN top t USING(doc_id)
 """
 
     o["docs_exact_dedup"] = """

@@ -85,6 +85,83 @@ def document_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", _tokens(text)))
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document — the classic
+    "remove boilerplate/spam" pre-filters for web-scale corpora
+    (Rae et al. 2021 §A1.1): duplicate-word fraction, most-frequent-word
+    share, duplicate-bigram fraction.
+
+    Output: (doc_id, n_tokens, dup_word_frac, top_word_share,
+    dup_bigram_frac), fractions rounded 6dp.
+
+    Physical shape: ONE projection computes the token array and the
+    array-side distinct counts (no shuffle); the only shuffles are the
+    two doc-keyed aggregations needed for the modal word count
+    (explode → groupBy(doc_id, tok) with map-side combine → groupBy
+    doc_id). The functionally-dependent per-doc scalars ride along as
+    grouping keys, so there is no join back. Everything is keyed by
+    doc_id — embarrassingly parallel at any corpus size.
+
+    The bigram array uses ``zip_with`` (an interpreted higher-order
+    function — see the ``_tokens`` note): acceptable here because it
+    runs once per document inside the same projection, not per token.
+    """
+    l = _tokens(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        l.alias("l"),
+        F.size(l).alias("n_tokens"),
+        F.size(F.array_distinct(l)).alias("n_distinct"),
+        F.greatest(F.size(l) - 1, F.lit(0)).alias("n_bigrams"),
+        F.when(F.size(l) < 2, F.lit(0))
+        .otherwise(
+            F.size(
+                F.array_distinct(
+                    F.expr(
+                        "zip_with(slice(l, 1, size(l)-1), slice(l, 2, size(l)-1),"
+                        " (x, y) -> concat(x, '_', y))"
+                    )
+                )
+            )
+        )
+        .alias("n_bi_dist"),
+    )
+    keys = ["doc_id", "n_tokens", "n_distinct", "n_bigrams", "n_bi_dist"]
+    counted = (
+        base.select(*keys, F.explode_outer("l").alias("tok"))
+        .groupBy(*keys, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(*keys)
+        .agg(
+            F.max(F.when(F.col("tok").isNotNull(), F.col("c")).otherwise(0)).alias(
+                "top_cnt"
+            )
+        )
+    )
+    nt = F.col("n_tokens").cast("double")
+    nb = F.col("n_bigrams").cast("double")
+    return counted.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.col("n_distinct") / nt
+            ),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(F.col("top_cnt") / nt),
+            6,
+        ).alias("top_word_share"),
+        F.round(
+            F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.col("n_bi_dist") / nb
+            ),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
 def analyze(documents: DataFrame) -> DataFrame:
     """All text metrics in one pass."""
     return documents.select(

@@ -135,3 +135,37 @@ def test_lsh_recall_of_planted_duplicate(spark, emb):
     ann = ann_lsh_topk(emb, k=1, num_planes=8)
     top0 = {r["query_id"]: r["vec_id"] for r in ann.collect()}
     assert top0[0] == 1
+
+
+def test_repetition_stats(spark):
+    from incubator_hugegraph_computer_spark.functions.text import repetition_stats
+
+    rows = [
+        (0, "a b a b c"),       # 5 toks, 3 distinct; bigrams a_b b_a a_b b_c -> 3 distinct/4
+        (1, "x x x x"),         # 4 toks 1 distinct; bigrams x_x ×3 -> 1/3
+        (2, "unique words only here"),  # no repetition at all
+        (3, ""),                # empty doc
+        (4, "solo"),            # 1 token, no bigrams
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 5
+    assert got[0]["dup_word_frac"] == round(1 - 3 / 5, 6)
+    assert got[0]["top_word_share"] == round(2 / 5, 6)
+    assert got[0]["dup_bigram_frac"] == round(1 - 3 / 4, 6)
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["top_word_share"] == 1.0
+    assert got[1]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_word_share"] == 0.25
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[3] == {
+        "doc_id": 3, "n_tokens": 0, "dup_word_frac": 0.0,
+        "top_word_share": 0.0, "dup_bigram_frac": 0.0,
+    }
+    assert got[4]["n_tokens"] == 1
+    assert got[4]["top_word_share"] == 1.0
+    assert got[4]["dup_bigram_frac"] == 0.0
