@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -85,6 +86,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--partitions", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-verify-sha", action="store_true")
+    p.add_argument("--graph-store", default=None,
+                   help="bucketed graph store path: if it exists, load the "
+                   "pre-bucketed graph from it (skips ingest + shuffle "
+                   "entirely); otherwise ingest normally, then save the "
+                   "bucketed graph there for every later run")
+    p.add_argument("--graph-store-buckets", type=int, default=None,
+                   help="bucket count when writing --graph-store "
+                   "(default: the graph's partition count); size for the "
+                   "TARGET cluster, not the ingest one")
     return p
 
 
@@ -107,15 +117,45 @@ def run(args: argparse.Namespace) -> dict:
 
     spark = get_spark(app_name=f"hgc-{args.algorithm}")
     t0 = time.monotonic()
-    if args.generate:
-        files = generate_repo_files(spark, args.generate, seed=args.seed)
-    elif args.input_format == "iceberg":
-        files = spark.read.table(args.input)
-    else:
-        files = spark.read.format(args.input_format).load(args.input)
+    store_meta = (
+        os.path.join(args.graph_store, "_hgc_graph_meta.json")
+        if args.graph_store
+        else None
+    )
+    if store_meta and os.path.exists(store_meta):
+        from incubator_hugegraph_computer_spark.sources.graph_store import load_graph
 
-    vertices, edges = extract_edges(files, verify=not args.no_verify_sha)
-    graph = Graph(vertices.select("id"), edges, num_partitions=args.partitions).cache()
+        graph = load_graph(spark, args.graph_store).cache()
+        # the store keeps the human-readable vertex dims for output
+        vertices = graph.vertices
+    else:
+        if args.generate:
+            files = generate_repo_files(spark, args.generate, seed=args.seed)
+        elif args.input_format == "iceberg":
+            files = spark.read.table(args.input)
+        else:
+            files = spark.read.format(args.input_format).load(args.input)
+
+        vertices, edges = extract_edges(files, verify=not args.no_verify_sha)
+        graph = Graph(
+            vertices.select("id"), edges, num_partitions=args.partitions
+        ).cache()
+        if args.graph_store:
+            from incubator_hugegraph_computer_spark.sources.graph_store import save_graph
+
+            # save with the FULL vertex dims (repo/path/...) so later
+            # store-backed runs can still join readable output; edges
+            # are already partitioned — no second shuffle
+            save_graph(
+                Graph(
+                    vertices,
+                    graph.edges,
+                    num_partitions=graph.num_partitions,
+                    prepartitioned=True,
+                ),
+                args.graph_store,
+                buckets=args.graph_store_buckets,
+            )
     n_vertices, n_edges = graph.num_vertices(), graph.num_edges()
     t_ingest = time.monotonic() - t0
 
