@@ -55,6 +55,12 @@ SSSP_PATH_ITERS = 15
 LOUVAIN_MIN_Q = 0.1
 NEARDUP_TAU = 0.4
 SESSION_GAP_MIN = 30
+# span dedup: RefinedWeb uses 13-gram spans on web text; the synthetic
+# docs are 25-80 tokens so n=5 keeps cross-document span collisions
+# present at every SF without saturating.
+SPAN_N = 5
+KMEANS_K = 8
+KMEANS_ITERS = 2
 
 
 # ====================================================================
@@ -534,6 +540,27 @@ def _q_docs_repetition(spark, sf_dir):
     return repetition_stats(docs)
 
 
+def _q_docs_tfidf(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.text import tfidf_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_keywords(docs, top_n=3)
+
+
+def _q_docs_span_dedup(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.dedup import span_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_dedup_stats(docs, n=SPAN_N)
+
+
+def _q_emb_kmeans(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
@@ -696,6 +723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
         "docs_repetition": _q_docs_repetition,
+        "docs_tfidf": _q_docs_tfidf,
+        "docs_span_dedup": _q_docs_span_dedup,
+        "emb_kmeans": _q_emb_kmeans,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_dedup": _q_docs_ngram_dedup,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
@@ -733,6 +763,47 @@ _SHINGLES = (
     "FROM tokpos a JOIN tokpos b ON b.doc_id=a.doc_id AND b.pos=a.pos+1 "
     "JOIN tokpos c ON c.doc_id=a.doc_id AND c.pos=a.pos+2)"
 )
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations matching kmeans_assign: c0 = the k
+    lowest-id vectors; per iteration assign (argmin squared-L2, ties →
+    lowest cid) then recompute centroid means; final assignment against
+    the last centroids. Distances use the same left-to-right list_sum
+    fold as the Spark-side F.aggregate."""
+    parts = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        "pe AS MATERIALIZED (SELECT vec_id, unnest(v) AS x, "
+        "unnest(generate_series(1, len(v))) AS pos FROM emb),",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, "
+        f"v AS cv FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {k})),",
+    ]
+    dist = (
+        "d{i} AS (SELECT e.vec_id, c.cid, list_sum(list_transform("
+        "list_zip(e.v, c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2 "
+        "FROM emb e CROSS JOIN c{j} c),"
+    )
+    for it in range(1, iters + 1):
+        parts.append(dist.format(i=it, j=it - 1))
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
+            f"FROM d{it}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM "
+            f"(SELECT a.cid, pe.pos, AVG(pe.x) AS mx FROM a{it} a "
+            f"JOIN pe USING(vec_id) GROUP BY 1, 2) GROUP BY cid),"
+        )
+    fin = iters + 1
+    parts.append(dist.format(i=fin, j=iters).rstrip(","))
+    parts.append(
+        f"SELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM "
+        f"(SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2, cid) AS rn FROM d{fin}) WHERE rn = 1"
+    )
+    return "\n".join(parts)
 
 
 def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
@@ -1503,6 +1574,38 @@ WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
 g AS (SELECT h, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size FROM h GROUP BY h)
 SELECT h.doc_id, g.canonical_id, g.group_size FROM h JOIN g USING(h)
 """
+
+    o["docs_tfidf"] = f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(l) AS keyword FROM toks),
+tf AS (SELECT doc_id, keyword, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT keyword, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.keyword, tf.tf,
+        CAST(tf.tf AS DOUBLE) * (ln(((SELECT n FROM n) + 1.0) / (CAST(df AS DOUBLE) + 1.0)) + 1.0) AS score
+      FROM tf JOIN dfq USING(keyword)),
+r AS (SELECT doc_id, keyword, tf, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, keyword ASC) AS INT) AS rank
+      FROM s)
+SELECT doc_id, rank, keyword, tf, ROUND(score, 6) AS score FROM r WHERE rank <= 3
+"""
+
+    o["docs_span_dedup"] = f"""
+WITH {_TOKS},
+sp AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - {SPAN_N - 1}),
+                               i -> array_to_string(l[i:i+{SPAN_N - 1}], ' '))) AS span
+  FROM toks WHERE len(l) >= {SPAN_N}),
+shared AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp) GROUP BY span HAVING COUNT(*) >= 2),
+tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY 1),
+dup AS (SELECT sp.doc_id, COUNT(*) AS d FROM sp JOIN shared USING(span) GROUP BY 1)
+SELECT docs.doc_id, COALESCE(t.n_spans, 0) AS n_spans,
+       ROUND(COALESCE(CAST(dup.d AS DOUBLE) / CAST(t.n_spans AS DOUBLE), 0.0), 6) AS dup_span_frac
+FROM documents docs LEFT JOIN tot t USING(doc_id) LEFT JOIN dup USING(doc_id)
+"""
+
+    o["emb_kmeans"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS)
 
     o["docs_ngram_dedup"] = f"""
 WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},

@@ -305,3 +305,70 @@ def dedup_clusters(
     verts = documents.select(F.col(id_col).alias("id"))
     comp = wcc(Graph(verts, edges), count_messages=False)
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
+
+
+# ------------------------------------------------------- span-level dedup
+def span_positions(documents: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """(doc_id, span) — one row per token n-gram POSITION (duplicates
+    kept, unlike :func:`shingles`): a span repeated inside one document
+    counts once per occurrence, which is what span-level dup fractions
+    need. Same HOF-free arrays_zip build as :func:`shingles`."""
+    toks = F.col("__toks")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(n)])
+    return (
+        documents.select("doc_id", _tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", F.explode(zipped).alias("s"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"s.t{i}") for i in range(n)]).alias("span"),
+        )
+    )
+
+
+def span_dedup_stats(documents: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_spans, dup_span_frac) — Gopher/RefinedWeb-style
+    cross-document span duplication: the fraction of a document's token
+    n-gram positions whose span text also occurs in at least one OTHER
+    document. Pipelines drop or down-weight documents above a
+    dup_span_frac threshold (RefinedWeb removes matching 13-gram spans;
+    n is a parameter here, small-doc test data uses n=5).
+
+    Scale shape: one explode (E = token positions ≈ corpus tokens), one
+    distinct + groupBy to find cross-document spans (map-side partial
+    aggregation), one semi join back. No pairwise comparisons anywhere —
+    cost is linear in corpus tokens, the same shape as the shingle
+    inverted index in :func:`ngram_jaccard_pairs`.
+    """
+    sp = span_positions(documents, n, text_col).persist()
+    # spans seen in >= 2 distinct documents
+    shared = (
+        sp.distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("span")
+    )
+    totals = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dups = (
+        sp.join(shared, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    out = (
+        documents.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.round(
+                F.coalesce(
+                    F.col("dup_spans").cast("double") / F.col("n_spans").cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+    return out

@@ -246,3 +246,92 @@ def embedding_near_duplicates(
         .where(F.col("score") >= threshold)
         .distinct()
     )
+
+
+# ------------------------------------------------------------------ k-means
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance in double precision, left-to-right fold (the
+    same summation order DuckDB's list_sum uses, so oracles replay it)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, d2) — Lloyd's k-means over an embedding column,
+    the cluster-then-curate primitive for training-data pipelines (topic
+    balancing, SemDeDup-style per-cluster dedup) and the trainer for
+    :func:`ivf_topk` centroids.
+
+    Deterministic and oracle-replayable by construction: initial
+    centroids are the ``k`` lowest-id vectors (not random), ties in the
+    assignment argmin break to the lowest cluster id, and all arithmetic
+    is double-precision JVM expressions. Clusters that lose every member
+    drop out (standard Lloyd) — both engines see the same assignments so
+    the oracle agrees.
+
+    Scale shape per iteration: assignment is a broadcast of the k×dim
+    centroid table against the corpus (no shuffle of the embeddings),
+    folded to an argmin via ``min(struct(d2, cid))`` — one map-side-
+    combined aggregation keyed by vec_id; the centroid update is a
+    posexplode to (cluster, dim) cells and one hash aggregation —
+    shuffle volume N·dim numbers, the size of the input, with map-side
+    partial means. Nothing collects to the driver.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    w0 = Window.orderBy("vec_id")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .withColumn("cid", (F.row_number().over(w0) - 1).cast("int"))
+        .select("cid", F.col("v").alias("cv"))
+    )
+    assign = None
+    for _ in range(iters):
+        d = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
+        )
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2"))
+        )
+        means = (
+            emb.join(assign, "vec_id")
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("mx"))
+        )
+        cents = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("arr"))
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform(F.col("arr"), lambda s: s.getField("mx")).alias("cv"),
+            )
+        )
+    # final assignment against the last centroid update
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
+    )
+    out = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster"),
+            F.round(F.col("m.d2"), 6).alias("d2"),
+        )
+    )
+    return out

@@ -171,3 +171,49 @@ def analyze(documents: DataFrame) -> DataFrame:
         F.round(quality_score(F.col("text"), F.col("n_chars")), 6).alias("quality"),
         document_fingerprint(F.col("text")).alias("fingerprint"),
     )
+
+
+def tfidf_keywords(
+    documents: DataFrame, top_n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, rank, keyword, tf, score) — top-``top_n`` keywords per
+    document by smoothed tf-idf: score = tf · (ln((N+1)/(df+1)) + 1)
+    (sklearn's smooth_idf), ranked per document by (score desc, keyword
+    asc). The standard corpus-curation signal for topic balancing /
+    keyword-based filtering at training-data scale.
+
+    Scale shape: one token explode, two hash aggregations (tf per
+    (doc, token) with map-side partial agg; df per token), the corpus
+    size N attached as a one-row broadcast (no driver round trip), and
+    the per-document top-n via a window PARTITIONED by doc_id — bounded
+    partitions (a document's distinct tokens), never a global sort.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("keyword")
+    )
+    tf = toks.groupBy("doc_id", "keyword").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("keyword").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_, "keyword")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("__n").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("keyword"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "keyword", "tf", F.round("score", 6).alias("score"))
+    )

@@ -1,0 +1,136 @@
+"""Unit tests for the round-2 pipeline extensions: tf-idf keywords,
+span-level dedup stats, and k-means embedding clustering — hand-built
+inputs with closed-form expected answers (NumPy cross-check for
+k-means)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_computer_spark.functions.dedup import (
+    span_dedup_stats,
+    span_positions,
+)
+from incubator_hugegraph_computer_spark.functions.similarity import kmeans_assign
+from incubator_hugegraph_computer_spark.functions.text import tfidf_keywords
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),  # exact dup of 0
+        (2, "alpha beta gamma delta nothing else here at all"),  # shares one 5-gram pos
+        (3, "totally unrelated words with no overlap whatsoever"),
+        (4, "tiny"),  # shorter than the span width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+# ------------------------------------------------------------------ spans
+def test_span_positions_counts(spark, docs):
+    sp = span_positions(docs, n=5)
+    got = {r["doc_id"]: r["c"] for r in sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # 6 tokens -> 2 positions of width 5; 9 tokens -> 5; 7 tokens -> 3; 1 token -> none
+    assert got == {0: 2, 1: 2, 2: 5, 3: 3}
+
+
+def test_span_dedup_stats(spark, docs):
+    out = {r["doc_id"]: r for r in span_dedup_stats(docs, n=5).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    # docs 0 and 1 are exact dups: every span position is cross-document
+    assert out[0]["n_spans"] == 2 and out[0]["dup_span_frac"] == 1.0
+    assert out[1]["dup_span_frac"] == 1.0
+    # doc 2 shares exactly its first span 'alpha beta gamma delta nothing'?
+    # no — its first 5-gram is 'alpha beta gamma delta nothing', which
+    # matches nothing; no span of doc 2 appears elsewhere.
+    assert out[2]["n_spans"] == 5 and out[2]["dup_span_frac"] == 0.0
+    assert out[3]["dup_span_frac"] == 0.0
+    # doc 4 has zero spans -> frac 0.0, not null
+    assert out[4]["n_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
+
+
+# ------------------------------------------------------------------ tfidf
+def test_tfidf_keywords(spark):
+    rows = [
+        (0, "spark spark spark unique common"),
+        (1, "common words only common"),
+        (2, "unique appears here common"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_keywords(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets at most top_n rows, ranks are 1..n
+    for doc_id, rs in by_doc.items():
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == list(
+            range(1, len(rs) + 1)
+        )
+    # doc 0: 'spark' tf=3 df=1 dominates; runner-up 'unique' (df=2) over
+    # 'common' (df=3) at tf=1 since smaller df means larger idf
+    top0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    assert top0[0]["keyword"] == "spark" and top0[0]["tf"] == 3
+    assert top0[1]["keyword"] == "unique"
+    # score formula replay: tf * (ln((N+1)/(df+1)) + 1), N=3
+    exp = 3.0 * (math.log(4.0 / 2.0) + 1.0)
+    assert abs(top0[0]["score"] - round(exp, 6)) < 1e-9
+
+
+# ----------------------------------------------------------------- kmeans
+def _np_kmeans(vecs, k, iters):
+    ids = sorted(vecs)
+    cents = [np.asarray(vecs[i], dtype=np.float64) for i in ids[:k]]
+    for _ in range(iters + 1):
+        assign = {}
+        for vid in ids:
+            v = np.asarray(vecs[vid], dtype=np.float64)
+            d = [float(((v - c) ** 2).sum()) for c in cents]
+            best = min(range(len(cents)), key=lambda j: (d[j], j))
+            assign[vid] = (best, d[best])
+        # final pass: stop before the update
+        new_cents = []
+        for j in range(len(cents)):
+            members = [np.asarray(vecs[i], dtype=np.float64) for i in ids if assign[i][0] == j]
+            if members:
+                new_cents.append(np.mean(members, axis=0))
+        cents = new_cents
+    return assign
+
+
+def test_kmeans_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    centers = rng.randn(3, 8) * 5.0
+    # interleave blob membership (blob = vid % 3) so the deterministic
+    # init (lowest-id vectors) seeds one centroid per blob
+    vecs = {}
+    for vid in range(36):
+        c = vid % 3
+        vecs[vid] = (centers[c] + rng.randn(8) * 0.3).astype(np.float32).tolist()
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    out = {r["vec_id"]: (r["cluster"], r["d2"]) for r in kmeans_assign(emb, k=3, iters=2).collect()}
+    exp = _np_kmeans(vecs, 3, 2)
+    assert set(out) == set(exp)
+    for vid in exp:
+        assert out[vid][0] == exp[vid][0], f"cluster mismatch for {vid}"
+        assert abs(out[vid][1] - exp[vid][1]) < 1e-5, f"d2 mismatch for {vid}"
+    # well-separated blobs: the 3 clusters each hold one blob
+    blobs = {}
+    for vid, (cl, _) in out.items():
+        blobs.setdefault(vid % 3, set()).add(cl)
+    assert all(len(s) == 1 for s in blobs.values()), blobs
+
+
+def test_kmeans_cluster_ids_bounded(spark):
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, rng.randn(4).astype(np.float32).tolist()) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_assign(emb, k=4, iters=1).collect()
+    assert len(out) == 20
+    assert all(0 <= r["cluster"] < 4 for r in out)
