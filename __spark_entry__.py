@@ -61,6 +61,11 @@ SESSION_GAP_MIN = 30
 SPAN_N = 5
 KMEANS_K = 8
 KMEANS_ITERS = 2
+# mixture rebalancing: downsample the dominant language, keep a middle
+# default; the split bands are the classic 80/10/10.
+STRATA_RATES = {"en": 0.5, "zh": 0.2}
+STRATA_DEFAULT_RATE = 0.35
+SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 
 
 # ====================================================================
@@ -561,6 +566,29 @@ def _q_emb_kmeans(spark, sf_dir):
     return kmeans_assign(emb, k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+def _q_emb_semantic_dedup(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, k=KMEANS_K, iters=KMEANS_ITERS, threshold=NEARDUP_TAU)
+
+
+def _q_docs_stratified_sample(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, "lang", STRATA_RATES, default_rate=STRATA_DEFAULT_RATE
+    ).select("doc_id", "lang")
+
+
+def _q_docs_split(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs, weights=SPLIT_WEIGHTS).select("doc_id", "split")
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
@@ -726,6 +754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": _q_docs_tfidf,
         "docs_span_dedup": _q_docs_span_dedup,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_split": _q_docs_split,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_dedup": _q_docs_ngram_dedup,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
@@ -765,12 +796,12 @@ _SHINGLES = (
 )
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int) -> str:
     """Unrolled Lloyd iterations matching kmeans_assign: c0 = the k
     lowest-id vectors; per iteration assign (argmin squared-L2, ties →
     lowest cid) then recompute centroid means; final assignment against
-    the last centroids. Distances use the same left-to-right list_sum
-    fold as the Spark-side F.aggregate."""
+    the last centroids lands in CTE ``af``. Distances use the same
+    left-to-right list_sum fold as the Spark-side F.aggregate."""
     parts = [
         "WITH emb AS MATERIALIZED (SELECT vec_id, "
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
@@ -797,13 +828,34 @@ def _kmeans_sql(k: int, iters: int) -> str:
             f"JOIN pe USING(vec_id) GROUP BY 1, 2) GROUP BY cid),"
         )
     fin = iters + 1
-    parts.append(dist.format(i=fin, j=iters).rstrip(","))
+    parts.append(dist.format(i=fin, j=iters))
     parts.append(
-        f"SELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM "
+        f"af AS (SELECT vec_id, cid, d2 FROM "
         f"(SELECT vec_id, cid, d2, ROW_NUMBER() OVER (PARTITION BY vec_id "
-        f"ORDER BY d2, cid) AS rn FROM d{fin}) WHERE rn = 1"
+        f"ORDER BY d2, cid) AS rn FROM d{fin}) WHERE rn = 1)"
     )
     return "\n".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    return _kmeans_ctes(k, iters) + "\nSELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM af"
+
+
+def _semantic_dedup_sql(k: int, iters: int, tau: float) -> str:
+    """SemDeDup oracle: k-means CTEs (shared with emb_kmeans) + a
+    within-cluster lower-id cosine check, mirroring semantic_dedup."""
+    return (
+        _kmeans_ctes(k, iters)
+        + f""",
+e2 AS (SELECT af.vec_id, af.cid, emb.v FROM af JOIN emb USING(vec_id)),
+p AS (SELECT hi.vec_id, COUNT(*) AS n FROM e2 hi JOIN e2 lo
+        ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+      WHERE list_cosine_similarity(hi.v, lo.v) >= {tau} GROUP BY 1)
+SELECT e2.vec_id, e2.cid AS cluster,
+       CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS keep,
+       COALESCE(p.n, 0) AS n_lower_dups
+FROM e2 LEFT JOIN p USING(vec_id)"""
+    )
 
 
 def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
@@ -1606,6 +1658,27 @@ FROM documents docs LEFT JOIN tot t USING(doc_id) LEFT JOIN dup USING(doc_id)
 """
 
     o["emb_kmeans"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS)
+
+    o["emb_semantic_dedup"] = _semantic_dedup_sql(KMEANS_K, KMEANS_ITERS, NEARDUP_TAU)
+
+    from incubator_hugegraph_computer_spark.functions.sampling import hex_threshold
+
+    _strata_case = " ".join(
+        f"WHEN '{s}' THEN '{hex_threshold(r)}'" for s, r in sorted(STRATA_RATES.items())
+    )
+    o["docs_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang {_strata_case} ELSE '{hex_threshold(STRATA_DEFAULT_RATE)}' END
+"""
+
+    o["docs_split"] = f"""
+SELECT doc_id,
+       CASE WHEN h < '{hex_threshold(SPLIT_WEIGHTS[0])}' THEN 'train'
+            WHEN h < '{hex_threshold(SPLIT_WEIGHTS[0] + SPLIT_WEIGHTS[1])}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents)
+"""
 
     o["docs_ngram_dedup"] = f"""
 WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},

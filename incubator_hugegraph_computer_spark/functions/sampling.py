@@ -1,0 +1,89 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+Every draw is a pure function of the row id: ``u(id) = the first 8 hex
+chars of md5(id)``, compared lexicographically against a fixed-width
+hex threshold. Hex-string order equals numeric order at equal width, so
+``u < hex_threshold(rate)`` keeps a ``rate`` fraction of rows — with no
+floating point, no RNG state, and bit-identical results in any engine
+that has md5 (Spark, DuckDB, Python) — the property that makes samples
+reproducible across reruns, resumable mid-pipeline, and oracle-checkable.
+
+At 100 TB all three operators are embarrassingly parallel: one scan, a
+per-row hash, a string compare — no shuffle at all (whole-stage codegen
+keeps them in one JVM stage), so they compose for free in front of any
+heavier operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_W = 8
+_HEX_SPACE = 16 ** _HEX_W
+
+
+def hex_threshold(rate: float) -> str:
+    """The 8-hex-char threshold t with P[md5_prefix < t] = rate.
+    rate >= 1 returns 'g' (lexicographically above every hex string);
+    rate <= 0 returns '00000000' (below-or-equal to none)."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "0" * _HEX_W
+    return format(int(rate * _HEX_SPACE), f"0{_HEX_W}x")
+
+
+def hash_uniform(id_col: Column) -> Column:
+    """The u(id) hash prefix as a string column (ids cast to string so
+    integer and string ids hash identically everywhere)."""
+    return F.substring(F.md5(id_col.cast("string")), 1, _HEX_W)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows: rate = rates[stratum] (or
+    ``default_rate`` for strata not listed). The standard mixture-
+    rebalancing primitive (e.g. downsample 'en' web text, keep all
+    low-resource languages). Same id ⇒ same decision regardless of how
+    the strata map changes, so mixtures can be re-tuned without
+    re-drawing the whole corpus.
+    """
+    u = hash_uniform(F.col(id_col))
+    thr = F.coalesce(
+        *(
+            [
+                F.when(F.col(strata_col) == s, F.lit(hex_threshold(r)))
+                for s, r in sorted(rates.items())
+            ]
+            + [F.lit(hex_threshold(default_rate))]
+        )
+    )
+    return df.where(u < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    names: tuple[str, str, str] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append a deterministic ``split`` column partitioning rows into
+    train/val/test by cumulative hash-threshold bands. Disjoint and
+    exhaustive by construction; stable under reshuffles, re-ingests and
+    engine changes — the property a 100 TB train/eval split must have
+    (a re-run may NOT move a document across the eval boundary).
+    """
+    t1 = hex_threshold(weights[0])
+    t2 = hex_threshold(weights[0] + weights[1])
+    u = hash_uniform(F.col(id_col))
+    return df.withColumn(
+        "split",
+        F.when(u < F.lit(t1), F.lit(names[0]))
+        .when(u < F.lit(t2), F.lit(names[1]))
+        .otherwise(F.lit(names[2])),
+    )

@@ -335,3 +335,55 @@ def kmeans_assign(
         )
     )
     return out
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, keep 0/1, n_lower_dups) — SemDeDup-style
+    semantic deduplication (Abbas et al. 2023): cluster the corpus with
+    k-means, then within each cluster drop every vector that has a
+    LOWER-id neighbor with cosine >= threshold (keep the lowest id of
+    each near-duplicate group). Deterministic end to end: k-means init
+    and tie-breaks from :func:`kmeans_assign`, the keep rule is a pure
+    order comparison.
+
+    Scale shape: the pairwise stage is confined to within-cluster pairs
+    — the SemDeDup contract (k grows with corpus size so cluster
+    populations stay bounded; ~sqrt(N) clusters keeps the per-cluster
+    quadratic term at O(N)). The cluster self-join is a hash join on
+    cluster id; AQE splits skewed (oversized) clusters. Nothing
+    all-pairs, nothing collects.
+    """
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    assign = kmeans_assign(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    clustered = assign.select("vec_id", "cluster").join(emb, "vec_id")
+    hi = clustered.select(
+        F.col("vec_id").alias("__hi"), F.col("cluster").alias("__c"), F.col("v").alias("__hv")
+    )
+    lo = clustered.select(
+        F.col("vec_id").alias("__lo"), F.col("cluster").alias("__c2"), F.col("v").alias("__lv")
+    )
+    dup_counts = (
+        hi.join(lo, (F.col("__c") == F.col("__c2")) & (F.col("__lo") < F.col("__hi")))
+        .where(cosine(F.col("__hv"), F.col("__lv")) >= threshold)
+        .groupBy(F.col("__hi").alias("vec_id"))
+        .agg(F.count(F.lit(1)).alias("n_lower_dups"))
+    )
+    return (
+        clustered.join(dup_counts, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("n_lower_dups").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+            F.coalesce(F.col("n_lower_dups"), F.lit(0)).alias("n_lower_dups"),
+        )
+    )

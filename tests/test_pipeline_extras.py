@@ -134,3 +134,73 @@ def test_kmeans_cluster_ids_bounded(spark):
     out = kmeans_assign(emb, k=4, iters=1).collect()
     assert len(out) == 20
     assert all(0 <= r["cluster"] < 4 for r in out)
+
+
+# --------------------------------------------------------------- sampling
+def test_hex_threshold_edges():
+    from incubator_hugegraph_computer_spark.functions.sampling import hex_threshold
+
+    assert hex_threshold(0.0) == "00000000"
+    assert hex_threshold(1.0) == "g"
+    assert hex_threshold(0.5) == "80000000"
+    # every 8-char hex string sorts below the rate>=1 sentinel
+    assert "ffffffff" < hex_threshold(1.0)
+
+
+def test_hash_split_disjoint_stable_proportions(spark):
+    from incubator_hugegraph_computer_spark.functions.sampling import hash_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df).groupBy("split").count().collect()
+    got = {r["split"]: r["count"] for r in out}
+    assert set(got) == {"train", "val", "test"}
+    assert sum(got.values()) == 2000  # exhaustive + disjoint
+    assert 0.75 * 2000 < got["train"] < 0.85 * 2000
+    # deterministic: a re-run assigns every id to the same band
+    again = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    once = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert again == once
+
+
+def test_stratified_sample_nested_and_bounded(spark):
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+    )
+    keep_all = stratified_sample(df, "lang", {"en": 1.0, "fr": 1.0})
+    assert keep_all.count() == 1000
+    none = stratified_sample(df, "lang", {}, default_rate=0.0)
+    assert none.count() == 0
+    small = {r["doc_id"] for r in stratified_sample(df, "lang", {"en": 0.2, "fr": 0.2}).collect()}
+    big = {r["doc_id"] for r in stratified_sample(df, "lang", {"en": 0.6, "fr": 0.6}).collect()}
+    # hash-threshold samples are nested: raising the rate only adds rows
+    assert small <= big
+    assert len(small) < len(big) < 1000
+
+
+# --------------------------------------------------------- semantic dedup
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from incubator_hugegraph_computer_spark.functions.similarity import (
+        semantic_dedup,
+    )
+
+    # the k=3 lowest ids (0,1,2) are one per group, so lowest-id k-means
+    # init seeds each group; 5,6 near-dup 0 and 11 near-dups 1
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),  # singleton
+        (5, [0.999, 0.001, 0.0]),
+        (6, [0.998, 0.002, 0.0]),
+        (11, [0.0, 0.999, 0.001]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, k=3, iters=2, threshold=0.99).collect()}
+    assert out[0]["keep"] == 1 and out[5]["keep"] == 0 and out[6]["keep"] == 0
+    assert out[1]["keep"] == 1 and out[11]["keep"] == 0
+    assert out[2]["keep"] == 1 and out[2]["n_lower_dups"] == 0
+    assert out[6]["n_lower_dups"] == 2
