@@ -66,6 +66,7 @@ KMEANS_ITERS = 2
 STRATA_RATES = {"en": 0.5, "zh": 0.2}
 STRATA_DEFAULT_RATE = 0.35
 SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
+EMB_DIM = 64  # testdata embedding width; a real pipeline knows its dim
 
 
 # ====================================================================
@@ -654,7 +655,7 @@ def _q_emb_lsh_buckets(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.similarity import lsh_buckets
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_buckets(emb, num_planes=8)
+    return lsh_buckets(emb, num_planes=8, dim=EMB_DIM)
 
 
 def _q_emb_near_dup(spark, sf_dir):
@@ -663,7 +664,7 @@ def _q_emb_near_dup(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    nd = embedding_near_duplicates(emb, threshold=NEARDUP_TAU, num_planes=8)
+    nd = embedding_near_duplicates(emb, threshold=NEARDUP_TAU, num_planes=8, dim=EMB_DIM)
     return nd.select("vec_a", "vec_b", F.round("score", 6).alias("score"))
 
 
@@ -671,7 +672,7 @@ def _q_emb_ann_lsh(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.similarity import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 100)
-    t = ann_lsh_topk(emb, k=TOPK, num_planes=8)
+    t = ann_lsh_topk(emb, k=TOPK, num_planes=8, dim=EMB_DIM)
     return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
 
 

@@ -143,12 +143,13 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, score, rank) approximate top-k: score only
     same-bucket pairs. Recall depends on num_planes; the brute-force
     path is the oracle for recall measurement (tests).
     ``max_bucket_size`` drops saturated buckets (see _cap_hot_buckets)."""
-    b = _cap_hot_buckets(lsh_buckets(embeddings, num_planes, id_col, vec_col), max_bucket_size)
+    b = _cap_hot_buckets(lsh_buckets(embeddings, num_planes, id_col, vec_col, dim), max_bucket_size)
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
         b, "vec_id"
     )
@@ -229,11 +230,12 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, score) cosine ≥ threshold pairs found via LSH
     bucketing (vec_a < vec_b). ``max_bucket_size`` drops saturated
     buckets (see _cap_hot_buckets)."""
-    b = _cap_hot_buckets(lsh_buckets(embeddings, num_planes, id_col, vec_col), max_bucket_size)
+    b = _cap_hot_buckets(lsh_buckets(embeddings, num_planes, id_col, vec_col, dim), max_bucket_size)
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
         b, "vec_id"
     )
