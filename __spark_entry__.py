@@ -66,6 +66,8 @@ KMEANS_ITERS = 2
 STRATA_RATES = {"en": 0.5, "zh": 0.2}
 STRATA_DEFAULT_RATE = 0.35
 SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
+DECON_EVAL_RATE = 0.05  # fraction of docs playing the held-out eval set
+PACK_BUDGET = 512  # tokens per packed training sequence
 EMB_DIM = 64  # testdata embedding width; a real pipeline knows its dim
 
 
@@ -590,6 +592,43 @@ def _q_docs_split(spark, sf_dir):
     return hash_split(docs, weights=SPLIT_WEIGHTS).select("doc_id", "split")
 
 
+def _q_docs_decontaminate(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.dedup import decontaminate
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        hash_uniform,
+        hex_threshold,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # deterministic hash-drawn "benchmark" subset plays the eval set;
+    # the complement is the training corpus being screened
+    is_eval = hash_uniform(F.col("doc_id")) < F.lit(hex_threshold(DECON_EVAL_RATE))
+    out = decontaminate(docs.where(~is_eval), docs.where(is_eval), n=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round("contaminated_frac", 6).alias("contaminated_frac"),
+    )
+
+
+def _q_docs_pack(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=PACK_BUDGET)
+
+
+def _q_docs_pack_stats(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.packing import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing_efficiency(pack_sequences(docs, budget=PACK_BUDGET), PACK_BUDGET)
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
@@ -758,6 +797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_split": _q_docs_split,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_pack": _q_docs_pack,
+        "docs_pack_stats": _q_docs_pack_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_dedup": _q_docs_ngram_dedup,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
@@ -1679,6 +1721,59 @@ SELECT doc_id,
             WHEN h < '{hex_threshold(SPLIT_WEIGHTS[0] + SPLIT_WEIGHTS[1])}' THEN 'val'
             ELSE 'test' END AS split
 FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents)
+"""
+
+    _decon_thr = hex_threshold(DECON_EVAL_RATE)
+    o["docs_decontaminate"] = f"""
+WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
+ev AS (SELECT doc_id FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_decon_thr}'),
+tr AS (SELECT d.doc_id FROM documents d ANTI JOIN ev USING(doc_id)),
+evsh AS (SELECT DISTINCT sh.shingle FROM sh JOIN ev USING(doc_id)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+hits AS (SELECT sh.doc_id, COUNT(*) AS n_contaminated
+         FROM sh SEMI JOIN evsh USING(shingle) GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(s.n_shingles, 0) AS n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       ROUND(COALESCE(CAST(h.n_contaminated AS DOUBLE) / CAST(s.n_shingles AS DOUBLE),
+                      0.0), 6) AS contaminated_frac
+FROM tr t LEFT JOIN sizes s ON s.doc_id = t.doc_id
+LEFT JOIN hits h ON h.doc_id = t.doc_id
+"""
+
+    _pack_ctes = f"""{_TOKS},
+tc AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM toks),
+pl AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       FROM tc),
+pk AS (SELECT doc_id, n_tokens, start_offset,
+        CAST(start_offset // {PACK_BUDGET} AS BIGINT) AS seq_first,
+        CAST(CASE WHEN n_tokens > 0
+             THEN (start_offset + n_tokens - 1) // {PACK_BUDGET}
+             ELSE start_offset // {PACK_BUDGET} END AS BIGINT) AS seq_last
+       FROM pl)"""
+    o["docs_pack"] = f"""
+WITH {_pack_ctes}
+SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,
+       CAST(CASE WHEN n_tokens > 0 THEN seq_last - seq_first + 1 ELSE 0 END
+            AS BIGINT) AS n_seqs
+FROM pk
+"""
+
+    o["docs_pack_stats"] = f"""
+WITH {_pack_ctes}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((MAX(start_offset + n_tokens) + {PACK_BUDGET} - 1) // {PACK_BUDGET}
+            AS BIGINT) AS n_sequences,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) /
+             (((MAX(start_offset + n_tokens) + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+              * {PACK_BUDGET}), 6) AS fill_ratio,
+       CAST(SUM(CASE WHEN n_tokens > 0 AND seq_last > seq_first THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddlers
+FROM pk
 """
 
     o["docs_ngram_dedup"] = f"""

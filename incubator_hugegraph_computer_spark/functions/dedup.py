@@ -372,3 +372,53 @@ def span_dedup_stats(documents: DataFrame, n: int = 5, text_col: str = "text") -
         )
     )
     return out
+
+
+# --------------------------------------------------------- decontamination
+def decontaminate(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, the
+    fraction of its distinct word n-gram shingles that also appear in
+    ANY evaluation document — the standard n-gram-overlap contamination
+    check run before training on web-scale corpora (flag/drop training
+    docs that quote held-out benchmarks).
+
+    Returns (doc_id, n_shingles, n_contaminated, contaminated_frac),
+    one row per training doc; docs too short to have a shingle get
+    (0, 0, 0.0).
+
+    100 TB shape: the eval side is small by construction (benchmarks,
+    not corpora), so its distinct shingle set is broadcast and the only
+    shuffle over training data is the per-doc groupBy — the training
+    corpus is scanned once, never self-joined. The shingle extraction
+    reuses the HOF-free :func:`shingles` path (whole-stage codegen).
+    """
+    train_sh = shingles(documents, n=n, text_col=text_col)
+    eval_sh = (
+        shingles(eval_docs, n=n, text_col=text_col).select("shingle").distinct()
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce(
+                F.col("n_contaminated").cast("double")
+                / F.col("n_shingles").cast("double"),
+                F.lit(0.0),
+            ).alias("contaminated_frac"),
+        )
+    )
