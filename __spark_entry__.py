@@ -738,6 +738,13 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_events_props(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.semistructured import props_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return props_stats(events)
+
+
 def _q_events_hourly(spark, sf_dir):
     from incubator_hugegraph_computer_spark.streaming.events import windowed_event_counts
 
@@ -811,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "events_props": _q_events_props,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
     }
@@ -1856,6 +1864,15 @@ proj AS (SELECT f.vec_id, w.plane, SUM(CAST(f.x AS DOUBLE) * w.w) AS p
 SELECT vec_id,
        CAST(SUM(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
 FROM proj GROUP BY vec_id
+"""
+
+    o["events_props"] = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY 1
 """
 
     o["events_hourly"] = """

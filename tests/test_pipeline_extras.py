@@ -204,3 +204,22 @@ def test_semantic_dedup_keeps_lowest_id(spark):
     assert out[1]["keep"] == 1 and out[11]["keep"] == 0
     assert out[2]["keep"] == 1 and out[2]["n_lower_dups"] == 0
     assert out[6]["n_lower_dups"] == 2
+
+
+def test_props_stats_parses_json_and_nulls(spark):
+    from incubator_hugegraph_computer_spark.functions.semistructured import props_stats
+
+    events = spark.createDataFrame(
+        [
+            (1, "click", 2.0, '{"k": 10}'),
+            (2, "click", 4.0, '{"k": 20}'),
+            (3, "view", 1.0, "not json"),  # corrupt row -> NULL k, not a crash
+        ],
+        "event_id long, event_type string, value double, props string",
+    )
+    out = {r["event_type"]: r for r in props_stats(events).collect()}
+    assert out["click"]["n_events"] == 2
+    assert out["click"]["sum_k"] == 30
+    assert out["click"]["avg_k"] == 15.0
+    assert out["click"]["avg_value"] == 3.0
+    assert out["view"]["sum_k"] is None and out["view"]["n_events"] == 1
