@@ -738,6 +738,21 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+def _q_emb_ivf_trained_topk(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(emb, k=KMEANS_K, iters=KMEANS_ITERS).select(
+        F.col("cid").alias("cent_id"), F.col("cv").alias("cvec")
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    t = ivf_topk(emb, queries, k=TOPK, n_probe=IVF_PROBE, centroids=cents)
+    return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
 def _q_events_props(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.semistructured import props_stats
 
@@ -818,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "emb_ann_lsh": _q_emb_ann_lsh,
         "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_ivf_trained_topk": _q_emb_ivf_trained_topk,
         "events_props": _q_events_props,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
@@ -1565,6 +1581,30 @@ SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM r WHERE rank <= {TO
 WITH cents AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
                FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}),
 corpus AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+asg AS (SELECT vec_id, vec, cell FROM (
+          SELECT c.vec_id, c.vec, ct.cent_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC,
+                              ct.cent_id ASC) AS rn
+          FROM corpus c CROSS JOIN cents ct) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM corpus WHERE vec_id < 5),
+probes AS (SELECT query_id, qvec, cell FROM (
+             SELECT q.query_id, q.qvec, ct.cent_id AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                        ORDER BY list_cosine_similarity(q.qvec, ct.cvec) DESC,
+                                 ct.cent_id ASC) AS rn
+             FROM q CROSS JOIN cents ct) WHERE rn <= {IVF_PROBE}),
+s AS (SELECT p.query_id, a.vec_id, list_cosine_similarity(a.vec, p.qvec) AS score
+      FROM asg a JOIN probes p ON p.cell = a.cell WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM r WHERE rank <= {TOPK}
+"""
+
+    o["emb_ivf_trained_topk"] = _kmeans_ctes(KMEANS_K, KMEANS_ITERS) + f""",
+cents AS (SELECT cid AS cent_id, cv AS cvec FROM c{KMEANS_ITERS}),
+corpus AS (SELECT vec_id, v AS vec FROM emb),
 asg AS (SELECT vec_id, vec, cell FROM (
           SELECT c.vec_id, c.vec, ct.cent_id AS cell,
                  ROW_NUMBER() OVER (PARTITION BY c.vec_id

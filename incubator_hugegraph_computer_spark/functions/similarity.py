@@ -171,28 +171,32 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, score, rank) — IVF-style approximate top-k.
 
     The scale path for ANN beyond LSH: partition the corpus into
     ``n_centroids`` inverted lists, score a query only against the
-    ``n_probe`` lists whose centroids it is closest to. Centroids are
-    chosen **deterministically** (the ``n_centroids`` lowest-id vectors)
-    rather than by k-means so the whole operator is reproducible and
-    oracle-checkable; on a real deployment the centroid table is the
-    only piece to swap for trained centroids — assignment, probing and
-    re-ranking are unchanged.
+    ``n_probe`` lists whose centroids it is closest to. By default
+    centroids are chosen **deterministically** (the ``n_centroids``
+    lowest-id vectors) so the whole operator is reproducible and
+    oracle-checkable; pass ``centroids`` (a (cent_id, cvec) table, e.g.
+    :func:`kmeans_centroids` renamed) for trained inverted lists —
+    assignment, probing and re-ranking are unchanged either way.
 
     Physical plan: centroids are broadcast twice (corpus assignment,
     query probing); the candidate join corpus⋈probes is a shuffle hash
     join on ``cell`` — each inverted list is one key group, so work is
     |corpus|/n_centroids × n_probe per query instead of |corpus|.
     """
-    cents = (
-        embeddings.orderBy(F.asc(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
-    )
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cvec")
+    else:
+        cents = (
+            embeddings.orderBy(F.asc(id_col))
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        )
     corpus = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
     # assignment: nearest centroid by cosine, ties → lowest centroid id
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -261,6 +265,60 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _lloyd_centroids(emb: DataFrame, k: int, iters: int) -> DataFrame:
+    """(cid, cv) after ``iters`` Lloyd rounds over (vec_id, v:double[]).
+    Init = the k lowest-id vectors; per round assign (argmin squared-L2,
+    ties → lowest cid) then recompute means; empty clusters drop out."""
+    w0 = Window.orderBy("vec_id")  # k rows post-limit — not a scale risk
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .withColumn("cid", (F.row_number().over(w0) - 1).cast("int"))
+        .select("cid", F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        d = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
+        )
+        assign = (
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2"))
+        )
+        means = (
+            emb.join(assign, "vec_id")
+            .select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("mx"))
+        )
+        cents = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("arr"))
+            .select(
+                F.col("cluster").alias("cid"),
+                F.transform(F.col("arr"), lambda s: s.getField("mx")).alias("cv"),
+            )
+        )
+    return cents
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cv) — the trained Lloyd centroid table alone, for feeding
+    :func:`ivf_topk` (trained inverted lists) or any assign-only reuse.
+    Same deterministic init/tie rules as :func:`kmeans_assign`."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).persist()
+    return _lloyd_centroids(emb, k, iters)
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = 8,
@@ -292,37 +350,7 @@ def kmeans_assign(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).persist()
-    w0 = Window.orderBy("vec_id")
-    cents = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .withColumn("cid", (F.row_number().over(w0) - 1).cast("int"))
-        .select("cid", F.col("v").alias("cv"))
-    )
-    assign = None
-    for _ in range(iters):
-        d = emb.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
-        )
-        assign = (
-            d.groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.d2").alias("d2"))
-        )
-        means = (
-            emb.join(assign, "vec_id")
-            .select("cluster", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("mx"))
-        )
-        cents = (
-            means.groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("arr"))
-            .select(
-                F.col("cluster").alias("cid"),
-                F.transform(F.col("arr"), lambda s: s.getField("mx")).alias("cv"),
-            )
-        )
+    cents = _lloyd_centroids(emb, k, iters)
     # final assignment against the last centroid update
     d = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")

@@ -92,3 +92,31 @@ def test_lsh_hot_bucket_cap(spark):
     capped = embedding_near_duplicates(emb, threshold=0.9, num_planes=4, max_bucket_size=10)
     got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
     assert got == {(100, 101)}  # hot bucket dropped, small bucket kept
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Trained (k-means) inverted lists should match or beat the
+    lowest-id-centroid recall at the same probe budget on the
+    label-clustered test embeddings."""
+    from incubator_hugegraph_computer_spark.functions.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    cents = kmeans_centroids(emb, k=16, iters=2).select(
+        F.col("cid").alias("cent_id"), F.col("cv").alias("cvec")
+    )
+    trained = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_probe=8, centroids=cents).collect()
+    }
+    naive = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8).collect()
+    }
+    recall_t = len(exact & trained) / len(exact)
+    recall_n = len(exact & naive) / len(exact)
+    assert recall_t >= 0.6, f"trained IVF recall {recall_t}"
+    assert recall_t >= recall_n - 0.05, (recall_t, recall_n)
