@@ -27,11 +27,41 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from incubator_hugegraph_computer_spark.session import get_spark
 
 
+def host_probe(threads: tuple[int, ...] = (8, 32)) -> dict:
+    """Shared-host capacity probe: identical GIL-released NumPy work at 1
+    and N threads. eff_N = t1 / tN is the parallel efficiency a PERFECTLY
+    parallel workload reaches in this window — the ceiling any measured
+    number below should be read against (BENCH.md, host-drift notes)."""
+    import threading
+    import numpy as np
+
+    def burn():
+        x = np.random.default_rng(1).normal(size=500_000)
+        s = 0.0
+        for _ in range(40):
+            s += float(np.sin(x).sum())
+        return s
+
+    t0 = time.monotonic()
+    burn()
+    t1 = time.monotonic() - t0
+    out = {"t1_sec": round(t1, 3)}
+    for nt in threads:
+        th = [threading.Thread(target=burn) for _ in range(nt)]
+        t0 = time.monotonic()
+        [t.start() for t in th]
+        [t.join() for t in th]
+        out[f"eff_{nt}"] = round(t1 / (time.monotonic() - t0), 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_files = int(os.environ.get("BENCH_FILES", "200000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    probe = host_probe()
 
     spark = get_spark(
         app_name="hgc-bench",
@@ -128,6 +158,7 @@ def main() -> None:
                 "sf": sf,
                 "derived": derived,
                 "cpus": cpus,
+                "host_probe": probe,
             }
         )
     )
