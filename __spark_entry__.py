@@ -68,6 +68,12 @@ STRATA_DEFAULT_RATE = 0.35
 SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 DECON_EVAL_RATE = 0.05  # fraction of docs playing the held-out eval set
 PACK_BUDGET = 512  # tokens per packed training sequence
+BM25_TERMS = ("spark", "join", "filter")  # the fixed topic query
+BM25_K1 = 1.2
+BM25_B = 0.75
+# mixture targets: de is the binding domain (keeps 100%), en/zh are
+# downsampled to hold the 2:1:1 ratio, fr/es are dropped (share 0).
+DOMAIN_MIX_TARGETS = {"en": 0.5, "zh": 0.25, "de": 0.25}
 EMB_DIM = 64  # testdata embedding width; a real pipeline knows its dim
 
 
@@ -98,6 +104,25 @@ def _q_pagerank(spark, sf_dir):
 
     g = orders_graph(spark, sf_dir)
     pr = pagerank_classic(g, max_iterations=PR_ITERS, tol=0.0, count_messages=False)
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_pagerank_weighted(spark, sf_dir):
+    """Vermeer's pagerank.edge_weight_property mode (pagerank.go:100-160):
+    in-edge contributions scaled by the edge weight, same derived
+    (src+dst)%5+1 weight as the weighted-SSSP queries."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.pagerank import pagerank_weighted
+
+    g = orders_graph(spark, sf_dir)
+    weighted = Graph(
+        g.vertices,
+        g.edges.withColumn("weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
+        prepartitioned=True,
+    )
+    pr = pagerank_weighted(
+        weighted, weight_col="weight", max_iterations=PR_ITERS, tol=0.0, count_messages=False
+    )
     return pr.select("id", F.round("rank", 6).alias("rank"))
 
 
@@ -555,6 +580,24 @@ def _q_docs_tfidf(spark, sf_dir):
     return tfidf_keywords(docs, top_n=3)
 
 
+def _q_docs_bm25(spark, sf_dir):
+    """Okapi BM25 of a fixed topic query against every document — the
+    retrieval-filtered-corpus ranking signal."""
+    from incubator_hugegraph_computer_spark.functions.text import bm25_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(docs, list(BM25_TERMS), k1=BM25_K1, b=BM25_B)
+
+
+def _q_docs_domain_mix(spark, sf_dir):
+    """Deterministic mixture-weights downsampling: keep the largest
+    corpus in exactly the target language proportions."""
+    from incubator_hugegraph_computer_spark.functions.sampling import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mix(docs, DOMAIN_MIX_TARGETS).select("doc_id", "lang")
+
+
 def _q_docs_span_dedup(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.dedup import span_dedup_stats
 
@@ -777,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
         "graph_pagerank": _q_pagerank,
+        "graph_pagerank_weighted": _q_pagerank_weighted,
         "graph_wcc": _q_wcc,
         "graph_lpa": _q_lpa,
         "graph_lpa_sync": _q_lpa_sync,
@@ -814,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality": _q_docs_quality,
         "docs_repetition": _q_docs_repetition,
         "docs_tfidf": _q_docs_tfidf,
+        "docs_bm25": _q_docs_bm25,
+        "docs_domain_mix": _q_docs_domain_mix,
         "docs_span_dedup": _q_docs_span_dedup,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
@@ -937,6 +983,36 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
         parts.append(
             f"m{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank/d.outdeg) AS s FROM {p} p "
             f"JOIN deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1),"
+        )
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
+            f"LEFT JOIN deg d ON d.id=p.id WHERE d.id IS NULL),"
+        )
+        parts.append(
+            f"pr{k} AS MATERIALIZED (SELECT v.id, (1.0-{damping})/(SELECT n FROM nn) + "
+            f"{damping}*(COALESCE(m.s,0.0) + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS rank "
+            f"FROM v LEFT JOIN m{k} m ON m.id=v.id),"
+        )
+    parts.append(f"fin AS (SELECT id, ROUND(rank,6) AS rank FROM pr{iters})")
+    return "\n".join(parts) + "\nSELECT id, rank FROM fin"
+
+
+def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
+    """Vermeer weighted recurrence (pagerank.go:144-158): contribution
+    = rank/outdeg · w per in-edge; outdeg stays a COUNT, dangling term
+    unweighted — the exact reference shape."""
+    parts = [
+        f"WITH {_G},",
+        "we AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e),",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k-1}"
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT we.dst AS id, SUM(p.rank/d.outdeg*we.w) AS s FROM {p} p "
+            f"JOIN deg d ON d.id=p.id JOIN we ON we.src=p.id GROUP BY 1),"
         )
         parts.append(
             f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
@@ -1223,6 +1299,7 @@ SELECT v.id, COALESCE(d.degree, 0) AS degree FROM v LEFT JOIN d USING(id)
 """
 
     o["graph_pagerank"] = _pagerank_sql(PR_ITERS)
+    o["graph_pagerank_weighted"] = _pagerank_weighted_sql(PR_ITERS)
     o["graph_ppr"] = _ppr_sql(PPR_ITERS, PPR_SOURCE)
     o["graph_lpa_sync"] = _lpa_sync_sql(LPA_SYNC_ITERS)
     o["graph_lpa"] = _lpa_directed_sql(LPA_ROUNDS)
@@ -1757,6 +1834,45 @@ FROM documents docs LEFT JOIN tot t USING(doc_id) LEFT JOIN dup USING(doc_id)
     _strata_case = " ".join(
         f"WHEN '{s}' THEN '{hex_threshold(r)}'" for s, r in sorted(STRATA_RATES.items())
     )
+    _bm25_in = ", ".join(f"'{t}'" for t in sorted(set(BM25_TERMS)))
+    o["docs_bm25"] = f"""
+WITH {_TOKS},
+tok AS (SELECT doc_id, unnest(l) AS term FROM toks),
+lens AS (SELECT d.doc_id, COALESCE(len(t.l), 0) AS dl
+         FROM documents d LEFT JOIN toks t USING(doc_id)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({_bm25_in}) GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+gstats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+per AS (SELECT tf.doc_id,
+          ln(1.0 + ((SELECT n FROM gstats) - df + 0.5) / (df + 0.5))
+          * (CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0)
+             / (CAST(tf AS DOUBLE) + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl / (SELECT avgdl FROM gstats)))) AS s
+        FROM tf JOIN dfq USING(term) JOIN lens USING(doc_id)),
+sc AS (SELECT doc_id, COUNT(*) AS n_hits, SUM(s) AS score FROM per GROUP BY 1)
+SELECT d.doc_id, COALESCE(sc.n_hits, 0) AS n_hits,
+       ROUND(COALESCE(sc.score, 0.0), 6) AS score
+FROM documents d LEFT JOIN sc USING(doc_id)
+"""
+
+    _mix_share = " ".join(
+        f"WHEN '{d}' THEN {float(s)!r}" for d, s in sorted(DOMAIN_MIX_TARGETS.items())
+    )
+    o["docs_domain_mix"] = f"""
+WITH shares AS (SELECT doc_id, lang, CASE lang {_mix_share} ELSE 0.0 END AS share
+                FROM documents),
+cnt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c,
+               CASE lang {_mix_share} ELSE 0.0 END AS share
+        FROM shares WHERE share > 0 GROUP BY lang),
+budget AS (SELECT MIN(c / share) AS t FROM cnt),
+rated AS (SELECT s.doc_id, s.lang, c.share * (SELECT t FROM budget) / c.c AS rate
+          FROM shares s JOIN cnt c USING(lang) WHERE s.share > 0)
+SELECT doc_id, lang FROM rated
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN rate >= 1.0 THEN 'g'
+           ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END
+"""
+
     o["docs_stratified_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

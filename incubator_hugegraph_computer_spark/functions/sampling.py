@@ -87,3 +87,74 @@ def hash_split(
         .when(u < F.lit(t2), F.lit(names[1]))
         .otherwise(F.lit(names[2])),
     )
+
+
+def domain_mix(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample to a target domain mixture — the training-data
+    mixture-weights primitive (e.g. "the pretraining mix is 60% web /
+    30% code / 10% reference"): given target shares per domain, keep the
+    LARGEST corpus achievable by pure downsampling in exactly those
+    proportions, and decide every row by the same deterministic id-hash
+    as the other samplers.
+
+      budget   T      = min_d  count_d / share_d   (binding domain keeps all)
+      rate_d          = share_d · T / count_d      (∈ (0, 1])
+      keep row  ⇔  u(id) < threshold(rate_d)
+
+    Domains absent from ``targets`` are dropped (share 0). Shares need
+    not sum to 1 — only ratios matter. Expected output size is T·Σshare.
+
+    Scale shape: one tiny groupBy(domain) count (map-side combined, a
+    handful of rows), its min() as a one-row broadcast, then the same
+    scan + hash + string-compare as ``stratified_sample`` — no data
+    shuffle at 100 TB. The per-row threshold is data-dependent (rates
+    derive from observed counts), computed in-plan: the hex threshold is
+    formatted from rate with the same floor/format every SQL engine
+    reproduces bit-for-bit.
+    """
+    if not targets:
+        raise ValueError("domain_mix needs at least one target share")
+    share = F.coalesce(
+        *(
+            [
+                F.when(F.col(domain_col) == d, F.lit(float(s)))
+                for d, s in sorted(targets.items())
+            ]
+            + [F.lit(0.0)]
+        )
+    )
+    counts = (
+        df.where(share > 0)
+        .groupBy(F.col(domain_col).alias("__dom"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+        .withColumn("__share", _share_of(targets, F.col("__dom")))
+    )
+    budget = counts.agg(F.min(F.col("__cnt") / F.col("__share")).alias("__t"))
+    rate = F.col("__share") * F.col("__t") / F.col("__cnt")
+    thr = F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.format_string(
+            "%08x", F.floor(rate * F.lit(float(_HEX_SPACE))).cast("long")
+        )
+    )
+    return (
+        df.join(
+            F.broadcast(counts), F.col(domain_col) == F.col("__dom"), "inner"
+        )
+        .crossJoin(F.broadcast(budget))
+        .where(hash_uniform(F.col(id_col)) < thr)
+        .drop("__dom", "__cnt", "__share", "__t")
+    )
+
+
+def _share_of(targets: dict[str, float], dom: Column) -> Column:
+    return F.coalesce(
+        *(
+            [F.when(dom == d, F.lit(float(s))) for d, s in sorted(targets.items())]
+            + [F.lit(0.0)]
+        )
+    )

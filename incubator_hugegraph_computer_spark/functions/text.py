@@ -217,3 +217,77 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_n)
         .select("doc_id", "rank", "keyword", "tf", F.round("score", 6).alias("score"))
     )
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, score) — Okapi BM25 of one fixed query against
+    every document, the standard quality/relevance ranking primitive for
+    retrieval-filtered corpus curation (rank a 100 TB crawl against a
+    topic query, keep the head).
+
+      idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))      (Lucene idf)
+      tfNorm(t,d) = tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+      score(d)    = Σ_{t∈query} idf(t) · tfNorm(t,d)
+
+    Every document is returned (score 0.0 when no query term occurs),
+    so downstream threshold filters see the full population.
+
+    Scale shape: document lengths and the global (N, avgdl, per-term
+    df) are two aggregations; df only needs the |query|-term subset, so
+    the explode is filtered to query terms BEFORE the tf groupBy — the
+    shuffle carries at most |query| rows per document. The global
+    scalars attach as a one-row broadcast; no driver round trip, no
+    window, no global sort.
+    """
+    terms = sorted(set(query_terms))
+    toks = documents.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # every document participates, including empty-token ones (dl=0)
+    lens = documents.select("doc_id").join(lens, "doc_id", "left").fillna(0, ["dl"])
+    qtoks = toks.where(F.col("term").isin(terms))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    glob = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    tfnorm = (
+        tf_d
+        * F.lit(k1 + 1.0)
+        / (
+            tf_d
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(df_), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(glob))
+        .select("doc_id", (idf * tfnorm).alias("s"))
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.sum("s").alias("score")
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("score"), F.lit(0.0)), 6).alias("score"),
+        )
+    )

@@ -255,6 +255,41 @@ class PageRankClassicProgram(_PageRankBase):
         return ctx.superstep > 1 and ctx.aggs["l1"] <= self.tol
 
 
+class PageRankWeightedProgram(PageRankClassicProgram):
+    """Vermeer's ``pagerank.edge_weight_property`` mode
+    (``vermeer/algorithms/pagerank.go:100-160``): each in-edge
+    contribution is the out-degree-normalized rank *multiplied by the
+    edge weight* — ``edgeRank = old[src]/outDeg(src) · w(src,dst)``
+    (pagerank.go:144-155). The out-degree stays a plain edge COUNT (not
+    a weight sum) and the dangling term keeps the unweighted
+    ``damping/N · danglingSum`` shape (pagerank.go:96,158), exactly as
+    the reference computes it.
+
+    The weighted pass joins the raw edge table (which carries the
+    weight column) rather than the CSR/salted adjacency — those packed
+    forms drop edge properties by construction. Physical shape is the
+    same SHUFFLE_HASH state⋈edges + map-side-combined groupBy(dst)."""
+
+    name = "page_rank_weighted"
+
+    def __init__(
+        self,
+        weight_col: str,
+        damping: float = DAMPING_DEFAULT,
+        tol: float = 1e-10,
+    ):
+        super().__init__(damping, tol)
+        self.weight_col = weight_col
+
+    def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
+        return message_pass(
+            state,
+            graph.edges,  # plain-edge path: keeps the weight column in scope
+            msg_col=F.col("rank") / F.col("out_deg") * F.col(self.weight_col),
+            frontier_filter=F.col("out_deg") > 0,
+        )
+
+
 def _run(graph: Graph, program: _PageRankBase, **engine_kwargs) -> DataFrame:
     resume = engine_kwargs.pop("resume", False)
     engine = BspEngine(graph, **engine_kwargs)
@@ -312,6 +347,30 @@ def pagerank_classic(
     return _run(
         graph,
         PageRankClassicProgram(damping, tol),
+        max_supersteps=max_iterations,
+        **engine_kwargs,
+    )
+
+
+def pagerank_weighted(
+    graph: Graph,
+    weight_col: str = "weight",
+    damping: float = DAMPING_DEFAULT,
+    max_iterations: int = 50,
+    tol: float = 1e-10,
+    **engine_kwargs,
+) -> DataFrame:
+    """(id, rank) with per-edge weights — Vermeer's
+    ``pagerank.edge_weight_property`` option (pagerank.go:100-160).
+    ``tol=0`` runs exactly ``max_iterations`` supersteps (the
+    deterministic fixed-iteration mode the DuckDB oracle mirrors)."""
+    if weight_col not in graph.edges.columns:
+        raise ValueError(
+            f"unknown edge weighted property: {weight_col}"  # pagerank.go:104
+        )
+    return _run(
+        graph,
+        PageRankWeightedProgram(weight_col, damping, tol),
         max_supersteps=max_iterations,
         **engine_kwargs,
     )
