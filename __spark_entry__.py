@@ -598,6 +598,42 @@ def _q_docs_domain_mix(spark, sf_dir):
     return domain_mix(docs, DOMAIN_MIX_TARGETS).select("doc_id", "lang")
 
 
+def _q_docs_redact_pii(spark, sf_dir):
+    """PII redaction parity: the corpus carries no PII, so the query
+    first derives a deterministic PII-bearing column from doc_id
+    (synthetic email + IPv4 + phone prefixed to the text), then redacts
+    and fingerprints — the md5 compare verifies regexp semantics match
+    across engines on every row."""
+    from incubator_hugegraph_computer_spark.functions.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ping 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" call +12 345-67"),
+            F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = redact_pii(seeded)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones", F.md5("clean_text").alias("clean_fp")
+    )
+
+
+def _q_docs_length_buckets(spark, sf_dir):
+    """CCNet-style per-language quantile banding on document length."""
+    from incubator_hugegraph_computer_spark.functions.sampling import quantile_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quantile_buckets(docs, "n_chars", "lang").select("doc_id", "lang", "bucket")
+
+
 def _q_docs_span_dedup(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.dedup import span_dedup_stats
 
@@ -860,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": _q_docs_tfidf,
         "docs_bm25": _q_docs_bm25,
         "docs_domain_mix": _q_docs_domain_mix,
+        "docs_redact_pii": _q_docs_redact_pii,
+        "docs_length_buckets": _q_docs_length_buckets,
         "docs_span_dedup": _q_docs_span_dedup,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
@@ -1871,6 +1909,46 @@ SELECT doc_id, lang FROM rated
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
       CASE WHEN rate >= 1.0 THEN 'g'
            ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END
+"""
+
+    from incubator_hugegraph_computer_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    o["docs_redact_pii"] = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         concat('user', CAST(doc_id AS VARCHAR), '@example.com ping 10.0.0.',
+                CAST(doc_id % 256 AS VARCHAR), ' call +12 345-67',
+                printf('%02d', doc_id % 100), ' ', text) AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+         regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t
+       FROM seeded),
+s2 AS (SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '{PII_IP_RE}')) AS n_ips,
+         regexp_replace(t, '{PII_IP_RE}', '<IP>', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(t, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t
+       FROM s2)
+SELECT doc_id, n_emails, n_ips, n_phones, md5(t) AS clean_fp FROM s3
+"""
+
+    o["docs_length_buckets"] = """
+WITH th AS (SELECT lang,
+              quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q_lo,
+              quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS q_hi
+            FROM documents GROUP BY 1)
+SELECT d.doc_id, d.lang,
+       CASE WHEN CAST(d.n_chars AS DOUBLE) <= th.q_lo THEN 'tail'
+            WHEN CAST(d.n_chars AS DOUBLE) <= th.q_hi THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM documents d JOIN th USING(lang)
 """
 
     o["docs_stratified_sample"] = f"""

@@ -158,3 +158,41 @@ def _share_of(targets: dict[str, float], dom: Column) -> Column:
             + [F.lit(0.0)]
         )
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    domain_col: str = "lang",
+    probs: tuple[float, float] = (0.25, 0.75),
+    names: tuple[str, str, str] = ("tail", "middle", "head"),
+) -> DataFrame:
+    """Append a per-domain quantile ``bucket`` column — the CCNet-style
+    curation primitive ("keep the head tercile per language, drop the
+    tail"): thresholds are computed WITHIN each domain so a verbose
+    language doesn't push every short-form language into the tail.
+
+    Buckets: value ≤ q_lo → tail, ≤ q_hi → middle, else head, with
+    (q_lo, q_hi) the interpolated ``probs`` quantiles of ``value_col``
+    per domain (Spark ``percentile`` == DuckDB ``quantile_cont``, both
+    (1−g)·lo + g·hi at pos p·(n−1)).
+
+    Scale shape: one groupBy(domain) percentile agg (domains are few —
+    the result broadcasts), then a broadcast join + a codegen'd CASE on
+    the scan. No window, no global sort, no per-domain single task.
+    """
+    v = F.col(value_col).cast("double")
+    th = df.groupBy(domain_col).agg(
+        F.percentile(v, F.lit(float(probs[0]))).alias("__q_lo"),
+        F.percentile(v, F.lit(float(probs[1]))).alias("__q_hi"),
+    )
+    bucket = (
+        F.when(v <= F.col("__q_lo"), F.lit(names[0]))
+        .when(v <= F.col("__q_hi"), F.lit(names[1]))
+        .otherwise(F.lit(names[2]))
+    )
+    return (
+        df.join(F.broadcast(th), domain_col)
+        .withColumn("bucket", bucket)
+        .drop("__q_lo", "__q_hi")
+    )

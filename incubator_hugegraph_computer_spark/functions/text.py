@@ -291,3 +291,41 @@ def bm25_scores(
             F.round(F.coalesce(F.col("score"), F.lit(0.0)), 6).alias("score"),
         )
     )
+
+
+# PII patterns — kept to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB/Trino): explicit char classes, greedy
+# quantifiers, no backrefs/lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE_RE = r"\+?[0-9][0-9 -]{6,}[0-9]"
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, clean_text) — regex-based PII
+    redaction, the mandatory scrub pass before any web corpus ships:
+    emails → ``<EMAIL>``, IPv4s → ``<IP>``, phone-like digit runs →
+    ``<PHONE>``. Counts are taken at each stage so a downstream audit
+    can aggregate redaction volume per source/domain.
+
+    Redaction order is fixed (email, ip, phone) — phone's digit-run
+    pattern would otherwise eat dotted IPs and the digits of an address.
+
+    Scale shape: pure per-row JVM expressions (regexp_count /
+    regexp_replace inside whole-stage codegen) — no shuffle, no Python,
+    composes for free in front of dedup/filtering at 100 TB.
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    c1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(c1, F.lit(PII_IP_RE))
+    c2 = F.regexp_replace(c1, PII_IP_RE, "<IP>")
+    n_phones = F.regexp_count(c2, F.lit(PII_PHONE_RE))
+    c3 = F.regexp_replace(c2, PII_PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        c3.alias("clean_text"),
+    )

@@ -190,3 +190,67 @@ def test_domain_mix_empty_targets_raise(spark):
     docs = _mix_docs(spark)
     with pytest.raises(ValueError):
         domain_mix(docs, {})
+
+
+# ---------------------------------------------------------- PII scrub
+def test_redact_pii_counts_and_text(spark):
+    from incubator_hugegraph_computer_spark.functions.text import redact_pii
+
+    rows = [
+        (0, "mail bob.smith+x@corp.example.org now"),
+        (1, "server at 192.168.1.254 and 10.0.0.1 up"),
+        (2, "call +1 415 555-0133 or 020-7946-0958 today"),
+        (3, "alice@a.io from 8.8.8.8 dials +44 20 7946 0958"),
+        (4, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (1, 0, 0)
+    assert got[0]["clean_text"] == "mail <EMAIL> now"
+    assert (got[1]["n_emails"], got[1]["n_ips"]) == (0, 2)
+    assert got[1]["clean_text"] == "server at <IP> and <IP> up"
+    assert got[2]["n_phones"] == 2
+    assert got[2]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (1, 1, 1)
+    assert got[4]["clean_text"] == "nothing sensitive here"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_redact_pii_order_protects_ips_from_phone_pattern(spark):
+    """The digit-run phone pattern must not eat a dotted IP: redaction
+    order is email → ip → phone."""
+    from incubator_hugegraph_computer_spark.functions.text import redact_pii
+
+    docs = spark.createDataFrame([(0, "x 10.20.30.40 y")], "doc_id long, text string")
+    r = redact_pii(docs).collect()[0]
+    assert r["clean_text"] == "x <IP> y"
+    assert (r["n_ips"], r["n_phones"]) == (1, 0)
+
+
+# ------------------------------------------------- quantile buckets
+def test_quantile_buckets_per_domain(spark):
+    from incubator_hugegraph_computer_spark.functions.sampling import quantile_buckets
+
+    # domain a: 1..8 → q25 = 2.75, q75 = 6.25
+    # domain b: 100..103 → q25 = 100.75, q75 = 102.25
+    rows = [(i, "a", v) for i, v in enumerate(range(1, 9))]
+    rows += [(10 + i, "b", 100 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {r["doc_id"]: r["bucket"] for r in quantile_buckets(df, "n_chars").collect()}
+    assert [got[i] for i in range(8)] == [
+        "tail", "tail", "middle", "middle", "middle", "middle", "head", "head",
+    ]
+    assert [got[10 + i] for i in range(4)] == ["tail", "middle", "middle", "head"]
+
+
+def test_quantile_buckets_thresholds_are_per_domain_not_global(spark):
+    from incubator_hugegraph_computer_spark.functions.sampling import quantile_buckets
+
+    # all of domain b is longer than all of domain a; per-domain
+    # banding still yields heads in a and tails in b
+    rows = [(i, "a", i + 1) for i in range(8)] + [(20 + i, "b", 1000 + i) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = quantile_buckets(df, "n_chars")
+    heads_a = out.where((F.col("lang") == "a") & (F.col("bucket") == "head")).count()
+    tails_b = out.where((F.col("lang") == "b") & (F.col("bucket") == "tail")).count()
+    assert heads_a == 2 and tails_b == 2
