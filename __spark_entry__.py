@@ -74,6 +74,8 @@ BM25_B = 0.75
 # mixture targets: de is the binding domain (keeps 100%), en/zh are
 # downsampled to hold the 2:1:1 ratio, fr/es are dropped (share 0).
 DOMAIN_MIX_TARGETS = {"en": 0.5, "zh": 0.25, "de": 0.25}
+INCR_NEW_RATE = 0.3  # fraction of docs playing the incoming shard
+INCR_TAU = 0.1  # jaccard threshold for "already in the corpus"
 EMB_DIM = 64  # testdata embedding width; a real pipeline knows its dim
 
 
@@ -598,6 +600,36 @@ def _q_docs_domain_mix(spark, sf_dir):
     return domain_mix(docs, DOMAIN_MIX_TARGETS).select("doc_id", "lang")
 
 
+def _q_docs_domain_mix_tokens(spark, sf_dir):
+    """Token-mass mixture: same targets as docs_domain_mix but the
+    proportions are over Σn_chars per language, not document counts."""
+    from incubator_hugegraph_computer_spark.functions.sampling import domain_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mix(docs, DOMAIN_MIX_TARGETS, weight_col="n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _q_docs_incremental_dedup(spark, sf_dir):
+    """Delta-vs-corpus dedup: a deterministic 30% hash slice plays the
+    incoming shard, the rest the existing corpus; every shard doc gets
+    its best corpus match (or keep=1)."""
+    from incubator_hugegraph_computer_spark.functions.dedup import (
+        incremental_minhash_dedup,
+    )
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        hash_uniform,
+        hex_threshold,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_new = hash_uniform(F.col("doc_id")) < F.lit(hex_threshold(INCR_NEW_RATE))
+    return incremental_minhash_dedup(
+        docs.where(is_new), docs.where(~is_new), threshold=INCR_TAU
+    )
+
+
 def _q_docs_redact_pii(spark, sf_dir):
     """PII redaction parity: the corpus carries no PII, so the query
     first derives a deterministic PII-bearing column from doc_id
@@ -898,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_mix": _q_docs_domain_mix,
         "docs_redact_pii": _q_docs_redact_pii,
         "docs_length_buckets": _q_docs_length_buckets,
+        "docs_domain_mix_tokens": _q_docs_domain_mix_tokens,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
         "docs_span_dedup": _q_docs_span_dedup,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
@@ -1951,6 +1985,24 @@ SELECT d.doc_id, d.lang,
 FROM documents d JOIN th USING(lang)
 """
 
+    # token-mass variant: identical shape, Σn_chars instead of COUNT(*).
+    # Integer-valued double sums are exact (≪ 2^53), so the data-
+    # dependent rates are bit-identical across engines.
+    o["docs_domain_mix_tokens"] = f"""
+WITH shares AS (SELECT doc_id, lang, n_chars, CASE lang {_mix_share} ELSE 0.0 END AS share
+                FROM documents),
+cnt AS (SELECT lang, SUM(CAST(n_chars AS DOUBLE)) AS c,
+               CASE lang {_mix_share} ELSE 0.0 END AS share
+        FROM shares WHERE share > 0 GROUP BY lang),
+budget AS (SELECT MIN(c / share) AS t FROM cnt),
+rated AS (SELECT s.doc_id, s.lang, s.n_chars, c.share * (SELECT t FROM budget) / c.c AS rate
+          FROM shares s JOIN cnt c USING(lang) WHERE s.share > 0)
+SELECT doc_id, lang, n_chars FROM rated
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN rate >= 1.0 THEN 'g'
+           ELSE printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END
+"""
+
     o["docs_stratified_sample"] = f"""
 SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
@@ -2059,6 +2111,45 @@ j AS (SELECT i.doc_a, i.doc_b,
         f"WITH {minhash_pair_ctes}\n"
         "SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.1"
     )
+
+    # delta-vs-corpus: reuse the shingle/minhash/band CTEs, but pair
+    # NEW docs (30% hash slice) against CORPUS docs only, keep the best
+    # match (max jaccard, ties → lowest corpus id) per new doc.
+    _incr_thr = hex_threshold(INCR_NEW_RATE)
+    o["docs_incremental_dedup"] = f"""
+WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+mh AS (SELECT sh.doc_id, s.seed,
+              MIN(md5(s.seed::VARCHAR || '|' || sh.shingle)) AS minhash
+       FROM sh CROSS JOIN seeds s GROUP BY 1, 2),
+bk AS (SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+              md5(array_to_string(list_sort(list(minhash)), ',')) AS bucket
+       FROM mh GROUP BY doc_id, CAST(seed / 4 AS INT)),
+nw AS (SELECT doc_id FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_incr_thr}'),
+corp AS (SELECT d.doc_id FROM documents d ANTI JOIN nw USING(doc_id)),
+cand AS (SELECT DISTINCT a.doc_id, b.doc_id AS corpus_id
+         FROM bk a JOIN nw ON nw.doc_id = a.doc_id
+         JOIN bk b ON b.band = a.band AND b.bucket = a.bucket
+         JOIN corp c ON c.doc_id = b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (SELECT c.doc_id, c.corpus_id, COUNT(*) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_id
+          JOIN sh b ON b.doc_id = c.corpus_id AND b.shingle = a.shingle
+          GROUP BY 1, 2),
+j AS (SELECT i.doc_id, i.corpus_id,
+             CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) AS jaccard
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_id
+      JOIN sizes sb ON sb.doc_id = i.corpus_id
+      WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= {INCR_TAU}),
+best AS (SELECT doc_id, corpus_id, jaccard FROM
+         (SELECT doc_id, corpus_id, jaccard, ROW_NUMBER() OVER
+            (PARTITION BY doc_id ORDER BY jaccard DESC, corpus_id ASC) AS rn FROM j)
+         WHERE rn = 1)
+SELECT n.doc_id, best.corpus_id AS dup_of, ROUND(best.jaccard, 6) AS jaccard,
+       CASE WHEN best.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM nw n LEFT JOIN best ON best.doc_id = n.doc_id
+"""
 
     # transitive near-dup closure: pairs -> undirected graph -> components,
     # canonical = min member (the WCC engine on the Spark side)

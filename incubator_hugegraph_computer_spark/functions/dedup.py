@@ -422,3 +422,91 @@ def decontaminate(
             ).alias("contaminated_frac"),
         )
     )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dup_of, jaccard, keep) — dedup a NEW shard against an
+    EXISTING corpus. At 100 TB nobody re-deduplicates the whole corpus
+    when a crawl lands; the index side (corpus band buckets) is computed
+    once (or read from a maintained table) and each delta joins against
+    it: candidates = new docs sharing any LSH band bucket with a corpus
+    doc, then exact-Jaccard verify on candidates only. Every new doc is
+    returned: ``dup_of`` = the best-matching corpus doc (highest
+    jaccard ≥ threshold, ties to the lowest corpus id), ``keep`` = 1
+    iff no corpus match.
+
+    Unlike :func:`minhash_candidates`, candidates here are new×corpus
+    only — new×new pairs are deliberately NOT considered (dedup within
+    the shard is a separate, composable pass).
+    """
+    rows_per_band = num_hashes // bands
+
+    def band_key(docs: DataFrame) -> DataFrame:
+        sig = minhash_signatures(docs, num_hashes, n, text_col)
+        return (
+            sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(
+                F.md5(
+                    F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
+                ).alias("bucket")
+            )
+        )
+
+    idx = band_key(corpus).select(F.col("doc_id").alias("corpus_id"), "band", "bucket")
+    cand = (
+        band_key(new_docs)
+        .join(idx, ["band", "bucket"])
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    sh_new = shingles(new_docs, n, text_col)
+    sh_corp = shingles(corpus, n, text_col)
+    sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    sz_corp = sh_corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_corp"))
+    inter = (
+        cand.join(sh_new, "doc_id")
+        .join(
+            sh_corp.select(F.col("doc_id").alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = (
+        inter.join(sz_new, "doc_id")
+        .join(sz_corp.withColumnRenamed("doc_id", "corpus_id"), "corpus_id")
+        .select(
+            "doc_id",
+            "corpus_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_new") + F.col("n_corp") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    # best match per new doc: max jaccard, ties → lowest corpus id
+    best = j.groupBy("doc_id").agg(
+        F.max(
+            F.struct(F.col("jaccard"), (-F.col("corpus_id")).alias("nid"))
+        ).alias("b")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            (-F.col("b.nid")).cast("long").alias("dup_of"),
+            F.round("b.jaccard", 6).alias("jaccard"),
+            F.when(F.col("b").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )

@@ -94,6 +94,7 @@ def domain_mix(
     targets: dict[str, float],
     domain_col: str = "lang",
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Downsample to a target domain mixture — the training-data
     mixture-weights primitive (e.g. "the pretraining mix is 60% web /
@@ -108,6 +109,12 @@ def domain_mix(
 
     Domains absent from ``targets`` are dropped (share 0). Shares need
     not sum to 1 — only ratios matter. Expected output size is T·Σshare.
+
+    ``weight_col`` switches the mixture unit from documents to a mass
+    column (token counts, byte sizes): count_d becomes Σweight per
+    domain, so the EXPECTED OUTPUT MASS hits the target proportions —
+    what a training mix actually specifies ("30% of tokens are code",
+    not "30% of documents"). Keep/drop stays a per-row id-hash draw.
 
     Scale shape: one tiny groupBy(domain) count (map-side combined, a
     handful of rows), its min() as a one-row broadcast, then the same
@@ -128,10 +135,15 @@ def domain_mix(
             + [F.lit(0.0)]
         )
     )
+    mass = (
+        F.sum(F.col(weight_col).cast("double"))
+        if weight_col is not None
+        else F.count(F.lit(1)).cast("double")
+    )
     counts = (
         df.where(share > 0)
         .groupBy(F.col(domain_col).alias("__dom"))
-        .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+        .agg(mass.alias("__cnt"))
         .withColumn("__share", _share_of(targets, F.col("__dom")))
     )
     budget = counts.agg(F.min(F.col("__cnt") / F.col("__share")).alias("__t"))

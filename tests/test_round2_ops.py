@@ -254,3 +254,69 @@ def test_quantile_buckets_thresholds_are_per_domain_not_global(spark):
     heads_a = out.where((F.col("lang") == "a") & (F.col("bucket") == "head")).count()
     tails_b = out.where((F.col("lang") == "b") & (F.col("bucket") == "tail")).count()
     assert heads_a == 2 and tails_b == 2
+
+
+# ----------------------------------------------- incremental dedup
+def test_incremental_dedup_finds_corpus_match_only(spark):
+    """A shard doc duplicating a corpus doc is flagged with the right
+    dup_of; shard-internal duplicates are NOT flagged (separate pass);
+    novel docs keep=1."""
+    from incubator_hugegraph_computer_spark.functions.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely different corpus text about spark shuffles")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                       # dup of corpus 100
+            (2, "a wholly novel document about bsp supersteps"),
+            (3, "a wholly novel document about bsp supersteps"),  # dup of 2 — in-shard
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in incremental_minhash_dedup(new, corpus, threshold=0.5).collect()
+    }
+    assert got[1]["dup_of"] == 100 and got[1]["keep"] == 0
+    assert got[1]["jaccard"] == pytest.approx(1.0)
+    # in-shard duplicates are invisible to the delta pass
+    assert got[2]["keep"] == 1 and got[2]["dup_of"] is None
+    assert got[3]["keep"] == 1 and got[3]["dup_of"] is None
+
+
+def test_incremental_dedup_best_match_tiebreak(spark):
+    """Ties on jaccard resolve to the lowest corpus id."""
+    from incubator_hugegraph_computer_spark.functions.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    txt = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(200, txt), (150, txt)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = incremental_minhash_dedup(new, corpus, threshold=0.5).collect()[0]
+    assert r["dup_of"] == 150 and r["keep"] == 0
+
+
+def test_domain_mix_token_weighted_mass(spark):
+    """With weight_col the OUTPUT MASS (not doc count) approximates the
+    target proportions: long docs in one domain → fewer docs kept."""
+    from incubator_hugegraph_computer_spark.functions.sampling import domain_mix
+
+    rows = [(i, "a", 100) for i in range(300)]          # mass 30000
+    rows += [(1000 + i, "b", 10) for i in range(300)]   # mass 3000
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = domain_mix(df, {"a": 0.5, "b": 0.5}, weight_col="n_chars").collect()
+    mass = {}
+    for r in out:
+        mass[r["lang"]] = mass.get(r["lang"], 0) + r["n_chars"]
+    # binding domain b keeps everything (3000); a is downsampled to
+    # ~3000 mass (rate 0.1 → 30 docs expected, binomial slack)
+    assert mass["b"] == 3000
+    assert 1500 <= mass["a"] <= 4500
