@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--algorithm",
         required=True,
         choices=[
-            "pagerank", "pagerank_classic", "wcc", "lpa", "lpa_sync",
+            "pagerank", "pagerank_classic", "pagerank_weighted", "wcc", "lpa", "lpa_sync",
             "triangle_count", "degree", "kcore", "scc", "clustering_coefficient",
             "rings", "random_walk", "betweenness", "closeness", "louvain",
             "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
@@ -136,7 +136,13 @@ def run(args: argparse.Namespace) -> dict:
         else:
             files = spark.read.format(args.input_format).load(args.input)
 
-        vertices, edges = extract_edges(files, verify=not args.no_verify_sha)
+        # weighted pagerank rides the EdgeFrequency.MULTIPLE view:
+        # weight = import multiplicity (extractor.py extract_edges)
+        vertices, edges = extract_edges(
+            files,
+            verify=not args.no_verify_sha,
+            weighted=args.algorithm == "pagerank_weighted",
+        )
         graph = Graph(
             vertices.select("id"), edges, num_partitions=args.partitions
         ).cache()
@@ -172,10 +178,13 @@ def run(args: argparse.Namespace) -> dict:
     if args.max_supersteps:
         if args.algorithm in ("pagerank", "wcc", "lpa", "lpa_sync"):
             iter_kwargs["max_supersteps"] = args.max_supersteps
-        elif args.algorithm == "pagerank_classic":
+        elif args.algorithm in ("pagerank_classic", "pagerank_weighted"):
             iter_kwargs["max_iterations"] = args.max_supersteps
 
     from incubator_hugegraph_computer_spark.operators.betweenness import betweenness
+    from incubator_hugegraph_computer_spark.operators.pagerank import (
+        pagerank_weighted as _pagerank_weighted,
+    )
     from incubator_hugegraph_computer_spark.operators.closeness import closeness
     from incubator_hugegraph_computer_spark.operators.clustering_coefficient import (
         clustering_coefficient,
@@ -201,6 +210,7 @@ def run(args: argparse.Namespace) -> dict:
             graph, method=args.method,
             **({"stride": args.stride} if args.stride else {}), **iter_kwargs),
         "pagerank_classic": lambda: pagerank_classic(graph, **iter_kwargs),
+        "pagerank_weighted": lambda: _pagerank_weighted(graph, **iter_kwargs),
         "wcc": lambda: wcc(graph, method=args.wcc_method, **iter_kwargs),
         "lpa": lambda: lpa(
             graph, method=args.method,

@@ -133,12 +133,19 @@ def extract_edges(
     catalog: DataFrame | None = None,
     verify: bool = True,
     broadcast_catalog: bool | None = None,
+    weighted: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full ingest: verify → extract refs → resolve → dedup.
 
-    Returns (vertices ``(id, repo, path)``, edges ``(src, dst)``).
+    Returns (vertices ``(id, repo, path)``, edges ``(src, dst)`` — or
+    ``(src, dst, weight)`` with ``weighted=True``).
     Edge dedup implements EdgeFrequency.SINGLE
-    (``computer-api/.../config/EdgeFrequency.java:26-29``).
+    (``computer-api/.../config/EdgeFrequency.java:26-29``);
+    ``weighted=True`` is the EdgeFrequency.MULTIPLE view folded to one
+    edge per pair with the reference multiplicity as ``weight`` (how
+    often src imports dst) — the natural edge weight for
+    ``pagerank_weighted``. Same single shuffle either way (distinct and
+    groupBy hash on the same (src,dst) key).
 
     The resolve is a join of the exploded reference tokens against the
     catalog on ``module``; for catalogs that fit in executor memory pass
@@ -161,12 +168,17 @@ def extract_edges(
     dst_side = catalog.select(F.col("id").alias("dst"), F.col("module").alias("module"))
     if broadcast_catalog:
         dst_side = F.broadcast(dst_side)
-    edges = (
+    raw = (
         refs.join(src_side, ["repo", "path"])
         .join(dst_side, "module")
         .select("src", "dst")
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
+    if weighted:
+        edges = raw.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("double").alias("weight")
+        )
+    else:
+        edges = raw.distinct()
     vertices = catalog.select("id", "repo", "path")
     return vertices, edges

@@ -320,3 +320,19 @@ def test_domain_mix_token_weighted_mass(spark):
     # ~3000 mass (rate 0.1 → 30 docs expected, binomial slack)
     assert mass["b"] == 3000
     assert 1500 <= mass["a"] <= 4500
+
+
+def test_extract_edges_weighted_multiplicity(spark):
+    """weighted=True = EdgeFrequency.MULTIPLE folded to (src,dst,weight):
+    same edge set as SINGLE, weight = import multiplicity >= 1."""
+    from incubator_hugegraph_computer_spark.sources.extractor import extract_edges
+    from incubator_hugegraph_computer_spark.sources.repo_files import generate_repo_files
+
+    files = generate_repo_files(spark, 60, seed=7).cache()
+    _, single = extract_edges(files, verify=False)
+    _, multi = extract_edges(files, verify=False, weighted=True)
+    s = {(r["src"], r["dst"]) for r in single.collect()}
+    m = {(r["src"], r["dst"]): r["weight"] for r in multi.collect()}
+    assert set(m) == s  # identical edge set
+    assert all(w >= 1.0 for w in m.values())
+    assert any(w > 1.0 for w in m.values())  # multiplicity is real
