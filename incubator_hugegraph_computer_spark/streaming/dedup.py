@@ -79,3 +79,75 @@ def run_dedup_stream(
         .start()
         .awaitTermination()
     )
+
+
+def run_neardup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    survivors_dir: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming NEAR-dup ingestion: each micro-batch is deduplicated
+    against the accumulated survivor corpus with
+    :func:`...dedup.incremental_minhash_dedup` (LSH band-bucket index
+    join + exact-Jaccard verify), then pruned within the batch, and the
+    novel remainder is appended to the survivor corpus — which IS the
+    index the next batch joins against. ``foreachBatch`` runs batches
+    sequentially, so the read-then-append on ``survivors_dir`` is safe.
+
+    Keep rule (deterministic, tested against a sequential oracle): a doc
+    survives iff it has no match ≥ ``threshold`` with any EARLIER
+    survivor, and no match with any lower-id doc of its own batch
+    (conservative within-batch pruning — a batch is one crawl shard).
+
+    At 100 TB the survivor corpus is a table; its band-bucket index is
+    what each delta joins — candidate volume is bucket-bounded, the
+    full corpus is never rescanned per batch (only its signatures).
+    """
+    import os
+
+    from incubator_hugegraph_computer_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        minhash_candidates,
+    )
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def process(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.persist()
+        has_index = os.path.isdir(survivors_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(survivors_dir)
+        )
+        novel = batch
+        if has_index:
+            corpus = spark.read.parquet(survivors_dir)
+            verdict = incremental_minhash_dedup(
+                batch, corpus, num_hashes, bands, n, threshold
+            )
+            keep = verdict.where(F.col("keep") == 1).select("doc_id")
+            novel = batch.join(keep, "doc_id", "left_semi")
+        # within-batch: drop any doc matching a lower-id doc in the batch
+        losers = minhash_candidates(
+            novel, num_hashes, bands, n, threshold
+        ).select(F.col("doc_b").alias("doc_id")).distinct()
+        survivors = novel.join(losers, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(survivors_dir)
+        batch.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -106,3 +106,40 @@ def test_windowed_dedup_bounds_state(spark, tmp_path):
     # 0 survives, 1 suppressed (within watermark), 2 re-admitted after
     # state eviction, 3 and 4 distinct texts
     assert got == [0, 2, 3, 4]
+
+
+def test_neardup_stream_matches_sequential_oracle(spark, tmp_path):
+    """Streaming near-dup ingestion: survivors == greedy sequential
+    dedup (no match vs earlier survivors; no lower-id match in-batch)."""
+    from incubator_hugegraph_computer_spark.streaming.dedup import run_neardup_stream
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base_b = "one two three four five six seven eight nine ten eleven"
+    base_c = "spark shuffle partition broadcast join aggregate scan filter sort window"
+    # batch 0: a, b, and an exact in-batch dup of a (doc 2 dies in-batch)
+    # batch 1: dup of a (dies vs index), c (novel), dup of b (dies vs index)
+    # batch 2: dup of c (dies vs index), novel d
+    batches = [
+        [(0, base_a), (1, base_b), (2, base_a)],
+        [(10, base_a), (11, base_c), (12, base_b)],
+        [(20, base_c), (21, "completely novel closing text about bsp graph engines and supersteps")],
+    ]
+    src = tmp_path / "nsrc"
+    src.mkdir()
+    for k, part in enumerate(batches):
+        df = spark.createDataFrame(part, "doc_id long, text string").coalesce(1)
+        pdir = str(src / f"b{k}.tmp")
+        df.write.mode("overwrite").parquet(pdir)
+        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        dest = str(src / f"part-{k:05d}.parquet")
+        os.rename(os.path.join(pdir, fname), dest)
+        ts = time.time() + k
+        os.utime(dest, (ts, ts))
+
+    out = str(tmp_path / "survivors")
+    run_neardup_stream(
+        spark, str(src), str(tmp_path / "nck"), out, threshold=0.5,
+        max_files_per_trigger=1,
+    )
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 11, 21]
