@@ -157,13 +157,7 @@ def minhash_candidates(
     sharing any band bucket become candidates → exact Jaccard verify.
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, doc_a <
     doc_b."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, n, text_col)
-    band_key = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("bucket"))
-    )
+    band_key = lsh_band_buckets(documents, num_hashes, bands, n, text_col)
     a = band_key.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = band_key.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
@@ -300,6 +294,11 @@ def dedup_clusters(
     from incubator_hugegraph_computer_spark.graph import Graph
     from incubator_hugegraph_computer_spark.operators.wcc import wcc
 
+    # minhash_candidates/shingles key on 'doc_id'; normalize a custom
+    # id_col at the boundary so edges and vertices share one id space
+    if id_col != "doc_id":
+        documents = documents.withColumnRenamed(id_col, "doc_id")
+        id_col = "doc_id"
     pairs = minhash_candidates(documents, num_hashes, bands, n, threshold, text_col)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = documents.select(F.col(id_col).alias("id"))
@@ -424,52 +423,77 @@ def decontaminate(
     )
 
 
+def lsh_band_buckets(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, band, bucket) — the banded-minhash LSH key table. This
+    IS the persistable dedup index: compute it once per corpus version
+    (or append per ingested shard) and every later delta joins it
+    instead of re-hashing the corpus."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n, text_col)
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
+            ).alias("bucket")
+        )
+    )
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    corpus_index: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, dup_of, jaccard, keep) — dedup a NEW shard against an
     EXISTING corpus. At 100 TB nobody re-deduplicates the whole corpus
     when a crawl lands; the index side (corpus band buckets) is computed
-    once (or read from a maintained table) and each delta joins against
-    it: candidates = new docs sharing any LSH band bucket with a corpus
-    doc, then exact-Jaccard verify on candidates only. Every new doc is
-    returned: ``dup_of`` = the best-matching corpus doc (highest
-    jaccard ≥ threshold, ties to the lowest corpus id), ``keep`` = 1
-    iff no corpus match.
+    once and each delta joins against it: candidates = new docs sharing
+    any LSH band bucket with a corpus doc, then exact-Jaccard verify on
+    candidates only. Every new doc is returned: ``dup_of`` = the
+    best-matching corpus doc (highest jaccard ≥ threshold, ties to the
+    lowest corpus id), ``keep`` = 1 iff no corpus match.
+
+    Pass ``corpus_index`` (a persisted :func:`lsh_band_buckets` table,
+    columns (doc_id|corpus_id, band, bucket)) and ``corpus_shingles``
+    (a persisted :func:`shingles` table) to skip re-hashing the corpus —
+    the repeated-delta path MUST do this or each call re-tokenizes and
+    re-minhashes the whole corpus (O(deltas × corpus) compute).
+    ``corpus`` may then be None.
 
     Unlike :func:`minhash_candidates`, candidates here are new×corpus
     only — new×new pairs are deliberately NOT considered (dedup within
     the shard is a separate, composable pass).
     """
-    rows_per_band = num_hashes // bands
-
-    def band_key(docs: DataFrame) -> DataFrame:
-        sig = minhash_signatures(docs, num_hashes, n, text_col)
-        return (
-            sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-            .groupBy("doc_id", "band")
-            .agg(
-                F.md5(
-                    F.concat_ws(",", F.sort_array(F.collect_list("minhash")))
-                ).alias("bucket")
-            )
-        )
-
-    idx = band_key(corpus).select(F.col("doc_id").alias("corpus_id"), "band", "bucket")
+    if corpus_index is None:
+        corpus_index = lsh_band_buckets(corpus, num_hashes, bands, n, text_col)
+    if "corpus_id" not in corpus_index.columns:
+        corpus_index = corpus_index.withColumnRenamed("doc_id", "corpus_id")
     cand = (
-        band_key(new_docs)
-        .join(idx, ["band", "bucket"])
+        lsh_band_buckets(new_docs, num_hashes, bands, n, text_col)
+        .join(corpus_index, ["band", "bucket"])
         .select("doc_id", "corpus_id")
         .distinct()
     )
     sh_new = shingles(new_docs, n, text_col)
-    sh_corp = shingles(corpus, n, text_col)
+    sh_corp = (
+        shingles(corpus, n, text_col)
+        if corpus_shingles is None
+        else corpus_shingles.withColumnRenamed("corpus_id", "doc_id")
+    )
     sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
     sz_corp = sh_corp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_corp"))
     inter = (

@@ -126,15 +126,7 @@ def domain_mix(
     """
     if not targets:
         raise ValueError("domain_mix needs at least one target share")
-    share = F.coalesce(
-        *(
-            [
-                F.when(F.col(domain_col) == d, F.lit(float(s)))
-                for d, s in sorted(targets.items())
-            ]
-            + [F.lit(0.0)]
-        )
-    )
+    share = _share_of(targets, F.col(domain_col))
     mass = (
         F.sum(F.col(weight_col).cast("double"))
         if weight_col is not None

@@ -302,6 +302,33 @@ def _lloyd_centroids(emb: DataFrame, k: int, iters: int) -> DataFrame:
     return cents
 
 
+def _emb_view(embeddings, id_col: str, vec_col: str):
+    """The shared (vec_id, v double[]) projection every k-means path
+    starts from — build it ONCE per operator and pass it down; a second
+    call means a second scan+cast of the embedding table."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _assign_to(emb, cents):
+    """Final cluster assignment: broadcast centroids, argmin via
+    min(struct(d2, cid)) — ties to the lowest cluster id."""
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
+    )
+    return (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster"),
+            F.round(F.col("m.d2"), 6).alias("d2"),
+        )
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 8,
@@ -312,10 +339,7 @@ def kmeans_centroids(
     """(cid, cv) — the trained Lloyd centroid table alone, for feeding
     :func:`ivf_topk` (trained inverted lists) or any assign-only reuse.
     Same deterministic init/tie rules as :func:`kmeans_assign`."""
-    emb = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).persist()
+    emb = _emb_view(embeddings, id_col, vec_col).persist()
     return _lloyd_centroids(emb, k, iters)
 
 
@@ -346,25 +370,9 @@ def kmeans_assign(
     shuffle volume N·dim numbers, the size of the input, with map-side
     partial means. Nothing collects to the driver.
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).persist()
+    emb = _emb_view(embeddings, id_col, vec_col).persist()
     cents = _lloyd_centroids(emb, k, iters)
-    # final assignment against the last centroid update
-    d = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
-    )
-    out = (
-        d.groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("m"))
-        .select(
-            "vec_id",
-            F.col("m.cid").alias("cluster"),
-            F.round(F.col("m.d2"), 6).alias("d2"),
-        )
-    )
-    return out
+    return _assign_to(emb, cents)
 
 
 def semantic_dedup(
@@ -390,11 +398,11 @@ def semantic_dedup(
     cluster id; AQE splits skewed (oversized) clusters. Nothing
     all-pairs, nothing collects.
     """
-    emb = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    assign = kmeans_assign(embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    # ONE (vec_id, v) projection feeds training, assignment, and the
+    # within-cluster pair stage — not one per sub-call
+    emb = _emb_view(embeddings, id_col, vec_col).persist()
+    cents = _lloyd_centroids(emb, k, iters)
+    assign = _assign_to(emb, cents)
     clustered = assign.select("vec_id", "cluster").join(emb, "vec_id")
     hi = clustered.select(
         F.col("vec_id").alias("__hi"), F.col("cluster").alias("__c"), F.col("v").alias("__hv")

@@ -121,7 +121,17 @@ class SsspPathProgram(BspProgram):
     def __init__(self, source: int, targets="*", weight_col: str | None = None,
                  default_weight: float = 1.0):
         self.source = source
-        self.targets = None if targets == "*" else [int(t) for t in targets]
+        # OPTION_TARGET_ID parsing (SingleSourceShortestPath.java:100-118):
+        # '*' = all; a bare string is comma-separated ids (NOT iterated
+        # per character); else any iterable of ids
+        if targets == "*":
+            self.targets = None
+        elif isinstance(targets, str):
+            self.targets = [int(t) for t in targets.split(",")]
+        elif isinstance(targets, int):
+            self.targets = [targets]
+        else:
+            self.targets = [int(t) for t in targets]
         self.weight_col = weight_col
         self.default_weight = default_weight
 

@@ -37,7 +37,12 @@ def write_hdfs_text(
     (HdfsOutput.writeString semantics); ``merge=True`` = the
     HdfsOutputMerger partition-file merge (single output file)."""
     df = _filtered(result, output_filter)
-    line = F.concat_ws(delimiter, *[F.col(c).cast("string") for c in df.columns])
+    # concat_ws SKIPS nulls (shifting later fields left); coalesce each
+    # field to '' so every line keeps its full column positions
+    line = F.concat_ws(
+        delimiter,
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns],
+    )
     out = df.select(line.alias("value"))
     if merge:
         out = out.coalesce(1)

@@ -140,16 +140,20 @@ class PropertyGraph:
 
     def as_graph(self, weight_property: str | None = None) -> Graph:
         """Plain algorithm view; ``weight_property`` extracts a numeric
-        edge property into a ``weight`` column (the reference's
-        ``weightProperty`` lookup with default handling)."""
+        edge property into a ``weight`` column. Edges missing the
+        property default to weight 1.0 — the reference's null-weight
+        rule (``DegreeCentrality.weightValue``, DegreeCentrality.java:
+        78-80) — never NULL, which a downstream sum would silently
+        skip."""
         e = self.edges.select("src", "dst")
         if weight_property is not None:
             e = self.edges.select(
                 "src",
                 "dst",
-                F.element_at(F.col("properties"), weight_property)
-                .cast("double")
-                .alias("weight"),
+                F.coalesce(
+                    F.element_at(F.col("properties"), weight_property).cast("double"),
+                    F.lit(1.0),
+                ).alias("weight"),
             )
         return Graph(self.vertices.select("id"), e, self.num_partitions)
 

@@ -105,29 +105,43 @@ def run_neardup_stream(
     survivor, and no match with any lower-id doc of its own batch
     (conservative within-batch pruning — a batch is one crawl shard).
 
-    At 100 TB the survivor corpus is a table; its band-bucket index is
-    what each delta joins — candidate volume is bucket-bounded, the
-    full corpus is never rescanned per batch (only its signatures).
+    The corpus is NEVER re-hashed: alongside the survivor docs the
+    stream maintains two side tables — ``<survivors_dir>_index``
+    (persisted :func:`lsh_band_buckets`) and ``<survivors_dir>_shingles``
+    — appending each batch's novel rows. Every batch joins those
+    precomputed tables (bucket-bounded candidates, shingle join only on
+    candidates), so per-batch compute is O(batch + candidates), not
+    O(corpus).
     """
     import os
 
     from incubator_hugegraph_computer_spark.functions.dedup import (
         incremental_minhash_dedup,
+        lsh_band_buckets,
         minhash_candidates,
+        shingles,
     )
 
     schema = spark.read.parquet(source_dir).schema
+    index_dir = survivors_dir + "_index"
+    shingles_dir = survivors_dir + "_shingles"
+
+    def _nonempty(d: str) -> bool:
+        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
 
     def process(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.persist()
-        has_index = os.path.isdir(survivors_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(survivors_dir)
-        )
         novel = batch
-        if has_index:
-            corpus = spark.read.parquet(survivors_dir)
+        if _nonempty(survivors_dir):
             verdict = incremental_minhash_dedup(
-                batch, corpus, num_hashes, bands, n, threshold
+                batch,
+                None,
+                num_hashes,
+                bands,
+                n,
+                threshold,
+                corpus_index=spark.read.parquet(index_dir),
+                corpus_shingles=spark.read.parquet(shingles_dir),
             )
             keep = verdict.where(F.col("keep") == 1).select("doc_id")
             novel = batch.join(keep, "doc_id", "left_semi")
@@ -135,8 +149,16 @@ def run_neardup_stream(
         losers = minhash_candidates(
             novel, num_hashes, bands, n, threshold
         ).select(F.col("doc_b").alias("doc_id")).distinct()
-        survivors = novel.join(losers, "doc_id", "left_anti")
+        survivors = novel.join(losers, "doc_id", "left_anti").persist()
         survivors.write.mode("append").parquet(survivors_dir)
+        # maintain the index side tables for the next batch
+        lsh_band_buckets(survivors, num_hashes, bands, n).write.mode(
+            "append"
+        ).parquet(index_dir)
+        shingles(survivors, n).withColumnRenamed("doc_id", "corpus_id").write.mode(
+            "append"
+        ).parquet(shingles_dir)
+        survivors.unpersist()
         batch.unpersist()
 
     stream = (
