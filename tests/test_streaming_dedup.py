@@ -143,3 +143,35 @@ def test_neardup_stream_matches_sequential_oracle(spark, tmp_path):
     )
     got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert got == [0, 1, 11, 21]
+
+
+def test_neardup_stream_restart_continues_index(spark, tmp_path):
+    """Restarting the stream (same checkpoint) after new files land must
+    dedup the new batch against survivors from the PREVIOUS run — the
+    side-table index persists across restarts."""
+    from incubator_hugegraph_computer_spark.streaming.dedup import run_neardup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = tmp_path / "rsrc"
+    src.mkdir()
+
+    def land(k, part):
+        df = spark.createDataFrame(part, "doc_id long, text string").coalesce(1)
+        pdir = str(src / f"b{k}.tmp")
+        df.write.mode("overwrite").parquet(pdir)
+        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        dest = str(src / f"part-{k:05d}.parquet")
+        os.rename(os.path.join(pdir, fname), dest)
+        ts = time.time() + k
+        os.utime(dest, (ts, ts))
+
+    out, ck = str(tmp_path / "rsurv"), str(tmp_path / "rck")
+    land(0, [(0, base), (1, "totally unrelated first-run text about executors")])
+    run_neardup_stream(spark, str(src), ck, out, threshold=0.5)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [0, 1]
+
+    # second run: one dup of a run-1 survivor, one novel doc
+    land(1, [(10, base), (11, "fresh second-run content about checkpoint resume")])
+    run_neardup_stream(spark, str(src), ck, out, threshold=0.5)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 11]  # 10 died against the restored index
