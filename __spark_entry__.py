@@ -871,6 +871,15 @@ def _q_events_props(spark, sf_dir):
     return props_stats(events)
 
 
+def _q_events_funnel(spark, sf_dir):
+    """signup → view → purchase ordered funnel, earliest-completion
+    semantics: step k counts only strictly after step k-1's time."""
+    from incubator_hugegraph_computer_spark.streaming.events import funnel
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(events)
+
+
 def _q_events_hourly(spark, sf_dir):
     from incubator_hugegraph_computer_spark.streaming.events import windowed_event_counts
 
@@ -953,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_ivf_trained_topk": _q_emb_ivf_trained_topk,
         "events_props": _q_events_props,
+        "events_funnel": _q_events_funnel,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
     }
@@ -2189,6 +2199,21 @@ proj AS (SELECT f.vec_id, w.plane, SUM(CAST(f.x AS DOUBLE) * w.w) AS p
 SELECT vec_id,
        CAST(SUM(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
 FROM proj GROUP BY vec_id
+"""
+
+    o["events_funnel"] = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT u.user_id,
+       (CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS step,
+       t1 AS t_signup, t2 AS t_view, t3 AS t_purchase
+FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id)
 """
 
     o["events_props"] = """

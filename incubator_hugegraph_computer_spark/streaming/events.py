@@ -71,3 +71,45 @@ def stream_windowed_event_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("signup", "view", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, step, t_step1, t_step2, ...) — ordered-funnel analysis:
+    ``step`` = how deep the user got, where step k counts only if its
+    FIRST qualifying event happens strictly after the user's step-(k-1)
+    time (earliest-completion semantics). The standard product-analytics
+    sequence query, kept strictly relational so it runs identically on
+    a 100 TB event log.
+
+    Scale shape: one filtered min-agg per funnel stage (map-side
+    combined, keyed by user) chained by hash joins on the user key —
+    every join reuses the same partitioning; no window over event rows,
+    no per-user sort.
+    """
+    out = events.select(F.col(user_col).alias("user_id")).distinct()
+    prev = None  # DataFrame (user_id, t_k) of the previous stage
+    tcols = []
+    for k, step in enumerate(steps, start=1):
+        stage = events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("__et"),
+        ).where(F.col("__et") == step)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").where(F.col("__ts") > F.col(f"t{k-1}"))
+        cur = stage.groupBy("user_id").agg(F.min("__ts").alias(f"t{k}"))
+        out = out.join(cur, "user_id", "left")
+        prev = cur
+        tcols.append(f"t{k}")
+    step_expr = sum(
+        (F.col(c).isNotNull()).cast("int") for c in tcols
+    )  # t_k non-null ⇒ all earlier non-null by construction
+    return out.select(
+        "user_id", step_expr.alias("step"), *[F.col(c).alias(f"t_{s}") for c, s in zip(tcols, steps)]
+    )

@@ -336,3 +336,33 @@ def test_extract_edges_weighted_multiplicity(spark):
     assert set(m) == s  # identical edge set
     assert all(w >= 1.0 for w in m.values())
     assert any(w > 1.0 for w in m.values())  # multiplicity is real
+
+
+def test_funnel_ordered_semantics(spark):
+    """Steps count only strictly AFTER the previous step's first time;
+    pre-signup views don't count, equal timestamps don't count."""
+    from datetime import datetime
+
+    from incubator_hugegraph_computer_spark.streaming.events import funnel
+
+    T = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, T(1), "signup"), (1, T(2), "view"), (1, T(3), "purchase"),
+        # user 2: view BEFORE signup only → step 1
+        (2, T(1), "view"), (2, T(2), "signup"), (2, T(3), "purchase"),
+        # user 3: purchase before view → signup+view only (step 2)
+        (3, T(1), "signup"), (3, T(2), "purchase"), (3, T(3), "view"),
+        # user 4: view at the SAME instant as signup → not after → step 1
+        (4, T(1), "signup"), (4, T(1), "view"),
+        # user 5: never signs up → step 0
+        (5, T(1), "view"), (5, T(2), "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r["user_id"]: r["step"] for r in funnel(events).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 1, 5: 0}
+    # user 2's purchase (after signup but with no qualifying view) must not leak in
+    full = {r["user_id"]: r.asDict() for r in funnel(events).collect()}
+    assert full[2]["t_view"] is None and full[2]["t_purchase"] is None
