@@ -880,6 +880,14 @@ def _q_events_funnel(spark, sf_dir):
     return funnel(events)
 
 
+def _q_events_retention(spark, sf_dir):
+    """Cohort retention by first-activity day."""
+    from incubator_hugegraph_computer_spark.streaming.events import cohort_retention
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(events)
+
+
 def _q_events_hourly(spark, sf_dir):
     from incubator_hugegraph_computer_spark.streaming.events import windowed_event_counts
 
@@ -963,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_trained_topk": _q_emb_ivf_trained_topk,
         "events_props": _q_events_props,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
     }
@@ -2214,6 +2223,20 @@ SELECT u.user_id,
         + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS step,
        t1 AS t_signup, t2 AS t_view, t3 AS t_purchase
 FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id)
+"""
+
+    o["events_retention"] = """
+WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM acts GROUP BY 1),
+joined AS (SELECT a.user_id, f.cohort_day,
+                  datediff('day', f.cohort_day, a.day) AS day_offset
+           FROM acts a JOIN first f USING(user_id)),
+cell AS (SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_users
+         FROM joined GROUP BY 1, 2),
+sz AS (SELECT cohort_day, n_users AS s FROM cell WHERE day_offset = 0)
+SELECT c.cohort_day, c.day_offset, c.n_users,
+       ROUND(CAST(c.n_users AS DOUBLE) / sz.s, 6) AS retention
+FROM cell c JOIN sz USING(cohort_day)
 """
 
     o["events_props"] = """

@@ -113,3 +113,43 @@ def funnel(
     return out.select(
         "user_id", step_expr.alias("step"), *[F.col(c).alias(f"t_{s}") for c, s in zip(tcols, steps)]
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users, retention) — classic cohort
+    retention: users are grouped by their FIRST-activity day; for each
+    later day offset, the fraction of the cohort active that day.
+
+    Scale shape: first-activity is one min-agg keyed by user; the
+    activity join is keyed by the same user column (co-partitioned);
+    the final rollup is a tiny (days × offsets) aggregate. No window,
+    no per-user sort.
+    """
+    acts = events.select(
+        F.col(user_col).alias("user_id"), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    first = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    joined = acts.join(first, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+    )
+    per_cell = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    size = per_cell.where(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_users").alias("__size")
+    )
+    return (
+        per_cell.join(size, "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("__size"), 6).alias("retention"),
+        )
+    )

@@ -366,3 +366,29 @@ def test_funnel_ordered_semantics(spark):
     # user 2's purchase (after signup but with no qualifying view) must not leak in
     full = {r["user_id"]: r.asDict() for r in funnel(events).collect()}
     assert full[2]["t_view"] is None and full[2]["t_purchase"] is None
+
+
+def test_cohort_retention_fractions(spark):
+    from datetime import datetime
+
+    from incubator_hugegraph_computer_spark.streaming.events import cohort_retention
+
+    D = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # cohort day 1: users 1,2 — user 1 returns day 2, both day 3
+        (1, D(1)), (2, D(1)), (1, D(2)), (1, D(3)), (2, D(3)),
+        # cohort day 2: user 3 only, never returns
+        (3, D(2)),
+        # duplicate same-day events must not inflate counts
+        (2, D(1, 5)),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): (r["n_users"], r["retention"])
+        for r in cohort_retention(events).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 0.5)
+    assert got[("2024-01-01", 2)] == (2, 1.0)
+    assert got[("2024-01-02", 0)] == (1, 1.0)
+    assert ("2024-01-02", 1) not in got
