@@ -792,6 +792,26 @@ def _q_media_byte_stats(spark, sf_dir):
     return raw.select("doc_id", "n_bytes", "byte_sum", F.round("byte_mean", 6).alias("byte_mean"))
 
 
+def _q_media_resize(spark, sf_dir):
+    """Decode -> integer mean-pool resize (factor 4) -> re-encode ->
+    decode again -> closed-form byte stats. Exercises the full media
+    round-trip (two Arrow mapInPandas hops over binary payloads); the
+    floor-mean pooling is integer-exact so DuckDB replays it from the
+    UTF-8 bytes."""
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        byte_stats,
+        media_from_documents,
+        resize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    resized = resize(media_from_documents(docs), factor=4)
+    raw = byte_stats(resized).withColumnRenamed("media_id", "doc_id")
+    return raw.select(
+        "doc_id", "n_bytes", "byte_sum", F.round("byte_mean", 6).alias("byte_mean")
+    )
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.similarity import cosine_topk
 
@@ -963,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_simhash": _q_docs_simhash,
         "media_byte_stats": _q_media_byte_stats,
+        "media_resize": _q_media_resize,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_near_dup": _q_emb_near_dup,
@@ -1506,6 +1527,23 @@ FROM documents d
 LEFT JOIN (SELECT doc_id, SUM(ascii(c)) AS byte_sum,
                   ROUND(AVG(ascii(c)), 6) AS byte_mean
            FROM ch GROUP BY doc_id) s USING (doc_id)
+"""
+
+    o["media_resize"] = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c,
+                   unnest(generate_series(1, strlen(text))) AS pos
+            FROM documents),
+blk AS (SELECT doc_id, CAST(floor((pos - 1) / 4) AS BIGINT) AS blk,
+               SUM(ascii(c)) // COUNT(*) AS v
+        FROM ch GROUP BY doc_id, floor((pos - 1) / 4)),
+st AS (SELECT doc_id, COUNT(*) AS n_bytes, SUM(v) AS byte_sum,
+              ROUND(AVG(v), 6) AS byte_mean
+       FROM blk GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(st.n_bytes, 0) AS n_bytes,
+       COALESCE(st.byte_sum, 0) AS byte_sum,
+       COALESCE(st.byte_mean, 0.0) AS byte_mean
+FROM documents d LEFT JOIN st USING (doc_id)
 """
 
     o["graph_wcc"] = f"""

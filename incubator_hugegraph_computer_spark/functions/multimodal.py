@@ -128,6 +128,57 @@ def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     return media.mapInPandas(kernel, schema="media_id long, frame_no int, frame binary")
 
 
+def resize(media: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize plumbing: decode, mean-pool every ``factor`` consecutive
+    samples, re-encode the pooled grid as the new payload. Pooling uses
+    the INTEGER floor mean (sum // count) so the resized bytes are exact
+    and an external SQL oracle can verify them bit-for-bit; a real
+    deployment swaps the pooling kernel for a codec-backed resample
+    (PIL/ffmpeg — not in this container) without touching the Spark
+    shape: mapInPandas, media schema in == media schema out, payload
+    column pruned from stages that don't touch bytes.
+
+    The reference engine has no media operators (SURVEY.md §2.9); this
+    is training-pipeline surface."""
+    if factor < 1:
+        raise ValueError(f"resize factor must be >= 1, got {factor}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                arr = _decode_stub(payload, kind).astype(np.int64)
+                if len(arr) == 0:
+                    payloads.append(b"")
+                    metas.append(
+                        {"width": 0, "height": 1, "sample_rate": None, "n_frames": None}
+                    )
+                    continue
+                idx = np.arange(0, len(arr), factor)
+                sums = np.add.reduceat(arr, idx)
+                counts = np.diff(np.append(idx, len(arr)))
+                pooled = (sums // counts).astype(np.uint8)
+                payloads.append(pooled.tobytes())
+                metas.append(
+                    {
+                        "width": int(len(pooled)),
+                        "height": 1,
+                        "sample_rate": None,
+                        "n_frames": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def media_from_documents(documents: DataFrame) -> DataFrame:
     """Treat each document's UTF-8 bytes as an opaque media payload —
     the plumbing used when the corpus carries real image/audio bytes:

@@ -42,6 +42,31 @@ def test_frame_sampling(spark):
     assert all(len(r["frame"]) == 16 for r in frames)
 
 
+def test_resize_integer_pooling(spark):
+    """resize() mean-pools with integer floor division — verify against
+    a NumPy replay of the same pooling, including the short tail block."""
+    import numpy as np
+
+    from incubator_hugegraph_computer_spark.functions.multimodal import resize
+
+    media = synthetic_media(spark, 5, kind="image")
+    rows = {r["media_id"]: r for r in resize(media, factor=6).collect()}
+    assert len(rows) == 5
+    for mid, r in rows.items():
+        src = np.random.default_rng(42 + mid).integers(0, 256, 64, dtype=np.uint8)
+        idx = np.arange(0, 64, 6)
+        sums = np.add.reduceat(src.astype(np.int64), idx)
+        counts = np.diff(np.append(idx, 64))
+        expect = (sums // counts).astype(np.uint8).tobytes()
+        assert bytes(r["payload"]) == expect
+        assert r["meta"]["width"] == 11  # ceil(64/6)
+        assert r["meta"]["height"] == 1
+        assert r["kind"] == "image"
+
+    with pytest.raises(ValueError, match="factor"):
+        resize(media, factor=0)
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     """AvailableNow streaming over the events table produces the same
     windowed aggregation as the batch query (append-mode finalized
