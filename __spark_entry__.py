@@ -812,6 +812,25 @@ def _q_media_resize(spark, sf_dir):
     )
 
 
+def _q_media_features(spark, sf_dir):
+    """Decode -> 8-bucket mean-pooled feature vector (float64 path: the
+    pooled means over byte inputs are exact, so DuckDB replays the
+    np.array_split chunking — first n%8 chunks get one extra byte — and
+    matches bit-for-bit after boundary rounding). Output exploded to
+    (doc_id, chunk, fv) so the oracle compares scalar cells."""
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents(docs).where(F.length("payload") >= 8)
+    feats = extract_features(media, feature_dim=8, dtype="float64")
+    return feats.select(
+        F.col("media_id").alias("doc_id"), F.posexplode("feature").alias("chunk", "fv")
+    ).select("doc_id", F.col("chunk").cast("long").alias("chunk"), F.round("fv", 6).alias("fv"))
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.similarity import cosine_topk
 
@@ -984,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": _q_docs_simhash,
         "media_byte_stats": _q_media_byte_stats,
         "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_near_dup": _q_emb_near_dup,
@@ -1544,6 +1564,24 @@ SELECT d.doc_id,
        COALESCE(st.byte_sum, 0) AS byte_sum,
        COALESCE(st.byte_mean, 0.0) AS byte_mean
 FROM documents d LEFT JOIN st USING (doc_id)
+"""
+
+    o["media_features"] = """
+WITH d8 AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+            WHERE strlen(text) >= 8),
+ch AS (SELECT doc_id, n, ascii(c) AS b, pos - 1 AS p
+       FROM (SELECT doc_id, n, unnest(string_split(text, '')) AS c,
+                    unnest(generate_series(1, n)) AS pos
+             FROM d8)),
+asg AS (SELECT doc_id,
+               CASE WHEN p < (n % 8) * (n // 8 + 1)
+                    THEN p // (n // 8 + 1)
+                    ELSE (n % 8) + (p - (n % 8) * (n // 8 + 1)) // (n // 8)
+               END AS chunk,
+               b
+        FROM ch)
+SELECT doc_id, chunk, ROUND(AVG(b), 6) AS fv
+FROM asg GROUP BY doc_id, chunk
 """
 
     o["graph_wcc"] = f"""

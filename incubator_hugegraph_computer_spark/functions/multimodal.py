@@ -80,9 +80,24 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
 
 
-def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, feature_dim: int = 8, dtype: str = "float32"
+) -> DataFrame:
     """Decode + pooled feature vector per media row via mapInPandas
-    (Arrow batches; NumPy-vectorized inside the batch)."""
+    (Arrow batches; NumPy-vectorized inside the batch).
+
+    ``dtype="float32"`` is the production shape (embedding models emit
+    fp32); ``dtype="float64"`` accumulates the pooled means in float64 —
+    byte inputs make that arithmetic EXACT, so an external SQL oracle
+    can replay the chunked means bit-for-bit (chunking follows
+    ``np.array_split``: the first ``n % dim`` chunks get one extra
+    sample)."""
+    if dtype not in ("float32", "float64"):
+        raise ValueError(f"dtype must be 'float32' or 'float64', got {dtype!r}")
+    np_dtype = np.float32 if dtype == "float32" else np.float64
+    schema = FEATURE_SCHEMA if dtype == "float32" else FEATURE_SCHEMA.replace(
+        "array<float>", "array<double>"
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -92,7 +107,9 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 # mean-pool into feature_dim buckets — stand-in for a
                 # real embedding model
                 chunks = np.array_split(arr, feature_dim)
-                feats.append(np.array([c.mean() for c in chunks], dtype=np.float32))
+                feats.append(
+                    np.array([c.mean(dtype=np.float64) for c in chunks], dtype=np_dtype)
+                )
                 sizes.append(len(payload))
             yield pd.DataFrame(
                 {
@@ -103,7 +120,7 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(kernel, schema=schema)
 
 
 def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
