@@ -74,9 +74,12 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     interprets the payload bytes as the 'decoded' sample grid so the
     downstream feature math is still exercised end-to-end.
 
-    Raises NotImplementedError for kinds with no fake."""
+    Raises NotImplementedError for kinds with no fake. A NULL payload
+    (the schema allows it) decodes to an empty grid, like b''."""
     if kind not in ("image", "audio", "video"):
         raise NotImplementedError(f"no decoder for kind={kind!r}")
+    if payload is None:
+        payload = b""
     return np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
 
 
@@ -107,10 +110,15 @@ def extract_features(
                 # mean-pool into feature_dim buckets — stand-in for a
                 # real embedding model
                 chunks = np.array_split(arr, feature_dim)
+                # payloads shorter than feature_dim leave trailing chunks
+                # empty — emit 0.0 there, never NaN
                 feats.append(
-                    np.array([c.mean(dtype=np.float64) for c in chunks], dtype=np_dtype)
+                    np.array(
+                        [c.mean(dtype=np.float64) if len(c) else 0.0 for c in chunks],
+                        dtype=np_dtype,
+                    )
                 )
-                sizes.append(len(payload))
+                sizes.append(len(payload) if payload is not None else 0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -128,11 +136,15 @@ def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     (media_id, frame_no, frame_bytes) taking every nth frame. The frame
     splitter is part of the stubbed decode: frames are fixed 16-byte
     strides of the payload."""
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_no, out_bytes = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    payload = b""
                 n_frames = len(payload) // 16
                 for f in range(0, n_frames, every_nth):
                     out_id.append(mid)
@@ -224,7 +236,7 @@ def byte_stats(media: DataFrame) -> DataFrame:
             n_bytes, b_sum, b_mean = [], [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 arr = _decode_stub(payload, kind)
-                n_bytes.append(len(payload))
+                n_bytes.append(len(payload) if payload is not None else 0)
                 b_sum.append(int(arr.sum(dtype=np.int64)) if len(arr) else 0)
                 # float64 accumulation, emitted RAW: boundary rounding
                 # (F.round, HALF_UP like SQL ROUND) is the caller's job —

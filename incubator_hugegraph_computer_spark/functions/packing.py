@@ -81,7 +81,16 @@ def pack_sequences(
     start = (F.col("_off") + F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
         "start_offset"
     )
-    placed = part.join(off_df, "_pid").select(id_col, "n_tokens", start)
+    # materialize placements while `part` is still cached, then release
+    # the cache — without this every pack_sequences call leaks one cached
+    # DataFrame for the session's lifetime (and the placement must not be
+    # recomputed after unpersist: _pid has to match the collected sums)
+    placed = (
+        part.join(off_df, "_pid")
+        .select(id_col, "n_tokens", start)
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
     seq_first = F.expr(f"start_offset div {budget}")
     seq_last = F.when(F.col("n_tokens") > 0, F.expr(f"(start_offset + n_tokens - 1) div {budget}")).otherwise(seq_first)
     return placed.select(

@@ -35,8 +35,11 @@ def hex_threshold(rate: float) -> str:
 
 def hash_uniform(id_col: Column) -> Column:
     """The u(id) hash prefix as a string column (ids cast to string so
-    integer and string ids hash identically everywhere)."""
-    return F.substring(F.md5(id_col.cast("string")), 1, _HEX_W)
+    integer and string ids hash identically everywhere). A NULL id draws
+    as the empty string — deterministic and engine-independent — rather
+    than poisoning every comparison to NULL (which would silently drop
+    the row in a filter but route it to the LAST band in a CASE)."""
+    return F.substring(F.md5(F.coalesce(id_col.cast("string"), F.lit(""))), 1, _HEX_W)
 
 
 def stratified_sample(
@@ -186,7 +189,7 @@ def quantile_buckets(
     the scan. No window, no global sort, no per-domain single task.
     """
     v = F.col(value_col).cast("double")
-    th = df.groupBy(domain_col).agg(
+    th = df.groupBy(F.col(domain_col).alias("__dom")).agg(
         F.percentile(v, F.lit(float(probs[0]))).alias("__q_lo"),
         F.percentile(v, F.lit(float(probs[1]))).alias("__q_hi"),
     )
@@ -195,8 +198,10 @@ def quantile_buckets(
         .when(v <= F.col("__q_hi"), F.lit(names[1]))
         .otherwise(F.lit(names[2]))
     )
+    # null-safe join key: a NULL domain forms its own stratum (groupBy
+    # keeps the NULL group) instead of vanishing through an equi-join
     return (
-        df.join(F.broadcast(th), domain_col)
+        df.join(F.broadcast(th), F.col(domain_col).eqNullSafe(F.col("__dom")))
         .withColumn("bucket", bucket)
-        .drop("__q_lo", "__q_hi")
+        .drop("__dom", "__q_lo", "__q_hi")
     )

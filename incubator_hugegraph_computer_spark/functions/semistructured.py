@@ -19,7 +19,18 @@ def parse_props(
     events: DataFrame, json_col: str = "props", keys: tuple[str, ...] = ("k",)
 ) -> DataFrame:
     """Append one typed column per requested key, extracted from the
-    JSON bag. One parse per row regardless of how many keys are read."""
+    JSON bag. One parse per row regardless of how many keys are read.
+
+    Refuses key names that collide with existing columns — silently
+    replacing a typed top-level column with a JSON-extracted one would
+    corrupt downstream aggregates (e.g. ``props_stats`` averaging the
+    extracted field where the caller meant the real ``value`` column)."""
+    clash = set(keys) & set(events.columns)
+    if clash:
+        raise ValueError(
+            f"extracted keys {sorted(clash)} collide with existing columns; "
+            "rename the keys or drop the columns first"
+        )
     schema = StructType([StructField(k, LongType()) for k in keys])
     parsed = events.withColumn("_p", F.from_json(F.col(json_col), schema))
     for k in keys:

@@ -21,6 +21,9 @@ Two variants:
 Parity contract (tested): feeding the corpus through the stream in
 deterministic order emits exactly the batch winners — one row per
 distinct md5, the first-arrived (= min doc_id when fed in id order).
+NOTE "arrival order" is Spark's FileStreamSource order — file
+MODIFICATION TIME, not file name; producers that need a deterministic
+keep-rule must stamp monotone mtimes (the tests do, via os.utime).
 """
 
 from __future__ import annotations
@@ -61,8 +64,9 @@ def run_dedup_stream(
     max_files_per_trigger: int = 1,
 ) -> None:
     """Drive :func:`dedup_stream` over a parquet directory with
-    AvailableNow (one file per micro-batch → deterministic arrival
-    order = file name order), writing survivors to ``output_dir``."""
+    AvailableNow (one file per micro-batch → arrival order = file
+    MODIFICATION-TIME order, FileStreamSource's ordering), writing
+    survivors to ``output_dir``."""
     schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -79,6 +83,47 @@ def run_dedup_stream(
         .start()
         .awaitTermination()
     )
+
+
+def _hadoop_fs(spark: SparkSession, d: str):
+    """(FileSystem, Path) for ``d`` via the session's Hadoop conf — works
+    for any scheme Spark itself can write (local, hdfs://, s3a://),
+    unlike os.path checks which silently fail off-box."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(d)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _committed_batches(spark: SparkSession, markers_dir: str) -> list[int]:
+    fs, p = _hadoop_fs(spark, markers_dir)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch-"):
+            out.append(int(name.split("-", 1)[1]))
+    return sorted(out)
+
+
+def _mark_committed(spark: SparkSession, markers_dir: str, batch_id: int) -> None:
+    fs, p = _hadoop_fs(spark, markers_dir)
+    fs.mkdirs(p)
+    fs.create(
+        spark._jvm.org.apache.hadoop.fs.Path(f"{markers_dir}/batch-{batch_id}"), True
+    ).close()
+
+
+def read_survivors(spark: SparkSession, survivors_dir: str) -> DataFrame:
+    """The near-dup stream's survivor corpus: the union of committed
+    per-batch subdirectories (see :func:`run_neardup_stream`'s
+    exactly-once note — uncommitted partial attempts are excluded)."""
+    done = _committed_batches(spark, survivors_dir + "_committed")
+    if not done:
+        # distinct from "partial batch-0 exists": an uncommitted attempt
+        # must not be readable as if it were corpus
+        raise FileNotFoundError(f"no committed batches under {survivors_dir}")
+    return spark.read.parquet(*[f"{survivors_dir}/batch-{b}" for b in done])
 
 
 def run_neardup_stream(
@@ -108,13 +153,22 @@ def run_neardup_stream(
     The corpus is NEVER re-hashed: alongside the survivor docs the
     stream maintains two side tables — ``<survivors_dir>_index``
     (persisted :func:`lsh_band_buckets`) and ``<survivors_dir>_shingles``
-    — appending each batch's novel rows. Every batch joins those
+    — adding each batch's novel rows. Every batch joins those
     precomputed tables (bucket-bounded candidates, shingle join only on
     candidates), so per-batch compute is O(batch + candidates), not
     O(corpus).
-    """
-    import os
 
+    Exactly-once under foreachBatch's at-least-once replays: each batch
+    writes its three outputs to per-batch subdirectories
+    (``.../batch-<id>``, mode=overwrite, so a retry of a half-written
+    attempt replaces it byte-for-byte) and then creates a marker file in
+    ``<survivors_dir>_committed`` as the LAST step. Readers — both this
+    stream's own corpus-index reads and :func:`read_survivors` — are
+    driven by the marker list, so a crashed attempt's partial subdirs
+    are invisible until its retry commits, a replay of an
+    already-committed batch is a no-op, and works on any Hadoop
+    filesystem (hdfs://, s3a://), not just local paths.
+    """
     from incubator_hugegraph_computer_spark.functions.dedup import (
         incremental_minhash_dedup,
         lsh_band_buckets,
@@ -125,14 +179,15 @@ def run_neardup_stream(
     schema = spark.read.parquet(source_dir).schema
     index_dir = survivors_dir + "_index"
     shingles_dir = survivors_dir + "_shingles"
+    markers_dir = survivors_dir + "_committed"
 
-    def _nonempty(d: str) -> bool:
-        return os.path.isdir(d) and any(f.endswith(".parquet") for f in os.listdir(d))
-
-    def process(batch: DataFrame, _batch_id: int) -> None:
+    def process(batch: DataFrame, batch_id: int) -> None:
+        done = _committed_batches(spark, markers_dir)
+        if batch_id in done:
+            return  # replay of a fully-committed batch: no-op
         batch = batch.persist()
         novel = batch
-        if _nonempty(survivors_dir):
+        if done:
             verdict = incremental_minhash_dedup(
                 batch,
                 None,
@@ -140,8 +195,12 @@ def run_neardup_stream(
                 bands,
                 n,
                 threshold,
-                corpus_index=spark.read.parquet(index_dir),
-                corpus_shingles=spark.read.parquet(shingles_dir),
+                corpus_index=spark.read.parquet(
+                    *[f"{index_dir}/batch-{b}" for b in done]
+                ),
+                corpus_shingles=spark.read.parquet(
+                    *[f"{shingles_dir}/batch-{b}" for b in done]
+                ),
             )
             keep = verdict.where(F.col("keep") == 1).select("doc_id")
             novel = batch.join(keep, "doc_id", "left_semi")
@@ -150,16 +209,18 @@ def run_neardup_stream(
             novel, num_hashes, bands, n, threshold
         ).select(F.col("doc_b").alias("doc_id")).distinct()
         survivors = novel.join(losers, "doc_id", "left_anti").persist()
-        survivors.write.mode("append").parquet(survivors_dir)
+        survivors.write.mode("overwrite").parquet(f"{survivors_dir}/batch-{batch_id}")
         # maintain the index side tables for the next batch
         lsh_band_buckets(survivors, num_hashes, bands, n).write.mode(
-            "append"
-        ).parquet(index_dir)
+            "overwrite"
+        ).parquet(f"{index_dir}/batch-{batch_id}")
         shingles(survivors, n).withColumnRenamed("doc_id", "corpus_id").write.mode(
-            "append"
-        ).parquet(shingles_dir)
+            "overwrite"
+        ).parquet(f"{shingles_dir}/batch-{batch_id}")
         survivors.unpersist()
         batch.unpersist()
+        # marker LAST: commits the batch for every reader
+        _mark_committed(spark, markers_dir, batch_id)
 
     stream = (
         spark.readStream.schema(schema)

@@ -162,6 +162,66 @@ def test_hash_split_disjoint_stable_proportions(spark):
     assert again == once
 
 
+def test_null_keys_have_deterministic_fate(spark):
+    """NULL ids draw as the empty string (not routed to the last split /
+    silently dropped); NULL domains form their own quantile stratum."""
+    import hashlib
+
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        hash_split,
+        quantile_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    u_empty = hashlib.md5(b"").hexdigest()[:8]
+    expect = "train" if u_empty < "cccccccc" else ("val" if u_empty < "e6666666" else "test")
+    assert got[None] == expect
+    assert len(got) == 3
+
+    qdf = spark.createDataFrame(
+        [(1, "en", 10.0), (2, "en", 20.0), (3, None, 5.0), (4, None, 50.0)],
+        "doc_id long, lang string, v double",
+    )
+    out = {r["doc_id"]: r["bucket"] for r in quantile_buckets(qdf, "v").collect()}
+    assert len(out) == 4  # NULL-domain rows retained, bucketed in their own stratum
+    assert out[3] == "tail" and out[4] == "head"
+
+
+def test_parse_props_rejects_column_collision(spark):
+    import pytest
+
+    from incubator_hugegraph_computer_spark.functions.semistructured import parse_props
+
+    events = spark.createDataFrame([(1.0, '{"value": 3}')], "value double, props string")
+    with pytest.raises(ValueError, match="collide"):
+        parse_props(events, json_col="props", keys=("value",))
+
+
+def test_media_null_payload_tolerated(spark):
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        byte_stats,
+        extract_features,
+        frame_sample,
+        media_from_documents,
+        resize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "abcdefgh")], "doc_id long, text string"
+    )
+    media = media_from_documents(docs)  # doc 1 -> payload NULL
+    bs = {r["media_id"]: r for r in byte_stats(media).collect()}
+    assert bs[1]["n_bytes"] == 0 and bs[1]["byte_sum"] == 0
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert list(feats[1]) == [0.0] * 8  # zeros, never NaN
+    assert not any(f != f for f in feats[2])  # short payload: no NaN either
+    assert frame_sample(media).where("media_id = 1").count() == 0
+    assert resize(media, 4).where("media_id = 1").count() == 1
+
+
 def test_stratified_sample_nested_and_bounded(spark):
     from incubator_hugegraph_computer_spark.functions.sampling import (
         stratified_sample,

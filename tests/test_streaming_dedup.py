@@ -111,7 +111,10 @@ def test_windowed_dedup_bounds_state(spark, tmp_path):
 def test_neardup_stream_matches_sequential_oracle(spark, tmp_path):
     """Streaming near-dup ingestion: survivors == greedy sequential
     dedup (no match vs earlier survivors; no lower-id match in-batch)."""
-    from incubator_hugegraph_computer_spark.streaming.dedup import run_neardup_stream
+    from incubator_hugegraph_computer_spark.streaming.dedup import (
+        read_survivors,
+        run_neardup_stream,
+    )
 
     base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     base_b = "one two three four five six seven eight nine ten eleven"
@@ -141,7 +144,7 @@ def test_neardup_stream_matches_sequential_oracle(spark, tmp_path):
         spark, str(src), str(tmp_path / "nck"), out, threshold=0.5,
         max_files_per_trigger=1,
     )
-    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    got = sorted(r["doc_id"] for r in read_survivors(spark, out).collect())
     assert got == [0, 1, 11, 21]
 
 
@@ -149,7 +152,10 @@ def test_neardup_stream_restart_continues_index(spark, tmp_path):
     """Restarting the stream (same checkpoint) after new files land must
     dedup the new batch against survivors from the PREVIOUS run — the
     side-table index persists across restarts."""
-    from incubator_hugegraph_computer_spark.streaming.dedup import run_neardup_stream
+    from incubator_hugegraph_computer_spark.streaming.dedup import (
+        read_survivors,
+        run_neardup_stream,
+    )
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     src = tmp_path / "rsrc"
@@ -168,10 +174,18 @@ def test_neardup_stream_restart_continues_index(spark, tmp_path):
     out, ck = str(tmp_path / "rsurv"), str(tmp_path / "rck")
     land(0, [(0, base), (1, "totally unrelated first-run text about executors")])
     run_neardup_stream(spark, str(src), ck, out, threshold=0.5)
-    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [0, 1]
+    assert sorted(r["doc_id"] for r in read_survivors(spark, out).collect()) == [0, 1]
 
     # second run: one dup of a run-1 survivor, one novel doc
     land(1, [(10, base), (11, "fresh second-run content about checkpoint resume")])
     run_neardup_stream(spark, str(src), ck, out, threshold=0.5)
-    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    got = sorted(r["doc_id"] for r in read_survivors(spark, out).collect())
     assert got == [0, 1, 11]  # 10 died against the restored index
+
+    # a half-written (uncommitted) batch attempt — data subdir present,
+    # no marker — must be invisible to corpus readers
+    spark.createDataFrame(
+        [(99, "phantom uncommitted doc")], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(out + "/batch-99")
+    got2 = sorted(r["doc_id"] for r in read_survivors(spark, out).collect())
+    assert got2 == [0, 1, 11]
