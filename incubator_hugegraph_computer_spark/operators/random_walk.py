@@ -69,18 +69,32 @@ def random_walk(
         F.array(F.col("id")).alias("path"),
     ).persist()
 
-    edges = graph.edges
+    # Collapse parallel edges up front: the draw key is a pure function
+    # of (walk, step, dst), so duplicate (src, dst) rows would otherwise
+    # contribute ONE candidate instead of multiplicity-many. Summing the
+    # (clamped) weights — or the multiplicity for uniform walks — into
+    # one candidate gives exactly the multigraph distribution
+    # (exponential race with w = Σw_i ≡ independent races per parallel
+    # edge), without carrying an edge-index column.
+    if weight_col:
+        w_edge = F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+        w_edge = F.greatest(F.least(w_edge, F.lit(max_weight)), F.lit(min_weight))
+        edges = (
+            graph.edges.select("src", "dst", w_edge.alias("_w"))
+            .groupBy("src", "dst")
+            .agg(F.sum("_w").alias("_w"))
+        )
+    else:
+        edges = graph.edges.groupBy("src", "dst").agg(
+            F.count(F.lit(1)).cast("double").alias("_w")
+        )
     for step in range(1, walk_length + 1):
         cand = walks.join(edges, walks.current == edges.src)
         u = (
             (F.abs(F.xxhash64(F.lit(seed), F.col("walk_id"), F.lit(step), F.col("dst")))
              % F.lit(2**40)).cast("double") + F.lit(1.0)
         ) / F.lit(float(2**40))  # u ∈ (0, 1]
-        if weight_col:
-            w = F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
-            w = F.greatest(F.least(w, F.lit(max_weight)), F.lit(min_weight))
-        else:
-            w = F.lit(1.0)
+        w = F.col("_w")
         if second_order:
             # is the candidate dst an out-neighbor of the previous
             # vertex? one semi-membership join on (prev, dst)
@@ -97,11 +111,9 @@ def random_walk(
             # (node2vec's first step is unbiased)
             w = w * F.when(F.col("prev").isNull(), F.lit(1.0)).otherwise(alpha)
         # exponential-race key: argmin -ln(u)/w is weight-proportional
-        # (Efraimidis-Spirakis); reduces to plain u for uniform walks
-        if weight_col or second_order:
-            key = -F.log(u) / F.greatest(w, F.lit(1e-300))
-        else:
-            key = u
+        # (Efraimidis-Spirakis); w is 1 for simple uniform graphs, the
+        # parallel-edge multiplicity for uniform multigraphs
+        key = -F.log(u) / F.greatest(w, F.lit(1e-300))
         picked = (
             cand.select("walk_id", key.alias("k"), F.col("dst"))
             .groupBy("walk_id")
@@ -123,8 +135,11 @@ def random_walk(
                 .otherwise(F.col("path"))
                 .alias("path"),
             )
+            # eager localCheckpoint both truncates the iterative lineage
+            # and stores the blocks — persisting on top would materialize
+            # every step's walks twice
             .localCheckpoint(eager=True)
         )
         walks.unpersist()
-        walks = new_walks.persist()
+        walks = new_walks
     return walks.select("walk_id", "start", "path")

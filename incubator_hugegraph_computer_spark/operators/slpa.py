@@ -92,6 +92,11 @@ def slpa(
             .localCheckpoint(eager=True)
         )
 
+    # mem is checkpointed, so the cached symmetrized edges are no longer
+    # reachable from the result plan — release them (repeated slpa()
+    # calls would otherwise each leak a cached edge set)
+    sym.unpersist()
+
     # Retain labels holding >= threshold of the memory, but never leave a
     # vertex label-less: the argmax label(s) are always kept (Vermeer's
     # post-processing is a top-k selection that likewise guarantees >= 1

@@ -86,6 +86,13 @@ def log_output(
     output_filter: Column | None = None,
 ) -> None:
     """LogOutput / LimitedLogOutput: print rows for debugging; ``limit``
-    caps the rows like LimitedLogOutput."""
+    caps the rows like LimitedLogOutput; ``limit=None`` streams every
+    row through ``toLocalIterator`` (one computation, no driver-side
+    collect of the whole result, unlike show(count()) which would run
+    the plan twice and buffer everything)."""
     df = _filtered(result, output_filter)
-    df.show(limit if limit is not None else df.count(), truncate=False)
+    if limit is not None:
+        df.show(limit, truncate=False)
+        return
+    for row in df.toLocalIterator():
+        print(row)

@@ -35,6 +35,7 @@ pruning).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -42,6 +43,7 @@ import re
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
+from incubator_hugegraph_computer_spark import fsutil
 from incubator_hugegraph_computer_spark.graph import Graph
 
 _META = "_hgc_graph_meta.json"
@@ -51,31 +53,44 @@ def _ddl(schema: StructType) -> str:
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
 
+def _abs(path: str) -> str:
+    """Absolute form for table LOCATION: URIs pass through untouched
+    (os.path.abspath would collapse 'hdfs://nn/x' to '/.../hdfs:/nn/x');
+    only scheme-less local paths are absolutized."""
+    return path if "://" in path else os.path.abspath(path)
+
+
 def _table_name(path: str, kind: str) -> str:
-    slug = re.sub(r"[^a-zA-Z0-9]", "_", os.path.abspath(path)).strip("_")
-    return f"hgc_{kind}_{slug}"
+    # readable slug + hash of the exact path: distinct paths that slug
+    # identically ('/data/g-1' vs '/data/g_1') must not share a catalog
+    # entry, or one graph's registration clobbers another's
+    norm = _abs(path)
+    slug = re.sub(r"[^a-zA-Z0-9]", "_", norm).strip("_")[-48:]
+    return f"hgc_{kind}_{slug}_{hashlib.md5(norm.encode()).hexdigest()[:8]}"
 
 
 def save_graph(graph: Graph, path: str, buckets: int | None = None) -> None:
     """Write ``graph`` to ``path`` as bucketed parquet tables
     (``edges/`` bucketed by src, sorted (src, dst); ``vertices/``
     bucketed by id) plus a meta sidecar recording bucket count and
-    schemas. One shuffle each — the last one this graph ever needs."""
+    schemas. One shuffle each — the last one this graph ever needs.
+    All IO goes through the Hadoop FS of ``path``'s scheme, so
+    hdfs:///s3a:// stores work the same as local ones."""
     buckets = buckets or graph.num_partitions
-    os.makedirs(path, exist_ok=True)
-    edir, vdir = os.path.join(path, "edges"), os.path.join(path, "vertices")
+    spark = graph.edges.sparkSession
+    edir, vdir = fsutil.join(path, "edges"), fsutil.join(path, "vertices")
     (
         graph.edges.write.mode("overwrite")
         .bucketBy(buckets, "src")
         .sortBy("src", "dst")
-        .option("path", edir)
+        .option("path", _abs(edir))
         .saveAsTable(_table_name(edir, "save_e"))
     )
     (
         graph.vertices.write.mode("overwrite")
         .bucketBy(buckets, "id")
         .sortBy("id")
-        .option("path", vdir)
+        .option("path", _abs(vdir))
         .saveAsTable(_table_name(vdir, "save_v"))
     )
     meta = {
@@ -83,8 +98,7 @@ def save_graph(graph: Graph, path: str, buckets: int | None = None) -> None:
         "edge_schema": graph.edges.schema.json(),
         "vertex_schema": graph.vertices.schema.json(),
     }
-    with open(os.path.join(path, _META), "w") as fh:
-        json.dump(meta, fh)
+    fsutil.write_text(spark, fsutil.join(path, _META), json.dumps(meta))
 
 
 def _register(
@@ -96,7 +110,7 @@ def _register(
     spark.sql(
         f"CREATE TABLE {tbl} ({_ddl(schema)}) USING PARQUET "
         f"CLUSTERED BY ({bucket_col}) SORTED BY ({', '.join(sort_cols)}) "
-        f"INTO {buckets} BUCKETS LOCATION '{os.path.abspath(path)}'"
+        f"INTO {buckets} BUCKETS LOCATION '{_abs(path)}'"
     )
     return spark.table(tbl)
 
@@ -105,16 +119,15 @@ def load_graph(spark: SparkSession, path: str) -> Graph:
     """Open a graph written by :func:`save_graph` with its bucket spec
     intact — the returned :class:`Graph` is ``prepartitioned`` (no
     ingest shuffle; scans satisfy HashPartitioning on src/id)."""
-    with open(os.path.join(path, _META)) as fh:
-        meta = json.load(fh)
+    meta = json.loads(fsutil.read_text(spark, fsutil.join(path, _META)))
     buckets = meta["buckets"]
     edges = _register(
-        spark, os.path.join(path, "edges"), "e",
+        spark, fsutil.join(path, "edges"), "e",
         StructType.fromJson(json.loads(meta["edge_schema"])),
         "src", ["src", "dst"], buckets,
     )
     vertices = _register(
-        spark, os.path.join(path, "vertices"), "v",
+        spark, fsutil.join(path, "vertices"), "v",
         StructType.fromJson(json.loads(meta["vertex_schema"])),
         "id", ["id"], buckets,
     )

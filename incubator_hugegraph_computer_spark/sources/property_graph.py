@@ -38,11 +38,30 @@ _EDGE_KEYS = {
 PROPERTY_COMBINERS = ("merge_old", "merge_new", "overwrite")
 
 
-def _props_agg(combiner: str, ordered: bool):
+def _props_type(df: DataFrame) -> tuple[str, str]:
+    """(key_type, value_type) of the ``properties`` map column — forwarded
+    into the combiners so non-string maps (map<string,double>, ...)
+    ingest without a fold-seed type mismatch."""
+    from pyspark.sql.types import MapType
+
+    dt = df.schema["properties"].dataType
+    if not isinstance(dt, MapType):
+        raise ValueError(
+            f"properties column must be a map, got {dt.simpleString()}"
+        )
+    return dt.keyType.simpleString(), dt.valueType.simpleString()
+
+
+def _props_agg(combiner: str, ordered: bool, key_type: str, value_type: str):
     if combiner not in PROPERTY_COMBINERS:
         raise ValueError(f"properties combiner must be one of {PROPERTY_COMBINERS}")
     col = "properties"
     if combiner == "overwrite":
+        if ordered:
+            # OverwritePropertiesCombiner keeps the LAST arrival — with a
+            # _seq column that is the max-_seq map, not an arbitrary
+            # F.first over an unordered group
+            return F.max_by(F.col(col), F.col("_seq"))
         return combiners.overwrite_properties(F.col(col))
     src = F.col(col)
     if ordered:
@@ -62,10 +81,12 @@ def _props_agg(combiner: str, ordered: bool):
                 F.map_filter(acc, lambda k, _: ~F.array_contains(F.map_keys(m), k)), m
             ))
         )
-        return F.aggregate(src, F.expr("cast(map() as map<string,string>)"), fold)
+        return F.aggregate(
+            src, F.expr(f"cast(map() as map<{key_type},{value_type}>)"), fold
+        )
     if combiner == "merge_old":
-        return combiners.merge_old_properties(F.col(col))
-    return combiners.merge_new_properties(F.col(col))
+        return combiners.merge_old_properties(F.col(col), key_type, value_type)
+    return combiners.merge_new_properties(F.col(col), key_type, value_type)
 
 
 def load_vertices(
@@ -81,9 +102,10 @@ def load_vertices(
     ordered = seq_col is not None
     if ordered:
         df = df.withColumnRenamed(seq_col, "_seq")
+    kt, vt = _props_type(df)
     return df.groupBy("id").agg(
         F.min("label").alias("label"),
-        _props_agg(properties_combiner, ordered).alias("properties"),
+        _props_agg(properties_combiner, ordered, kt, vt).alias("properties"),
     )
 
 
@@ -108,7 +130,8 @@ def load_edges(
     ordered = seq_col is not None
     if ordered:
         df = df.withColumnRenamed(seq_col, "_seq")
-    aggs = [_props_agg(properties_combiner, ordered).alias("properties")]
+    kt, vt = _props_type(df)
+    aggs = [_props_agg(properties_combiner, ordered, kt, vt).alias("properties")]
     # keep non-key metadata columns deterministically (min)
     for extra in ("label", "name"):
         if extra in df.columns and extra not in keys:
@@ -134,6 +157,12 @@ class PropertyGraph:
         self.frequency = frequency
         v_seq = seq_col if seq_col in (vertices.columns if seq_col else []) else None
         e_seq = seq_col if seq_col in (edges.columns if seq_col else []) else None
+        if seq_col is not None and v_seq is None and e_seq is None:
+            # a typo'd seq_col would otherwise silently demote the merge
+            # to nondeterministic partial-agg order
+            raise ValueError(
+                f"seq_col {seq_col!r} found in neither vertices nor edges"
+            )
         self.vertices = load_vertices(vertices, properties_combiner, v_seq)
         self.edges = load_edges(edges, frequency, properties_combiner, e_seq)
         self.num_partitions = num_partitions
@@ -158,5 +187,11 @@ class PropertyGraph:
         return Graph(self.vertices.select("id"), e, self.num_partitions)
 
     def edge_label_counts(self) -> DataFrame:
-        """(label, n_edges) after dedup — the ingest-audit statistic."""
+        """(label, n_edges) after dedup — the ingest-audit statistic.
+        Label-less ingest (legal for frequency='SINGLE') reports one
+        NULL-label row instead of failing analysis."""
+        if "label" not in self.edges.columns:
+            return self.edges.agg(F.count(F.lit(1)).alias("n_edges")).select(
+                F.lit(None).cast("string").alias("label"), "n_edges"
+            )
         return self.edges.groupBy("label").agg(F.count(F.lit(1)).alias("n_edges"))

@@ -85,17 +85,10 @@ def run_dedup_stream(
     )
 
 
-def _hadoop_fs(spark: SparkSession, d: str):
-    """(FileSystem, Path) for ``d`` via the session's Hadoop conf — works
-    for any scheme Spark itself can write (local, hdfs://, s3a://),
-    unlike os.path checks which silently fail off-box."""
-    jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(d)
-    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
-
-
 def _committed_batches(spark: SparkSession, markers_dir: str) -> list[int]:
-    fs, p = _hadoop_fs(spark, markers_dir)
+    from incubator_hugegraph_computer_spark.fsutil import hadoop_fs
+
+    fs, p = hadoop_fs(spark, markers_dir)
     if not fs.exists(p):
         return []
     out = []
@@ -107,11 +100,9 @@ def _committed_batches(spark: SparkSession, markers_dir: str) -> list[int]:
 
 
 def _mark_committed(spark: SparkSession, markers_dir: str, batch_id: int) -> None:
-    fs, p = _hadoop_fs(spark, markers_dir)
-    fs.mkdirs(p)
-    fs.create(
-        spark._jvm.org.apache.hadoop.fs.Path(f"{markers_dir}/batch-{batch_id}"), True
-    ).close()
+    from incubator_hugegraph_computer_spark.fsutil import touch
+
+    touch(spark, f"{markers_dir}/batch-{batch_id}")
 
 
 def read_survivors(spark: SparkSession, survivors_dir: str) -> DataFrame:

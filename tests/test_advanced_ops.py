@@ -209,6 +209,22 @@ def test_random_walk_weighted_bias(spark):
     assert 0.8 < frac2 < 1.0
 
 
+def test_random_walk_multigraph_multiplicity(spark):
+    """Parallel edges count as multiplicity: 3 copies of 1→2 vs one 1→3
+    must bias walks toward 2 at ~3/4, not collapse to a coin flip."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2), (1, 3)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    g = Graph(verts, edges, num_partitions=2)
+    walks = random_walk(g, walk_length=1, walks_per_node=400, seed=7)
+    picks = [r["path"][1] for r in walks.collect() if r["start"] == 1 and len(r["path"]) > 1]
+    frac2 = sum(1 for p in picks if p == 2) / len(picks)
+    assert 0.65 < frac2 < 0.85  # expect 0.75
+
+
 def test_cycle_detection_modes(spark):
     from incubator_hugegraph_computer_spark.operators.rings import cycle_detection
 

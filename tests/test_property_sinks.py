@@ -52,9 +52,36 @@ def test_property_combiners_on_ingest(spark):
     # MergeOldPropertiesCombiner: first-seen keys win
     old = load_edges(e, "SINGLE", "merge_old", seq_col="seq").first()["properties"]
     assert old == {"w": "1", "x": "old"}
-    # OverwritePropertiesCombiner keeps exactly one whole map
+    # OverwritePropertiesCombiner + seq: keeps the LAST-arrived whole map
+    # (deterministic, not an arbitrary F.first over the group)
     ow = load_edges(e, "SINGLE", "overwrite", seq_col="seq").first()["properties"]
-    assert ow in ({"w": "1", "x": "old"}, {"w": "2"}, {"w": "3"})
+    assert ow == {"w": "3"}
+    # without seq it still keeps exactly one whole map (arrival order
+    # is partition-dependent, like the reference)
+    ow2 = load_edges(e, "SINGLE", "overwrite").first()["properties"]
+    assert ow2 in ({"w": "1", "x": "old"}, {"w": "2"}, {"w": "3"})
+
+
+def test_property_ingest_edge_cases(spark):
+    # non-string property values ingest (typed fold seed)
+    e = spark.createDataFrame(
+        [(1, 2, {"w": 1.5}, 1), (1, 2, {"w": 2.5, "z": 0.5}, 2)],
+        "src long, dst long, properties map<string,double>, seq long",
+    )
+    got = load_edges(e, "SINGLE", "merge_new", seq_col="seq").first()["properties"]
+    assert got == {"w": 2.5, "z": 0.5}
+
+    # label-less SINGLE ingest: construction works and the audit
+    # statistic reports one NULL-label row instead of failing analysis
+    v = spark.createDataFrame([(1, "v", {})], "id long, label string, properties map<string,string>")
+    pg = PropertyGraph(v, e.drop("seq"))
+    counts = pg.edge_label_counts().collect()
+    assert len(counts) == 1 and counts[0]["label"] is None and counts[0]["n_edges"] == 1
+
+    # a typo'd seq_col (in neither input) raises instead of silently
+    # demoting the merge to nondeterministic order
+    with pytest.raises(ValueError, match="seq_col"):
+        PropertyGraph(v, e.drop("seq"), seq_col="sqe")
 
 
 def test_property_graph_as_graph_weighted(spark):
