@@ -2169,7 +2169,7 @@ FROM pk
 WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
 freq_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
 shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq_ok USING(shingle)),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
           FROM shf a JOIN shf b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2),

@@ -72,9 +72,15 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for candidate pairs with Jaccard ≥
-    threshold over word n-gram shingle sets (doc_a < doc_b)."""
+    threshold over word n-gram shingle sets (doc_a < doc_b).
+
+    Jaccard is computed entirely over the FREQUENCY-FILTERED shingle
+    space: intersection AND set sizes both exclude shingles with df >
+    ``max_shingle_freq``. Mixing spaces (filtered intersection over
+    unfiltered sizes) would bias every score downward — two identical
+    docs sharing saturated shingles would score below 1.0 and could miss
+    the threshold."""
     sh = shingles(documents, n, text_col).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # drop saturated shingles — no signal, quadratic blowup at scale
     freq_ok = (
         sh.groupBy("shingle")
@@ -83,6 +89,7 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     sh_f = sh.join(freq_ok, "shingle", "left_semi")
+    sizes = sh_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -93,7 +100,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -105,18 +112,29 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # materialize (the pair set is small), then release the shingle
+        # cache — otherwise every call leaks it for the session lifetime
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------- minhash
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+    documents: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, seed, minhash) — minhash[seed] = min over shingles of
     md5(seed || '|' || shingle). md5-as-hash-family keeps the signature
     reproducible in any engine; the min is a plain groupBy agg (partial
-    map-side min → tiny shuffle)."""
-    sh = shingles(documents, n, text_col)
+    map-side min → tiny shuffle). Pass ``shingle_table`` (a
+    :func:`shingles` result, e.g. persisted) to reuse an already-built
+    shingle set instead of re-tokenizing."""
+    sh = shingles(documents, n, text_col) if shingle_table is None else shingle_table
     # One projection computes all hash-family values per shingle, one
     # groupBy computes all mins: no num_hashes-fold row blowup, single
     # shuffle of |docs| rows (vs |shingles|·num_hashes with a seed
@@ -157,7 +175,13 @@ def minhash_candidates(
     sharing any band bucket become candidates → exact Jaccard verify.
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, doc_a <
     doc_b."""
-    band_key = lsh_band_buckets(documents, num_hashes, bands, n, text_col)
+    # ONE shingle pass feeds both the signature build and the exact
+    # verify — tokenization + the shingle explode dominate this path,
+    # so computing them twice would double the corpus scan work
+    sh = shingles(documents, n, text_col).persist()
+    band_key = lsh_band_buckets(
+        documents, num_hashes, bands, n, text_col, shingle_table=sh
+    )
     a = band_key.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = band_key.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     cand = (
@@ -167,7 +191,6 @@ def minhash_candidates(
         .distinct()
     )
     # exact verify on candidates only
-    sh = shingles(documents, n, text_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ja = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     jb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -179,7 +202,7 @@ def minhash_candidates(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("size_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -191,7 +214,13 @@ def minhash_candidates(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # verified pair set is small: materialize it, release the
+        # shingle cache (streaming callers invoke this per micro-batch —
+        # an unreleased persist per call would grow until OOM)
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------- simhash
@@ -234,7 +263,14 @@ def simhash_near_duplicates(
 
     Candidate generation by banding the 32 bits into 4 bytes (pigeonhole:
     ≤3 differing bits ⇒ at least one identical byte), then exact popcount
-    verify — avoids the all-pairs cross join at scale."""
+    verify — avoids the all-pairs cross join at scale. The 4-byte
+    banding only guarantees recall for max_hamming ≤ 3 — a pair with 4+
+    differing bits spread across all four bytes shares no bucket — so
+    larger values are refused rather than silently under-reported."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4-band pigeonhole bound), got {max_hamming}"
+        )
     sig = simhash_signatures(documents, 32, text_col).persist()
     bands = sig.select(
         "doc_id",
@@ -265,9 +301,13 @@ def simhash_near_duplicates(
     for j in range(32):
         bit = F.shiftright(xor, j).bitwiseAND(F.lit(1))
         ham = bit if ham is None else ham + bit
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    out = (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)  # small; lets the signature cache go
     )
+    sig.unpersist()
+    return out
 
 
 def dedup_clusters(
@@ -369,7 +409,10 @@ def span_dedup_stats(documents: DataFrame, n: int = 5, text_col: str = "text") -
                 6,
             ).alias("dup_span_frac"),
         )
+        # one row per doc: materialize, release the span-position cache
+        .localCheckpoint(eager=True)
     )
+    sp.unpersist()
     return out
 
 
@@ -429,13 +472,23 @@ def lsh_band_buckets(
     bands: int = 4,
     n: int = 3,
     text_col: str = "text",
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, bucket) — the banded-minhash LSH key table. This
     IS the persistable dedup index: compute it once per corpus version
     (or append per ingested shard) and every later delta joins it
-    instead of re-hashing the corpus."""
+    instead of re-hashing the corpus.
+
+    ``bands`` must divide ``num_hashes`` — a remainder would silently
+    create an extra short band (different LSH probability curve), and
+    bands > num_hashes would divide by zero into one NULL band whose
+    bucket is the whole signature (exact match only)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be a positive divisor of num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, n, text_col)
+    sig = minhash_signatures(documents, num_hashes, n, text_col, shingle_table)
     return (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")

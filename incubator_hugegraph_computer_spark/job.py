@@ -122,7 +122,16 @@ def run(args: argparse.Namespace) -> dict:
         if args.graph_store
         else None
     )
-    if store_meta and os.path.exists(store_meta):
+    # existence check through the Hadoop FS of the store's scheme —
+    # os.path.exists would never see an hdfs://*/s3a:// store and every
+    # run would silently re-ingest + re-shuffle
+    def _store_exists(p: str) -> bool:
+        from incubator_hugegraph_computer_spark.fsutil import hadoop_fs
+
+        fs, hp = hadoop_fs(spark, p)
+        return fs.exists(hp)
+
+    if store_meta and _store_exists(store_meta):
         from incubator_hugegraph_computer_spark.sources.graph_store import load_graph
 
         graph = load_graph(spark, args.graph_store).cache()
@@ -175,11 +184,23 @@ def run(args: argparse.Namespace) -> dict:
             "checkpoint_messages": args.checkpoint_messages,
         }
     iter_kwargs = dict(engine_kwargs)
+    step_kwargs = {}  # for the engine_kwargs-based algos below
     if args.max_supersteps:
         if args.algorithm in ("pagerank", "wcc", "lpa", "lpa_sync"):
             iter_kwargs["max_supersteps"] = args.max_supersteps
         elif args.algorithm in ("pagerank_classic", "pagerank_weighted"):
             iter_kwargs["max_iterations"] = args.max_supersteps
+        elif args.algorithm in ("sssp", "sssp_paths"):
+            step_kwargs["max_supersteps"] = args.max_supersteps
+        elif args.algorithm == "ppr":
+            step_kwargs["max_iterations"] = args.max_supersteps
+        elif args.algorithm == "depth":
+            step_kwargs["max_depth"] = args.max_supersteps
+        else:
+            # refusing beats silently truncating the user's bound
+            raise SystemExit(
+                f"--max-supersteps is not supported for {args.algorithm}"
+            )
 
     from incubator_hugegraph_computer_spark.operators.betweenness import betweenness
     from incubator_hugegraph_computer_spark.operators.pagerank import (
@@ -231,17 +252,22 @@ def run(args: argparse.Namespace) -> dict:
         "betweenness": lambda: betweenness(graph, sample_rate=0.05),
         "closeness": lambda: closeness(graph, sample_rate=0.05),
         "louvain": lambda: louvain(graph),
-        "sssp": lambda: _sssp(graph, source=args.source, **engine_kwargs),
+        "sssp": lambda: _sssp(
+            graph, source=args.source, **step_kwargs, **engine_kwargs
+        ),
         "sssp_paths": lambda: _sssp_paths(
             graph,
             source=args.source,
             targets="*" if args.targets == "*" else args.targets.split(","),
+            **step_kwargs,
             **engine_kwargs,
         ).withColumnRenamed("path", "walk"),
         "cycle_detection": lambda: _cycle_detection(graph, mode="boolean"),
-        "ppr": lambda: _ppr(graph, source=args.source, **engine_kwargs),
+        "ppr": lambda: _ppr(
+            graph, source=args.source, **step_kwargs, **engine_kwargs
+        ),
         "slpa": lambda: _slpa(graph).withColumnRenamed("label", "community"),
-        "depth": lambda: _bfs_depth(graph, source=args.source),
+        "depth": lambda: _bfs_depth(graph, source=args.source, **step_kwargs),
         "jaccard": lambda: _jaccard(graph, source=args.source),
     }
     result = algos[args.algorithm]()

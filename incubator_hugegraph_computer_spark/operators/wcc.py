@@ -187,4 +187,10 @@ def wcc(
         for df in program._scratch:
             df.unpersist()
         program._scratch = []
+    if not presymmetrized:
+        # the final state is persisted/truncated by the engine, so the
+        # symmetrized-edge cache this call created is no longer needed —
+        # without this every wcc() call (e.g. one per dedup_clusters
+        # pass) leaks a cached edge set for the session lifetime
+        g.unpersist()
     return result

@@ -80,9 +80,14 @@ def test_simhash_properties(spark, docs):
     assert all(0 <= s < 2**32 for s in sig.values())
     near = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_near_duplicates(docs, max_hamming=10).collect()
+        for r in simhash_near_duplicates(docs, max_hamming=3).collect()
     }
     assert near[(0, 1)] == 0
+    # the 4-byte banding can't guarantee recall past hamming 3 — refuse
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_duplicates(docs, max_hamming=10)
 
 
 def test_text_analyze(spark, docs):
