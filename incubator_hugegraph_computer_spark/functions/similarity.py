@@ -114,7 +114,16 @@ def lsh_buckets(
     bucket = F.sum(
         F.when(F.col("p") > 0, F.expr("shiftleft(1L, plane)")).otherwise(F.lit(0))
     ).cast("long")
-    return proj.groupBy("vec_id").agg(bucket.alias("bucket"))
+    bucketed = proj.groupBy("vec_id").agg(bucket.alias("bucket"))
+    # NULL/empty vectors explode to no rows and would silently vanish
+    # from the index (and from every bucket-joined consumer). Keep them
+    # visible under a sentinel bucket (-1; real buckets are >= 0) — they
+    # can only candidate with each other, and cosine over an empty
+    # vector is NULL so no threshold ever admits them.
+    missing = embeddings.where(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) == 0)
+    ).select(F.col(id_col).alias("vec_id"), F.lit(-1).cast("long").alias("bucket"))
+    return bucketed.unionAll(missing)
 
 
 def _cap_hot_buckets(bucketed: DataFrame, max_bucket_size: int | None) -> DataFrame:
@@ -150,9 +159,11 @@ def ann_lsh_topk(
     path is the oracle for recall measurement (tests).
     ``max_bucket_size`` drops saturated buckets (see _cap_hot_buckets)."""
     b = _cap_hot_buckets(lsh_buckets(embeddings, num_planes, id_col, vec_col, dim), max_bucket_size)
+    # both sides of the bucket self-join read e — persist it or the
+    # whole LSH pipeline (explode + two shuffles) runs twice
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
         b, "vec_id"
-    )
+    ).persist()
     a = e.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"), "bucket")
     scored = (
         e.join(a, "bucket")
@@ -160,7 +171,13 @@ def ann_lsh_topk(
         .select("query_id", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .localCheckpoint(eager=True)  # k rows per query; frees e's cache
+    )
+    e.unpersist()
+    return out
 
 
 def ivf_topk(
@@ -242,16 +259,19 @@ def embedding_near_duplicates(
     b = _cap_hot_buckets(lsh_buckets(embeddings, num_planes, id_col, vec_col, dim), max_bucket_size)
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")).join(
         b, "vec_id"
-    )
+    ).persist()
     left = e.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket")
     right = e.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket")
-    return (
+    out = (
         left.join(right, "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("score"))
         .where(F.col("score") >= threshold)
         .distinct()
+        .localCheckpoint(eager=True)  # pair set is small; frees e's cache
     )
+    e.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ k-means
@@ -340,7 +360,9 @@ def kmeans_centroids(
     :func:`ivf_topk` (trained inverted lists) or any assign-only reuse.
     Same deterministic init/tie rules as :func:`kmeans_assign`."""
     emb = _emb_view(embeddings, id_col, vec_col).persist()
-    return _lloyd_centroids(emb, k, iters)
+    cents = _lloyd_centroids(emb, k, iters).localCheckpoint(eager=True)  # k rows
+    emb.unpersist()
+    return cents
 
 
 def kmeans_assign(
@@ -372,7 +394,9 @@ def kmeans_assign(
     """
     emb = _emb_view(embeddings, id_col, vec_col).persist()
     cents = _lloyd_centroids(emb, k, iters)
-    return _assign_to(emb, cents)
+    out = _assign_to(emb, cents).localCheckpoint(eager=True)  # slim N rows
+    emb.unpersist()
+    return out
 
 
 def semantic_dedup(
@@ -416,7 +440,7 @@ def semantic_dedup(
         .groupBy(F.col("__hi").alias("vec_id"))
         .agg(F.count(F.lit(1)).alias("n_lower_dups"))
     )
-    return (
+    out = (
         clustered.join(dup_counts, "vec_id", "left")
         .select(
             "vec_id",
@@ -424,4 +448,7 @@ def semantic_dedup(
             F.when(F.col("n_lower_dups").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
             F.coalesce(F.col("n_lower_dups"), F.lit(0)).alias("n_lower_dups"),
         )
+        .localCheckpoint(eager=True)  # slim N rows; frees the emb cache
     )
+    emb.unpersist()
+    return out

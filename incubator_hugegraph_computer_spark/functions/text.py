@@ -245,7 +245,16 @@ def bm25_scores(
     scalars attach as a one-row broadcast; no driver round trip, no
     window, no global sort.
     """
-    terms = sorted(set(query_terms))
+    import re as _re
+
+    # normalize query terms exactly like _tokens normalizes documents
+    # (lowercase, alphanumeric runs) — 'Apple' or "don't" would otherwise
+    # silently match nothing and score every document 0.0
+    terms = sorted(
+        {t for q in query_terms for t in _re.split(r"[^a-z0-9]+", q.lower()) if t}
+    )
+    if not terms:
+        raise ValueError(f"query_terms {query_terms!r} normalize to nothing")
     toks = documents.select(
         "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
     )

@@ -254,9 +254,13 @@ class BspEngine:
             state = program.initial_state(g).persist()
             self._collect_state(program, state, ctx)
             if self.ckpt is not None and self.ckpt.should_checkpoint(0):
-                state = self.ckpt.save(
+                saved = self.ckpt.save(
                     0, state, ctx.aggs, self._metrics(ctx, wall_ms=0)
                 ).persist()
+                # release the pre-checkpoint initial state (the loop does
+                # the same unpersist-before-swap for later supersteps)
+                state.unpersist()
+                state = saved
             start_step = 1
 
         for step in range(start_step, self.max_supersteps + 1):

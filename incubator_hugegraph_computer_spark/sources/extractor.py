@@ -54,7 +54,10 @@ def verify_sha256(files: DataFrame, hash_col: str = "sha256") -> DataFrame:
     the catalog's stored hash. Returns the verified frame; raises on any
     mismatch (the count is a cheap scan-only action — no shuffle)."""
     checked = files.withColumn("_sha_ok", F.sha2(F.col("content"), 256) == F.col(hash_col))
-    bad = checked.where(~F.col("_sha_ok")).count()
+    # NOT (ok IS TRUE), not ~ok: a NULL content or NULL stored hash makes
+    # the equality NULL, and where(~NULL) would silently pass the
+    # unverifiable row instead of counting it as corrupt
+    bad = checked.where(~F.col("_sha_ok").eqNullSafe(F.lit(True))).count()
     if bad:
         raise ValueError(f"sha256 mismatch on {bad} rows — corrupt input")
     return checked.drop("_sha_ok")
@@ -90,7 +93,12 @@ def dense_ids_by_sort(df: DataFrame, order_cols: list[str], id_col: str = "id") 
         part.join(off_df, "_pid")
         .withColumn(id_col, (F.col("_off") + F.row_number().over(w) - 1).cast("long"))
         .drop("_pid", "_off")
+        # ids must come from the SAME partitioning the offsets were
+        # collected from — materialize, then release the input cache
+        # (which would otherwise stay pinned for the session)
+        .localCheckpoint(eager=True)
     )
+    part.unpersist()
     return out
 
 

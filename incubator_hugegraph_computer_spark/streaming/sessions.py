@@ -89,20 +89,39 @@ def _sessionize_group(
     ts_sorted = [ts_list[i] for i in order]
     vals = [val_list[i] for i in order]
 
-    if state.exists:
-        start, end, n, s = state.get
-    else:
-        start, end, n, s = None, None, 0, 0.0
-
-    out_rows: list[tuple[int, int, int, float]] = []
+    # sessions from this batch's events alone (event-time order)
+    sessions: list[list] = []
     for t, v in zip(ts_sorted, vals):
-        if start is None:
-            start, end, n, s = t, t, 1, v
-        elif t - end > gap_us:
-            out_rows.append((start, end, n, s))
-            start, end, n, s = t, t, 1, v
+        if sessions and t - sessions[-1][1] <= gap_us:
+            cur = sessions[-1]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += v
         else:
-            end, n, s = max(end, t), n + 1, s + v
+            sessions.append([t, t, 1, v])
+    if state.exists:
+        # merge the stored open session in EVENT-TIME order: a late
+        # event (above watermark) may fall before, inside, or after it.
+        # Interval-merging with the gap rule handles all three — in
+        # particular an event within gap BEFORE the stored start extends
+        # session_start backwards (min), and one more than gap before
+        # it becomes its own earlier session, exactly like the batch
+        # window form.
+        sessions.append(list(state.get))
+        sessions.sort(key=lambda r: (r[0], r[1]))
+        merged: list[list] = []
+        for r in sessions:
+            if merged and r[0] - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], r[1])
+                m[2] += r[2]
+                m[3] += r[3]
+            else:
+                merged.append(r)
+        sessions = merged
+    *closed, open_sess = sessions
+    out_rows: list[tuple[int, int, int, float]] = [tuple(r) for r in closed]
+    start, end, n, s = open_sess
     state.update((start, end, n, s))
     # flush the open session once the event-time watermark passes its
     # close boundary (session_end + gap)

@@ -54,6 +54,55 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     assert len(must) > 100  # non-trivial corpus
 
 
+def test_stream_sessionize_late_events(spark, tmp_path):
+    """A late event (above watermark) landing BEFORE the open session
+    must extend session_start backwards when within gap, and become its
+    own earlier session when beyond gap — matching the batch form."""
+    import datetime as dt
+
+    from incubator_hugegraph_computer_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    indir, ck, outdir = (
+        str(tmp_path / "lin"), str(tmp_path / "lck"), str(tmp_path / "lout")
+    )
+
+    def land(name, rows):
+        df = spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1, h, m), 1.0) for u, h, m in rows],
+            "user_id long, ts timestamp, value double",
+        ).coalesce(1)
+        import os as _os
+        import time as _time
+
+        tmp = str(tmp_path / (name + ".tmp"))
+        df.write.mode("overwrite").parquet(tmp)
+        _os.makedirs(indir, exist_ok=True)
+        f = [x for x in _os.listdir(tmp) if x.endswith(".parquet")][0]
+        dest = f"{indir}/{name}.parquet"
+        _os.rename(f"{tmp}/{f}", dest)
+        ts = _time.time() + int(name)
+        _os.utime(dest, (ts, ts))
+
+    # batch 1: user 1 at 12:00, user 2 at 12:00 (watermark held at 10:00
+    # via a 2h watermark, so earlier events are NOT dropped)
+    land("0", [(1, 12, 0), (2, 12, 0)])
+    # batch 2: user 1 gets a late 11:45 (within 30min gap -> session_start
+    # must move back); user 2 gets a late 10:00 (beyond gap -> its own
+    # session, emitted); plus a 14:00 event per user to close sessions
+    land("1", [(1, 11, 45), (2, 10, 0), (1, 14, 0), (2, 14, 0)])
+    sessionize_stream(spark, indir, ck, outdir, gap_minutes=30, watermark="2 hours")
+    got = {
+        (r["user_id"], r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert (1, "11:45", "12:00", 2) in got  # start extended backwards
+    assert (2, "10:00", "10:00", 1) in got  # separate earlier session
+    assert (2, "12:00", "12:00", 1) in got
+
+
 def test_ivf_topk_recall_and_determinism(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10)
