@@ -94,6 +94,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # ====================================================================
 # Spark-side queries
 # ====================================================================
+def _weighted(g, weight_col: str = "weight"):
+    """The ONE derived edge-weight rule every weighted query shares —
+    (src+dst)%5+1, SQL-expressible and strictly positive. Each oracle
+    replays it as CAST((src+dst)%5+1 AS DOUBLE); keeping a single
+    definition here keeps all Spark sides in lockstep with it."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+
+    return Graph(
+        g.vertices,
+        g.edges.withColumn(
+            weight_col, ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+        ),
+        prepartitioned=True,
+    )
+
+
 def _q_degree(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.degree import degree_centrality
 
@@ -113,15 +129,9 @@ def _q_pagerank_weighted(spark, sf_dir):
     """Vermeer's pagerank.edge_weight_property mode (pagerank.go:100-160):
     in-edge contributions scaled by the edge weight, same derived
     (src+dst)%5+1 weight as the weighted-SSSP queries."""
-    from incubator_hugegraph_computer_spark.graph import Graph
     from incubator_hugegraph_computer_spark.operators.pagerank import pagerank_weighted
 
-    g = orders_graph(spark, sf_dir)
-    weighted = Graph(
-        g.vertices,
-        g.edges.withColumn("weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
-        prepartitioned=True,
-    )
+    weighted = _weighted(orders_graph(spark, sf_dir))
     pr = pagerank_weighted(
         weighted, weight_col="weight", max_iterations=PR_ITERS, tol=0.0, count_messages=False
     )
@@ -164,28 +174,32 @@ def _q_clustering(spark, sf_dir):
 def _q_kcore(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.kcore import kcore_vertices
 
-    return kcore_vertices(orders_graph(spark, sf_dir), k=KCORE_K)
+    # same fixed peel budget as the unrolled oracle — running to
+    # fixpoint would diverge on any SF needing > KCORE_ROUNDS peels
+    return kcore_vertices(orders_graph(spark, sf_dir), k=KCORE_K, max_rounds=KCORE_ROUNDS)
 
 
 def _q_sssp(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.sssp import sssp
 
-    return sssp(orders_graph(spark, sf_dir), source=SSSP_SOURCE, count_messages=False)
+    # fixed 30-hop budget matching the oracle's recursion cap (r.d < 30)
+    # — the operator default (100) would diverge on any SF whose graph
+    # has vertices 31+ hops from the source
+    return sssp(
+        orders_graph(spark, sf_dir),
+        source=SSSP_SOURCE,
+        max_supersteps=30,
+        count_messages=False,
+    )
 
 
 def _q_sssp_weighted(spark, sf_dir):
     """Weighted dist-only SSSP (sssp.go / SingleSourceShortestPath.java
     weight handling without the path value) — fixed supersteps on both
     sides, same derived weight as the path variant."""
-    from incubator_hugegraph_computer_spark.graph import Graph
     from incubator_hugegraph_computer_spark.operators.sssp import sssp
 
-    g = orders_graph(spark, sf_dir)
-    weighted = Graph(
-        g.vertices,
-        g.edges.withColumn("weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
-        prepartitioned=True,
-    )
+    weighted = _weighted(orders_graph(spark, sf_dir))
     r = sssp(
         weighted,
         source=SSSP_SOURCE,
@@ -202,15 +216,9 @@ def _q_sssp_weighted_path(spark, sf_dir):
     fixed superstep budget on BOTH sides so the unrolled oracle
     recurrence is level-for-level identical. Path emitted as '->' string
     for a representation-stable value hash."""
-    from incubator_hugegraph_computer_spark.graph import Graph
     from incubator_hugegraph_computer_spark.operators.sssp import sssp_paths
 
-    g = orders_graph(spark, sf_dir)
-    weighted = Graph(
-        g.vertices,
-        g.edges.withColumn("weight", ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
-        prepartitioned=True,
-    )
+    weighted = _weighted(orders_graph(spark, sf_dir))
     r = sssp_paths(
         weighted,
         source=SSSP_SOURCE,
@@ -360,16 +368,12 @@ def _louvain_checked(spark, sf_dir, weight_col=None, min_modularity=LOUVAIN_MIN_
     (the operator's canonicalization contract), and the partition's
     Newman modularity — recomputed from the assignment — clears a
     pinned floor."""
-    from incubator_hugegraph_computer_spark.graph import Graph
     from incubator_hugegraph_computer_spark.operators.louvain import louvain
     from incubator_hugegraph_computer_spark.operators.stats import modularity
 
     g = orders_graph(spark, sf_dir)
     if weight_col is not None:
-        g = Graph(
-            g.vertices,
-            g.edges.withColumn(weight_col, ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")),
-        )
+        g = _weighted(g, weight_col)
     asn = louvain(g, max_levels=3, max_inner=5, weight_col=weight_col).persist()
     n = asn.count()
     n_ids = asn.select("id").distinct().count()
@@ -380,6 +384,7 @@ def _louvain_checked(spark, sf_dir, weight_col=None, min_modularity=LOUVAIN_MIN_
         .isEmpty()
     )
     q = modularity(g, asn, label_col="community").first()["modularity"]
+    asn.unpersist()  # all invariants are scalars now; free the cache
     return spark.createDataFrame(
         [(n, n == n_ids, bool(rep_ok), float(q) >= min_modularity)],
         "n_assigned long, one_community_each boolean, rep_is_min_member boolean, modularity_ok boolean",
@@ -445,6 +450,7 @@ def _q_slpa_multi(spark, sf_dir):
         g.vertices.select(F.col("id").alias("label")), "label", "left_anti"
     ).count()
     max_labels = out.groupBy("id").count().agg(F.max("count")).first()[0]
+    out.unpersist()  # invariants reduced to scalars; free the cache
     return spark.createDataFrame(
         [(covered, bad_labels == 0, int(max_labels) <= 6)],
         "n_vertices_covered long, labels_are_vertex_ids boolean, memory_bounded boolean",
@@ -460,7 +466,7 @@ def _q_degree_sketch(spark, sf_dir):
 def _q_kcore_wcc(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.kcore import kcore
 
-    return kcore(orders_graph(spark, sf_dir), k=KCORE_K)
+    return kcore(orders_graph(spark, sf_dir), k=KCORE_K, max_rounds=KCORE_ROUNDS)
 
 
 def _q_property_ingest(spark, sf_dir):
@@ -531,11 +537,14 @@ def _q_wcc_strid(spark, sf_dir):
     mg = Graph(mapping.select(F.col("mid").alias("id")), medges)
     comp = wcc(mg, count_messages=False)
     back = mapping.select(F.col("mid").alias("comp"), F.col("sid").alias("comp_sid"))
-    return (
+    out = (
         comp.join(mapping.select(F.col("mid").alias("id"), "sid"), "id")
         .join(back, "comp")
         .select("sid", "comp_sid")
+        .localCheckpoint(eager=True)  # V slim rows; frees mapping's cache
     )
+    mapping.unpersist()
+    return out
 
 
 def _q_docs_tokens(spark, sf_dir):

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -59,7 +60,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_files = int(os.environ.get("BENCH_FILES", "200000"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
 
     probe = host_probe()
 
@@ -126,7 +128,7 @@ def main() -> None:
     # are cheap and stride's per-hop cache writes show as heavy tails
     # (interleaved trials: propagate 10.0/7.8/9.3s vs stride4
     # 8.6/57.2/12.4s) — propagate here, stride in bench_scaling.py.
-    wcc_res = timed(
+    timed(
         "wcc",
         lambda: wcc(g, max_supersteps=30, count_messages=False).count(),
     )

@@ -30,6 +30,8 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0:
+            v = 0.0  # -0.0 formats as '-0.000000' and would mismatch +0.0
         return f"{v:.6f}"
     return str(v)
 
@@ -53,6 +55,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not produce a zero-query 'ALL PASS'
+        sys.exit(f"unknown queries: {sorted(unknown)}")
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
