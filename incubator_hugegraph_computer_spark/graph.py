@@ -79,6 +79,13 @@ class Graph:
             self.edges.unpersist()
             self.vertices.unpersist()
             self._cached = False
+        # release derived caches too — with_salting/with_csr each pin a
+        # full extra copy of the edge set
+        for attr in ("csr_df", "salted_df", "hubs_df", "_degrees"):
+            df = getattr(self, attr, None)
+            if df is not None:
+                df.unpersist()
+                setattr(self, attr, None)
 
     # ------------------------------------------------------ structure
     def num_vertices(self) -> int:
@@ -147,8 +154,12 @@ class Graph:
             self.edges.join(hubs, "src", "left")
             .withColumn(
                 "salt",
+                # pmod, NOT abs(hash)%k: abs(Integer.MIN_VALUE) stays
+                # negative, and a negative salt matches no replicated
+                # state row — that edge would silently never receive
+                # hub messages (~E/2^32 lost edges at 10^12 scale)
                 F.when(
-                    F.col("is_hub"), (F.abs(F.hash("dst")) % F.lit(salt_factor))
+                    F.col("is_hub"), F.pmod(F.hash("dst"), F.lit(salt_factor))
                 ).otherwise(F.lit(0)),
             )
             .drop("is_hub")

@@ -39,8 +39,10 @@ def betweenness(
     if sources is None:
         sources = graph.vertices.select("id")
         if sample_rate < 1.0:
+            # pmod: abs(hash)==MIN_VALUE stays negative and would be
+            # sampled at ANY rate — a deterministic bias pmod avoids
             sources = sources.where(
-                (F.abs(F.hash(F.col("id"), F.lit(seed))) % 1_000_000)
+                F.pmod(F.hash(F.col("id"), F.lit(seed)), F.lit(1_000_000))
                 < int(sample_rate * 1_000_000)
             )
     # ---------------- forward phase: BFS layers with path counts
@@ -49,7 +51,11 @@ def betweenness(
         F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
     ).localCheckpoint(eager=True)
     layers = [layer]
-    visited = layer.select("source", "v").persist()
+    # eager localCheckpoint, not persist: truncates the union chain's
+    # lineage each depth (a persisted-only union nests every previous
+    # level's plan — the driver plan-string blowup scc.py documents)
+    # and leaves no CacheManager entry to leak
+    visited = layer.select("source", "v").localCheckpoint(eager=True)
     depth = 0
     while depth < max_depth:
         depth += 1
@@ -64,7 +70,9 @@ def betweenness(
         if nxt.isEmpty():
             break
         layers.append(nxt)
-        visited = visited.unionAll(nxt.select("source", "v")).persist()
+        visited = visited.unionAll(nxt.select("source", "v")).localCheckpoint(
+            eager=True
+        )
         layer = nxt
     # ---------------- backward phase: dependency accumulation
     # delta for the deepest layer is 0; walk levels upward.
@@ -101,6 +109,9 @@ def betweenness(
             .localCheckpoint(eager=True)
         )
         acc.append(delta.where(F.col("source") != F.col("v")))
+    # every delta level is checkpointed, so the cached edge set is no
+    # longer reachable from the result plan — release it
+    edges.unpersist()
     if not acc:
         return graph.vertices.select("id", F.lit(0.0).alias("betweenness"))
     allc = acc[0]

@@ -43,8 +43,10 @@ def closeness(
     if sources is None:
         sources = graph.vertices.select("id")
         if sample_rate < 1.0:
+            # pmod: abs(hash)==MIN_VALUE stays negative and would be
+            # sampled at ANY rate
             sources = sources.where(
-                (F.abs(F.hash(F.col("id"), F.lit(seed))) % 1_000_000)
+                F.pmod(F.hash(F.col("id"), F.lit(seed)), F.lit(1_000_000))
                 < int(sample_rate * 1_000_000)
             )
     # visited: (vertex, source, dist) with minimal dist; frontier = last layer
@@ -58,12 +60,10 @@ def closeness(
             # per-edge-per-superstep Bernoulli drop — the reference's
             # sampling point, made deterministic
             expanded = expanded.where(
-                (
-                    F.abs(
-                        F.hash(F.col("v"), F.col("source"), F.col("dst"),
-                               F.lit(seed), F.lit(depth))
-                    )
-                    % 1_000_000
+                F.pmod(
+                    F.hash(F.col("v"), F.col("source"), F.col("dst"),
+                           F.lit(seed), F.lit(depth)),
+                    F.lit(1_000_000),
                 )
                 < int(edge_sample_rate * 1_000_000)
             )

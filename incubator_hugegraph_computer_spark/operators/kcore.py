@@ -18,45 +18,67 @@ from pyspark.sql import DataFrame, functions as F
 from incubator_hugegraph_computer_spark.graph import Graph
 
 
+def _peel(graph: Graph, k: int, max_rounds: int | None):
+    """(core (id, degree), peeled symmetric edge set) after k-core
+    peeling. One edge count per round: the pre-filter count is carried
+    from the previous round's post-filter count."""
+    edges = graph.symmetrized().edges.localCheckpoint(eager=True)
+    prev_count = edges.count()
+    rounds = 0
+    while True:
+        deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+        survivors = deg.where(F.col("degree") >= k).persist()
+        keep_src = survivors.select(F.col("id").alias("src"))
+        keep_dst = survivors.select(F.col("id").alias("dst"))
+        new_edges = (
+            edges.join(keep_src, "src", "left_semi")
+            .join(keep_dst, "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        survivors.unpersist()
+        edges = new_edges
+        rounds += 1
+        cur_count = edges.count()
+        stable = cur_count == prev_count and rounds > 1
+        prev_count = cur_count
+        if stable or (max_rounds is not None and rounds >= max_rounds):
+            break
+    core = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+    )
+    return core, edges
+
+
 def kcore_vertices(
     graph: Graph, k: int = 3, max_rounds: int | None = None
 ) -> DataFrame:
     """(id, degree) of vertices surviving k-core peeling on the
     undirected graph. Runs to fixpoint unless max_rounds is set."""
-    edges = graph.symmetrized().edges.persist()
-    rounds = 0
-    while True:
-        deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
-        survivors = deg.where(F.col("degree") >= k).persist()
-        n_edges = edges.count()
-        keep_src = survivors.select(F.col("id").alias("src"))
-        keep_dst = survivors.select(F.col("id").alias("dst"))
-        new_edges = edges.join(keep_src, "src", "left_semi").join(
-            keep_dst, "dst", "left_semi"
-        )
-        new_edges = new_edges.localCheckpoint(eager=True)
-        edges.unpersist()
-        edges = new_edges
-        rounds += 1
-        stable = edges.count() == n_edges and rounds > 1
-        if stable or (max_rounds is not None and rounds >= max_rounds):
-            break
-    return (
-        edges.groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .where(F.col("degree") >= k)
-    )
+    core, _ = _peel(graph, k, max_rounds)
+    return core
 
 
 def kcore(graph: Graph, k: int = 3, max_rounds: int | None = None) -> DataFrame:
     """(id, core_comp) — surviving k-core vertices labelled by the WCC
-    of the core subgraph (Kcore.java phase 2: min-id propagation)."""
+    of the core subgraph (Kcore.java phase 2: min-id propagation).
+
+    Phase 2 reuses the PEELED edge set (already symmetric, self-loop
+    free and checkpointed) restricted to core vertices — re-deriving
+    ``graph.symmetrized()`` here would pay the full dedup shuffle a
+    second time. The restriction matters when ``max_rounds`` capped the
+    peel early: the last edge set may still touch sub-core vertices."""
     from incubator_hugegraph_computer_spark.operators.wcc import wcc
 
-    core = kcore_vertices(graph, k, max_rounds).select("id").persist()
-    sym = graph.symmetrized().edges
-    core_edges = sym.join(core.select(F.col("id").alias("src")), "src", "left_semi").join(
-        core.select(F.col("id").alias("dst")), "dst", "left_semi"
-    )
-    comp = wcc(Graph(core, core_edges, graph.num_partitions))
+    core, peeled = _peel(graph, k, max_rounds)
+    core_ids = core.select("id")
+    core_edges = peeled.join(
+        core_ids.select(F.col("id").alias("src")), "src", "left_semi"
+    ).join(core_ids.select(F.col("id").alias("dst")), "dst", "left_semi")
+    # cache the core graph for the WCC supersteps (presymmetrized skips
+    # wcc's own symmetrize+cache), release it once the run is done
+    cg = Graph(core_ids, core_edges, graph.num_partitions).cache()
+    comp = wcc(cg, presymmetrized=True)
+    cg.unpersist()
     return comp.select("id", F.col("comp").alias("core_comp"))

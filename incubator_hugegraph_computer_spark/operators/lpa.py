@@ -212,4 +212,7 @@ def lpa_sync(
     g = Graph(graph.vertices, both, graph.num_partitions).cache()
     engine = BspEngine(g, max_supersteps=max_supersteps, **engine_kwargs)
     state, _ = engine.run(LpaSyncProgram(fixed=fixed), resume=resume)
+    # final state is engine-persisted/truncated; the both-direction edge
+    # cache this call created is no longer needed
+    g.unpersist()
     return state.select("id", "label")

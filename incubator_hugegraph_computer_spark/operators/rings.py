@@ -106,6 +106,9 @@ def rings(
             frontier = nxt
             break
         frontier = nxt.persist()
+    # found[] is checkpointed — the search caches can go
+    frontier.unpersist()
+    edges.unpersist()
     out = found[0]
     for f in found[1:]:
         out = out.unionAll(f)
@@ -162,6 +165,8 @@ def _boolean_cycles(
             frontier = nxt
             break
         frontier = nxt.persist()
+    frontier.unpersist()
+    edges.unpersist()
     members = has.select(F.col("start").alias("id")).withColumn("in_cycle", F.lit(1))
     return (
         graph.vertices.select("id")

@@ -47,10 +47,12 @@ def _propagate_min(vertices: DataFrame, edges: DataFrame, max_iter: int = 100) -
                 F.least(F.col("color"), F.coalesce(F.col("m"), F.col("color"))).alias("color"),
                 (F.coalesce(F.col("m"), F.col("color")) < F.col("color")).alias("chg"),
             )
+            # eager checkpoint already stores the blocks — a persist on
+            # top would materialize every round's state twice
             .localCheckpoint(eager=True)
         )
         state.unpersist()
-        state = new.persist()
+        state = new
         if state.where("chg").isEmpty():
             break
     return state.select("id", "color")
@@ -82,7 +84,6 @@ def scc(graph: Graph, max_outer: int = 50) -> DataFrame:
                 verts.join(srcs.withColumnRenamed("src", "id"), "id", "left_semi")
                 .join(dsts.withColumnRenamed("dst", "id"), "id", "left_semi")
                 .localCheckpoint(eager=True)
-                .persist()
             )
             trimmed = verts.join(core, "id", "left_anti")
             if trimmed.isEmpty():
@@ -92,12 +93,13 @@ def scc(graph: Graph, max_outer: int = 50) -> DataFrame:
             )
             verts.unpersist()
             verts = core
+            old_edges = edges
             edges = (
                 edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
                 .localCheckpoint(eager=True)
-                .persist()
             )
+            old_edges.unpersist()
         if verts.isEmpty():
             break
 
@@ -131,15 +133,26 @@ def scc(graph: Graph, max_outer: int = 50) -> DataFrame:
         assigned_parts.append(members)
         new_verts = verts.join(members.select("id"), "id", "left_anti").localCheckpoint(eager=True)
         verts.unpersist()
-        verts = new_verts.persist()
+        verts = new_verts
+        old_edges = edges
         edges = (
             edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
             .localCheckpoint(eager=True)
-            .persist()
         )
+        old_edges.unpersist()
         color.unpersist()
         colored_rev.unpersist()
+    else:
+        # assigning fewer rows than graph.vertices with no error would
+        # silently corrupt every downstream join
+        if not verts.isEmpty():
+            raise RuntimeError(
+                f"scc did not assign every vertex within max_outer={max_outer} "
+                "outer iterations (pathological SCC-chain input) — raise max_outer"
+            )
+    verts.unpersist()
+    edges.unpersist()
 
     out = assigned_parts[0] if assigned_parts else spark.createDataFrame([], "id long, scc long")
     for p in assigned_parts[1:]:

@@ -35,6 +35,11 @@ def modularity(graph: Graph, assignment: DataFrame, label_col: str = "comp") -> 
     """
     und = undirected_edges(graph.edges).persist()
     m = und.count()
+    if m == 0:
+        # division by m below would yield NaN; an edgeless partition's
+        # modularity is 0 by convention
+        und.unpersist()
+        return graph.spark.createDataFrame([(0.0,)], "modularity double")
     la = assignment.select(F.col("id").alias("a"), F.col(label_col).alias("ca"))
     lb = assignment.select(F.col("id").alias("b"), F.col(label_col).alias("cb"))
     labelled = und.join(la, "a").join(lb, "b")
@@ -60,7 +65,9 @@ def modularity(graph: Graph, assignment: DataFrame, label_col: str = "comp") -> 
             - F.pow(F.col("d_c").cast("double") / F.lit(2.0 * m), 2)
         ).alias("q_c")
     )
-    return per_c.agg(F.sum("q_c").alias("modularity"))
+    out = per_c.agg(F.sum("q_c").alias("modularity")).localCheckpoint(eager=True)
+    und.unpersist()  # one-row result materialized; free the edge cache
+    return out
 
 
 def degree_sketch(graph: Graph, direction: str = "both") -> DataFrame:
