@@ -897,6 +897,61 @@ def _q_events_sessions(spark, sf_dir):
     )
 
 
+ASOF_TOLERANCE_S = 3600  # attribution lookback window (1 h)
+
+
+def _q_events_asof(spark, sf_dir):
+    """Attribution as-of join: each purchase carries the most recent
+    prior click (inclusive) by the same user within 1 hour — the
+    merge_asof / DuckDB-ASOF-JOIN surface, left-outer."""
+    from incubator_hugegraph_computer_spark.functions.temporal import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    j = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts",
+        direction="backward", tolerance_s=ASOF_TOLERANCE_S,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("ts").cast("timestamp_ltz").cast("double"), 6).alias("purchase_ts"),
+        F.round("value", 6).alias("purchase_value"),
+        F.round("click_value_r", 6).alias("click_value"),
+        F.round(F.col("ts_r").cast("timestamp_ltz").cast("double"), 6).alias("click_ts"),
+    )
+
+
+def _q_events_gapfill(spark, sf_dir):
+    """Gap-filled hourly buckets per event_type (time_bucket_gapfill)."""
+    from incubator_hugegraph_computer_spark.functions.temporal import time_bucket_gapfill
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    g = time_bucket_gapfill(events, bucket="hour")
+    return g.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def _q_events_rollup(spark, sf_dir):
+    """ROLLUP(event_type, day) counts/sums — subtotal + grand-total rows
+    (NULL dims mark the rollup levels, standard SQL semantics)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return events.rollup(F.col("event_type"), day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
 def _q_emb_ivf_trained_topk(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.similarity import (
         ivf_topk,
@@ -1024,6 +1079,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q_events_retention,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
+        "events_gapfill": _q_events_gapfill,
+        "events_rollup": _q_events_rollup,
     }
 
 
@@ -2337,6 +2395,44 @@ FROM events GROUP BY 1
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+    tol_us = ASOF_TOLERANCE_S * 1_000_000
+    o["events_asof"] = f"""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+j AS (SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value, c.ts AS cts
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT event_id, user_id,
+       ROUND(epoch_us(ts) / 1000000.0, 6) AS purchase_ts,
+       ROUND(value, 6) AS purchase_value,
+       CASE WHEN cts IS NOT NULL AND epoch_us(ts) - epoch_us(cts) <= {tol_us}
+            THEN ROUND(click_value, 6) END AS click_value,
+       CASE WHEN cts IS NOT NULL AND epoch_us(ts) - epoch_us(cts) <= {tol_us}
+            THEN ROUND(epoch_us(cts) / 1000000.0, 6) END AS click_ts
+FROM j
+"""
+
+    o["events_gapfill"] = """
+WITH agg AS (SELECT event_type AS g, date_trunc('hour', ts) AS b,
+                    COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+             FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(date_trunc('hour', ts)) AS lo, MAX(date_trunc('hour', ts)) AS hi FROM events),
+spine AS (SELECT g.g, t.b
+          FROM (SELECT DISTINCT event_type AS g FROM events) g
+          CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM bounds) t)
+SELECT strftime(spine.b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       spine.g AS event_type,
+       COALESCE(agg.n_events, 0) AS n_events,
+       agg.sum_value AS sum_value
+FROM spine LEFT JOIN agg ON spine.g = agg.g AND spine.b = agg.b
+"""
+
+    o["events_rollup"] = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY ROLLUP(event_type, day)
 """
 
     return o

@@ -1,0 +1,159 @@
+"""Temporal operators over event tables: as-of join and gap-filled
+time buckets.
+
+The reference engine is batch-graph-only (SURVEY §2.9) — these are the
+Spark-native temporal primitives an event/training-data pipeline needs
+(the ``pandas.merge_asof`` and TimescaleDB ``time_bucket_gapfill``
+equivalents), built to the same scale contract as the rest of the
+engine: key-partitioned shuffles only, no range-explosion joins, no
+per-row Python.
+
+As-of join physical shape (the part Spark lacks as a built-in): a
+naive implementation is a range join (``l.key = r.key AND r.ts <=
+l.ts`` + argmax), which Catalyst executes as a broadcast-nested-loop
+or a sort-merge with per-row range scans — quadratic in rows-per-key
+and a non-starter at 100 TB. The scalable plan used here is the
+union-tag merge: tag both sides, union, ONE hash-shuffle on the join
+keys, sort within each partition by (ts, side), and carry the last
+seen right-side payload forward with a running ``last(..,
+ignorenulls)`` window. Cost = one shuffle + one in-partition sort of
+|L|+|R| rows, independent of key skew in the match pattern (a hub key
+costs its own rows, never |L_key| x |R_key|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for every left row, attach the payload of the single
+    right row with the greatest ``right_ts <= left_ts`` (``backward``,
+    inclusive — DuckDB ``ASOF JOIN``/pandas ``merge_asof`` semantics)
+    or the smallest ``right_ts >= left_ts`` (``forward``) within the
+    same ``on`` key group. Left rows without a match keep NULL payload
+    (left-outer semantics).
+
+    ``tolerance_s`` (seconds, compared on the timestamp cast to epoch
+    double — works for numeric ts columns too) nulls the payload of
+    matches farther than the tolerance, exactly like ``merge_asof``'s
+    ``tolerance``.
+
+    Determinism: multiple right rows tied on (key, ts) are collapsed
+    FIRST to one row per (key, ts) by max-struct over the payload
+    columns, so the matched payload never depends on partition order.
+
+    Output: every left column, then each right payload column renamed
+    ``<col><suffix>``, then ``<right_ts><suffix>`` (the matched
+    timestamp, NULL when unmatched/out-of-tolerance).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    keys = list(on)
+    rts = right_ts or left_ts
+    payload = [c for c in right.columns if c not in set(keys) | {rts}]
+    if not payload:
+        raise ValueError("right side has no payload columns besides keys/timestamp")
+
+    r1 = right.groupBy(*keys, F.col(rts).alias("_ats")).agg(
+        F.max(F.struct(*payload)).alias("_p")
+    )
+    lt = (
+        left.withColumn("_ats", F.col(left_ts))
+        .withColumn("_side", F.lit(1))
+    )
+    rt = r1.withColumn("_side", F.lit(0))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+
+    # backward: at equal ts the right row must sort BEFORE the left row
+    # so the match is inclusive (l.ts >= r.ts). forward: reverse the ts
+    # order; right still first at equal ts => smallest r.ts >= l.ts.
+    order = [F.col("_ats").asc(), F.col("_side").asc()] if direction == "backward" else [
+        F.col("_ats").desc(), F.col("_side").asc()
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    matched = both.withColumn("_mp", F.last("_p", ignorenulls=True).over(w)).withColumn(
+        "_mts", F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True).over(w)
+    )
+
+    ok: Column = F.col("_mts").isNotNull()
+    if tolerance_s is not None:
+        # TIMESTAMP_NTZ has no direct double cast — hop through LTZ
+        # (session TZ is UTC, so wall-clock == epoch); numerics cast as-is
+        def _sec(c: Column) -> Column:
+            if both.schema["_ats"].dataType.typeName().startswith("timestamp"):
+                return c.cast("timestamp_ltz").cast("double")
+            return c.cast("double")
+
+        diff = F.abs(_sec(F.col("_ats")) - _sec(F.col("_mts")))
+        ok = ok & (diff <= F.lit(float(tolerance_s)))
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [
+        F.when(ok, F.col("_mp")[c]).alias(f"{c}{suffix}") for c in payload
+    ]
+    out_cols.append(F.when(ok, F.col("_mts")).alias(f"{rts}{suffix}"))
+    return matched.where(F.col("_side") == 1).select(*out_cols)
+
+
+def time_bucket_gapfill(
+    events: DataFrame,
+    bucket: str = "hour",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(group, time-bucket) counts and sums with EVERY bucket in the
+    observed [min, max] range present for every group — missing buckets
+    filled with ``n_events = 0`` and NULL ``sum_value`` (TimescaleDB
+    ``time_bucket_gapfill`` semantics).
+
+    ``bucket`` is a ``date_trunc`` unit ('hour' | 'day' | 'week' | ...).
+
+    Physical shape: one map-side-combined aggregation over the events;
+    the spine is (distinct groups) x (generated bucket sequence) —
+    ``F.sequence`` on two driver scalars exploded against the group
+    dim, then a hash join of the aggregate onto the spine (AQE picks
+    broadcast when groups x buckets is small; both sides of this join
+    are bounded by groups x buckets, never by event volume). At 100 TB
+    the heavy side is the pre-aggregation — a single keyed,
+    map-side-combined shuffle.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col))
+    agg = (
+        events.groupBy(F.col(group_col).alias("g"), b.alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("sum_value"),
+        )
+    )
+    lo, hi = events.select(F.min(b), F.max(b)).first()
+    step = F.expr(f"interval 1 {bucket}")
+    spine = (
+        events.select(F.col(group_col).alias("g")).distinct()
+        .crossJoin(
+            events.sparkSession.range(1).select(
+                F.explode(F.sequence(F.lit(lo), F.lit(hi), step)).alias("b")
+            )
+        )
+    )
+    return (
+        spine.join(agg, ["g", "b"], "left")
+        .select(
+            F.col("b").alias("bucket_start"),
+            F.col("g").alias(group_col),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("sum_value"),
+        )
+    )

@@ -1,0 +1,100 @@
+"""as-of join + time_bucket_gapfill (functions/temporal.py).
+
+Ground truth for the as-of fixtures is hand-computed (and mirrors
+pandas.merge_asof / DuckDB ASOF JOIN semantics: backward = greatest
+right ts <= left ts, inclusive; forward = smallest right ts >= left
+ts, inclusive; left-outer; tolerance nulls far matches).
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from incubator_hugegraph_computer_spark.functions.temporal import (
+    asof_join,
+    time_bucket_gapfill,
+)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, 5.0),   # matches right ts=10 (inclusive tie)
+            (1, 12, 6.0),   # matches right ts=10
+            (1, 3, 7.0),    # before every right row -> null
+            (2, 100, 8.0),  # matches right ts=90
+            (3, 50, 9.0),   # key with no right rows -> null
+        ],
+        "k long, ts long, lval double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (1, 10, "b"),   # tie on (k, ts): max-struct picks 'b'
+            (1, 11, "c"),
+            (2, 90, "d"),
+            (2, 101, "e"),
+        ],
+        "k long, ts long, tag string",
+    )
+    return left, right
+
+
+def test_asof_backward(spark):
+    left, right = _sides(spark)
+    out = asof_join(left, right, on=["k"], left_ts="ts")
+    got = {r["ts"]: (r["tag_r"], r["ts_r"]) for r in out.collect()}
+    assert out.count() == 5  # left-outer: every left row survives
+    assert got[10] == ("b", 10)   # inclusive tie, deterministic max-struct
+    assert got[12] == ("c", 11)
+    assert got[3] == (None, None)
+    assert got[100] == ("d", 90)
+    assert got[50] == (None, None)
+
+
+def test_asof_forward_and_tolerance(spark):
+    left, right = _sides(spark)
+    fwd = asof_join(left, right, on=["k"], left_ts="ts", direction="forward")
+    got = {r["ts"]: (r["tag_r"], r["ts_r"]) for r in fwd.collect()}
+    assert got[10] == ("b", 10)   # inclusive at equal ts
+    assert got[12] == (None, None)  # nothing at/after 12 for k=1
+    assert got[3] == ("b", 10)
+    assert got[100] == ("e", 101)
+
+    tol = asof_join(left, right, on=["k"], left_ts="ts", tolerance_s=2)
+    got = {r["ts"]: (r["tag_r"], r["ts_r"]) for r in tol.collect()}
+    assert got[12] == ("c", 11)       # |12-11| <= 2
+    assert got[100] == (None, None)   # |100-90| > 2 -> nulled
+
+
+def test_asof_rejects_bad_args(spark):
+    left, right = _sides(spark)
+    try:
+        asof_join(left, right, on=["k"], direction="sideways")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    try:
+        asof_join(left, right.select("k", "ts"), on=["k"])
+        assert False, "expected ValueError (no payload)"
+    except ValueError:
+        pass
+
+
+def test_gapfill_fills_missing_buckets(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(hours=3), 2.0),  # hours 1,2 missing for a
+        ("b", t0 + dt.timedelta(hours=1), 4.0),
+    ]
+    events = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = time_bucket_gapfill(events, bucket="hour").collect()
+    # spine: 2 groups x 4 hourly buckets (00..03)
+    assert len(out) == 8
+    by = {(r["event_type"], r["bucket_start"].hour): r for r in out}
+    assert by[("a", 0)]["n_events"] == 1 and by[("a", 0)]["sum_value"] == 1.0
+    assert by[("a", 1)]["n_events"] == 0 and by[("a", 1)]["sum_value"] is None
+    assert by[("a", 3)]["n_events"] == 1
+    assert by[("b", 1)]["n_events"] == 1
+    assert by[("b", 3)]["n_events"] == 0
