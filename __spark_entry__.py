@@ -941,6 +941,45 @@ def _q_events_gapfill(spark, sf_dir):
     )
 
 
+def _q_events_interval_join(spark, sf_dir):
+    """Clicks inside each purchase's 30-min attribution window —
+    point-in-interval join via the bucketized equi-join (no range/
+    nested-loop join), zero-match purchases kept by aggregate rejoin."""
+    from incubator_hugegraph_computer_spark.functions.temporal import interval_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    intervals = purchases.select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("start"),
+        F.col("ts").alias("end"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("click_value")
+    )
+    pairs = interval_join(
+        clicks, intervals, on=["user_id"],
+        point_ts="cts", start_col="start", end_col="end", bucket_s=1800,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("click_value"), 6).alias("sum_click_value"),
+    )
+    return (
+        purchases.select("event_id", "user_id")
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
+            "sum_click_value",
+        )
+    )
+
+
 def _q_events_rollup(spark, sf_dir):
     """ROLLUP(event_type, day) counts/sums — subtotal + grand-total rows
     (NULL dims mark the rollup levels, standard SQL semantics)."""
@@ -1082,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_gapfill": _q_events_gapfill,
         "events_rollup": _q_events_rollup,
+        "events_interval_join": _q_events_interval_join,
     }
 
 
@@ -2427,6 +2467,17 @@ SELECT strftime(spine.b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
        COALESCE(agg.n_events, 0) AS n_events,
        agg.sum_value AS sum_value
 FROM spine LEFT JOIN agg ON spine.g = agg.g AND spine.b = agg.b
+"""
+
+    o["events_interval_join"] = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       COUNT(c.ts) AS n_clicks,
+       ROUND(SUM(c.value), 6) AS sum_click_value
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+GROUP BY 1, 2
 """
 
     o["events_rollup"] = """

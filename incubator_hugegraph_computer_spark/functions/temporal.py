@@ -107,6 +107,68 @@ def asof_join(
     return matched.where(F.col("_side") == 1).select(*out_cols)
 
 
+def _ts_num(c: Column, dtype_name: str) -> tuple[Column, int]:
+    """Numeric form of a timestamp-ish column + its per-second scale.
+    Timestamps become exact integer microseconds (no double rounding at
+    interval boundaries); numeric ts columns pass through as double."""
+    if dtype_name.startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp_ltz")), 1_000_000
+    return c.cast("double"), 1
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join: every (interval, point) pair with
+    ``start <= point_ts <= end`` within the same key group — WITHOUT a
+    range join (Catalyst executes non-equi range predicates as a
+    nested-loop or an equi-join whose per-key fan-out is |points_key| x
+    |intervals_key|; with hub keys that is quadratic).
+
+    Physical shape: explode each interval into the fixed-width time
+    buckets it covers (``sequence`` over bucket ordinals — fan-out =
+    ceil(duration / bucket_s) + 1 rows per interval, pick ``bucket_s``
+    near the typical interval length), equi-join on (keys, bucket),
+    post-filter exact containment. Each point lives in exactly ONE
+    bucket, so no post-join dedup is needed. Timestamp containment is
+    compared in exact integer microseconds — no double-epoch boundary
+    rounding.
+
+    Inner semantics (only matched pairs). For left-outer aggregates
+    ("0 points in this interval"), aggregate this result and join it
+    back onto the interval table — cheaper than manufacturing NULL
+    pair-rows here.
+    """
+    keys = list(on)
+    p_num, p_scale = _ts_num(F.col(point_ts), points.schema[point_ts].dataType.typeName())
+    s_num, s_scale = _ts_num(F.col(start_col), intervals.schema[start_col].dataType.typeName())
+    e_num, _ = _ts_num(F.col(end_col), intervals.schema[end_col].dataType.typeName())
+    if p_scale != s_scale:
+        raise ValueError("points and intervals must use the same ts type family")
+    width = F.lit(bucket_s * p_scale)
+
+    pts = points.withColumn("_tn", p_num).withColumn(
+        "_bkt", F.floor(F.col("_tn") / width)
+    )
+    ivs = (
+        intervals.withColumn("_sn", s_num)
+        .withColumn("_en", e_num)
+        .withColumn(
+            "_bkt",
+            F.explode(F.sequence(F.floor(F.col("_sn") / width), F.floor(F.col("_en") / width))),
+        )
+    )
+    contained = F.col("_tn").between(F.col("_sn"), F.col("_en"))
+    out = ivs.join(pts, keys + ["_bkt"]).where(contained)
+    return out.drop("_tn", "_bkt", "_sn", "_en")
+
+
 def time_bucket_gapfill(
     events: DataFrame,
     bucket: str = "hour",

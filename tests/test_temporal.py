@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from incubator_hugegraph_computer_spark.functions.temporal import (
     asof_join,
+    interval_join,
     time_bucket_gapfill,
 )
 
@@ -79,6 +80,24 @@ def test_asof_rejects_bad_args(spark):
         assert False, "expected ValueError (no payload)"
     except ValueError:
         pass
+
+
+def test_interval_join_matches_range_semantics(spark):
+    # numeric ts; bucket width 10 forces multi-bucket intervals
+    points = spark.createDataFrame(
+        [(1, 5, "p5"), (1, 19, "p19"), (1, 31, "p31"), (2, 7, "q7")],
+        "k long, ts long, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 4, 20, "A"),   # spans buckets 0..2 -> catches 5 and 19
+         (1, 19, 19, "B"),  # degenerate point interval, inclusive both ends
+         (1, 21, 30, "C"),  # catches nothing (31 excluded)
+         (2, 0, 100, "D")], # other key
+        "k long, start long, end long, iv string",
+    )
+    out = interval_join(points, intervals, on=["k"], point_ts="ts", bucket_s=10)
+    pairs = {(r["iv"], r["tag"]) for r in out.collect()}
+    assert pairs == {("A", "p5"), ("A", "p19"), ("B", "p19"), ("D", "q7")}
 
 
 def test_gapfill_fills_missing_buckets(spark):
