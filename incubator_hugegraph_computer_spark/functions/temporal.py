@@ -83,8 +83,10 @@ def asof_join(
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    matched = both.withColumn("_mp", F.last("_p", ignorenulls=True).over(w)).withColumn(
-        "_mts", F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True).over(w)
+    matched = both.select(
+        "*",
+        F.last("_p", ignorenulls=True).over(w).alias("_mp"),
+        F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True).over(w).alias("_mts"),
     )
 
     ok: Column = F.col("_mts").isNotNull()
