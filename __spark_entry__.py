@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.sources.tpch_graph import (
@@ -980,6 +980,51 @@ def _q_events_interval_join(spark, sf_dir):
     )
 
 
+SEQ_MAX_LEN = 50  # behavioral-sequence truncation length
+
+
+def _q_events_transitions(spark, sf_dir):
+    """First-order Markov transition counts/probabilities between
+    consecutive event types per user (ts, event_id order)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = t.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    # the per-prev normalizer is |event types| rows — window over a tiny agg
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+def _q_events_sequences(spark, sf_dir):
+    """Per-user ordered event-type sequence, truncated to SEQ_MAX_LEN —
+    the behavioral-sequence extraction shape (sort happens inside the
+    per-user array, not as a global sort)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seq = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                SEQ_MAX_LEN,
+            ),
+            " ",
+        ).alias("seq"),
+    )
+    return seq
+
+
 def _q_events_rollup(spark, sf_dir):
     """ROLLUP(event_type, day) counts/sums — subtotal + grand-total rows
     (NULL dims mark the rollup levels, standard SQL semantics)."""
@@ -1122,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": _q_events_gapfill,
         "events_rollup": _q_events_rollup,
         "events_interval_join": _q_events_interval_join,
+        "events_transitions": _q_events_transitions,
+        "events_sequences": _q_events_sequences,
     }
 
 
@@ -2478,6 +2525,23 @@ SELECT p.event_id, p.user_id,
 FROM p LEFT JOIN c
   ON c.user_id = p.user_id AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
 GROUP BY 1, 2
+"""
+
+    o["events_transitions"] = """
+WITH o AS (SELECT event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM c
+"""
+
+    o["events_sequences"] = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, {SEQ_MAX_LEN}), ' ') AS seq
+FROM events GROUP BY user_id
 """
 
     o["events_rollup"] = """
