@@ -1005,24 +1005,29 @@ def _q_events_transitions(spark, sf_dir):
 
 def _q_events_sequences(spark, sf_dir):
     """Per-user ordered event-type sequence, truncated to SEQ_MAX_LEN —
-    the behavioral-sequence extraction shape (sort happens inside the
-    per-user array, not as a global sort)."""
+    the behavioral-sequence extraction shape. The truncation happens
+    BEFORE the array is built (row_number <= max over the same user
+    partitioning), so per-user aggregation state is bounded by
+    SEQ_MAX_LEN, never by a hub user's full history; the per-user total
+    rides the same window sort as a frame-free count."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    seq = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    ranked = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_events"),
+    ).where(F.col("rn") <= SEQ_MAX_LEN)
+    return ranked.groupBy("user_id", "n_events").agg(
         F.array_join(
-            F.slice(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-                    lambda s: s["event_type"],
-                ),
-                1,
-                SEQ_MAX_LEN,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
             ),
             " ",
         ).alias("seq"),
-    )
-    return seq
+    ).select("user_id", "n_events", "seq")
 
 
 def _q_events_rollup(spark, sf_dir):

@@ -64,8 +64,14 @@ def asof_join(
     if not payload:
         raise ValueError("right side has no payload columns besides keys/timestamp")
 
-    r1 = right.groupBy(*keys, F.col(rts).alias("_ats")).agg(
-        F.max(F.struct(*payload)).alias("_p")
+    # NULL-ts right rows can never be "the most recent" of anything —
+    # drop them up front (a NULL _ats right row would advance _mp but
+    # not _mts, pairing one row's payload with another's timestamp).
+    # NULL-ts left rows stay (left-outer) but always get a NULL match.
+    r1 = (
+        right.where(F.col(rts).isNotNull())
+        .groupBy(*keys, F.col(rts).alias("_ats"))
+        .agg(F.max(F.struct(*payload)).alias("_p"))
     )
     lt = (
         left.withColumn("_ats", F.col(left_ts))
@@ -89,17 +95,16 @@ def asof_join(
         F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True).over(w).alias("_mts"),
     )
 
-    ok: Column = F.col("_mts").isNotNull()
+    ok: Column = F.col("_mts").isNotNull() & F.col("_ats").isNotNull()
     if tolerance_s is not None:
-        # TIMESTAMP_NTZ has no direct double cast — hop through LTZ
-        # (session TZ is UTC, so wall-clock == epoch); numerics cast as-is
-        def _sec(c: Column) -> Column:
-            if both.schema["_ats"].dataType.typeName().startswith("timestamp"):
-                return c.cast("timestamp_ltz").cast("double")
-            return c.cast("double")
-
-        diff = F.abs(_sec(F.col("_ats")) - _sec(F.col("_mts")))
-        ok = ok & (diff <= F.lit(float(tolerance_s)))
+        # exact integer microseconds for timestamps (same rule as
+        # interval_join) — double-epoch seconds carry ~1e-7 s error at
+        # 2024 epochs, enough to flip a boundary-exact tolerance compare
+        tname = both.schema["_ats"].dataType.typeName()
+        a_num, scale = _ts_num(F.col("_ats"), tname)
+        m_num, _ = _ts_num(F.col("_mts"), tname)
+        diff = F.abs(a_num - m_num)
+        ok = ok & (diff <= F.lit(tolerance_s * scale))
 
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [
@@ -148,22 +153,35 @@ def interval_join(
     pair-rows here.
     """
     keys = list(on)
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(overlap)} — "
+            "rename one side to keep the join output unambiguous"
+        )
     p_num, p_scale = _ts_num(F.col(point_ts), points.schema[point_ts].dataType.typeName())
     s_num, s_scale = _ts_num(F.col(start_col), intervals.schema[start_col].dataType.typeName())
-    e_num, _ = _ts_num(F.col(end_col), intervals.schema[end_col].dataType.typeName())
-    if p_scale != s_scale:
-        raise ValueError("points and intervals must use the same ts type family")
+    e_num, e_scale = _ts_num(F.col(end_col), intervals.schema[end_col].dataType.typeName())
+    if p_scale != s_scale or s_scale != e_scale:
+        raise ValueError("points, start and end must use the same ts type family")
     width = F.lit(bucket_s * p_scale)
 
     pts = points.withColumn("_tn", p_num).withColumn(
         "_bkt", F.floor(F.col("_tn") / width)
     )
+    lo_b, hi_b = F.floor(F.col("_sn") / width), F.floor(F.col("_en") / width)
     ivs = (
         intervals.withColumn("_sn", s_num)
         .withColumn("_en", e_num)
+        # a reversed interval (end < start) contributes zero rows instead
+        # of a silent descending bucket sequence (Spark's default step -1)
         .withColumn(
             "_bkt",
-            F.explode(F.sequence(F.floor(F.col("_sn") / width), F.floor(F.col("_en") / width))),
+            F.explode(
+                F.when(F.col("_sn") <= F.col("_en"), F.sequence(lo_b, hi_b)).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ),
         )
     )
     contained = F.col("_tn").between(F.col("_sn"), F.col("_en"))
@@ -185,14 +203,13 @@ def time_bucket_gapfill(
 
     ``bucket`` is a ``date_trunc`` unit ('hour' | 'day' | 'week' | ...).
 
-    Physical shape: one map-side-combined aggregation over the events;
-    the spine is (distinct groups) x (generated bucket sequence) —
-    ``F.sequence`` on two driver scalars exploded against the group
-    dim, then a hash join of the aggregate onto the spine (AQE picks
-    broadcast when groups x buckets is small; both sides of this join
-    are bounded by groups x buckets, never by event volume). At 100 TB
-    the heavy side is the pre-aggregation — a single keyed,
-    map-side-combined shuffle.
+    Physical shape: ONE pass over the events (a map-side-combined
+    groupBy, materialized once with an eager localCheckpoint); the
+    bounds, the group dim, and the spine are all derived from that
+    tiny groups-x-buckets aggregate, never by re-scanning the input.
+    AQE picks broadcast for the spine join when groups x buckets is
+    small; both join sides are bounded by groups x buckets, never by
+    event volume.
     """
     b = F.date_trunc(bucket, F.col(ts_col))
     agg = (
@@ -201,11 +218,19 @@ def time_bucket_gapfill(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(value_col), 6).alias("sum_value"),
         )
+        .localCheckpoint(eager=True)  # one scan of events feeds everything below
     )
-    lo, hi = events.select(F.min(b), F.max(b)).first()
+    lo, hi = agg.select(F.min("b"), F.max("b")).first()
+    if lo is None:  # empty input -> empty (correctly-typed) gapfill
+        return agg.select(
+            F.col("b").alias("bucket_start"),
+            F.col("g").alias(group_col),
+            "n_events",
+            "sum_value",
+        )
     step = F.expr(f"interval 1 {bucket}")
     spine = (
-        events.select(F.col(group_col).alias("g")).distinct()
+        agg.select("g").distinct()
         .crossJoin(
             events.sparkSession.range(1).select(
                 F.explode(F.sequence(F.lit(lo), F.lit(hi), step)).alias("b")

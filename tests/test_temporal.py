@@ -82,6 +82,35 @@ def test_asof_rejects_bad_args(spark):
         pass
 
 
+def test_asof_null_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, None, 1.0), (1, 15, 2.0)], "k long, ts long, lval double"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "nullts"), (1, 10, "a"), (1, 20, "b")], "k long, ts long, tag string"
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(left, right, on=["k"], left_ts="ts", direction=direction)
+        rows = {r["lval"]: (r["tag_r"], r["ts_r"]) for r in out.collect()}
+        assert len(rows) == 2  # NULL-ts left row survives (left-outer) ...
+        assert rows[1.0] == (None, None)  # ... but never matches
+        # and the NULL-ts right row is never the match for anyone
+        assert rows[2.0] == (("a", 10) if direction == "backward" else ("b", 20))
+
+
+def test_interval_join_guards(spark):
+    points = spark.createDataFrame([(1, 5, "p")], "k long, ts long, tag string")
+    rev = spark.createDataFrame([(1, 20, 4, "R")], "k long, start long, end long, iv string")
+    # reversed interval: zero rows, not a descending bucket explosion
+    assert interval_join(points, rev, on=["k"], point_ts="ts", bucket_s=10).count() == 0
+    clash = spark.createDataFrame([(1, 0, 9, "C")], "k long, start long, end long, tag string")
+    try:
+        interval_join(points, clash, on=["k"], point_ts="ts", bucket_s=10)
+        assert False, "expected ValueError on shared non-key column 'tag'"
+    except ValueError:
+        pass
+
+
 def test_interval_join_matches_range_semantics(spark):
     # numeric ts; bucket width 10 forces multi-bucket intervals
     points = spark.createDataFrame(
