@@ -732,6 +732,17 @@ def _q_docs_decontaminate(spark, sf_dir):
     )
 
 
+CHUNK_WINDOW, CHUNK_STRIDE = 64, 32
+
+
+def _q_docs_chunks(spark, sf_dir):
+    """Overlapping token-window chunks (RAG/long-doc splitting)."""
+    from incubator_hugegraph_computer_spark.functions.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+
 def _q_docs_pack(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.packing import pack_sequences
 
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_split": _q_docs_split,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_pack_stats": _q_docs_pack_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -2302,6 +2314,21 @@ pk AS (SELECT doc_id, n_tokens, start_offset,
              THEN (start_offset + n_tokens - 1) // {PACK_BUDGET}
              ELSE start_offset // {PACK_BUDGET} END AS BIGINT) AS seq_last
        FROM pl)"""
+    o["docs_chunks"] = f"""
+WITH {_TOKS},
+g AS (SELECT doc_id, l, generate_series(1, len(l), {CHUNK_STRIDE}) AS gs
+      FROM toks WHERE len(l) >= 1),
+s AS (SELECT doc_id, l,
+             unnest(gs) AS start,
+             unnest(generate_series(1, len(gs))) - 1 AS chunk_id
+      FROM g)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(list_slice(l, start, start + {CHUNK_WINDOW} - 1)) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(l, start, start + {CHUNK_WINDOW} - 1), ' ') AS chunk_text
+FROM s
+"""
+
     o["docs_pack"] = f"""
 WITH {_pack_ctes}
 SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,

@@ -130,3 +130,46 @@ def packing_efficiency(packed: DataFrame, budget: int) -> DataFrame:
         ).alias("fill_ratio"),
         "n_straddlers",
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-chunking
+    complement to concat-and-chunk packing (RAG indexing / long-doc
+    splitting): each document yields chunks of ``window`` tokens
+    starting every ``stride`` tokens (chunk starts 1, 1+stride, ... up
+    to the last start <= n_tokens; the final chunk may be short).
+    Empty documents yield no chunks.
+
+    Output: (doc_id, chunk_id 0-based, n_chunk_tokens, chunk_text).
+
+    Physical shape: one projection + one ``posexplode`` — NO shuffle at
+    any corpus size; fan-out per document is ceil(n_tokens / stride).
+    The per-document ``sequence`` is a once-per-doc interpreted
+    expression (the same budget class as the bigram ``zip_with`` in
+    ``text.repetition_stats``), not a per-token HOF.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = documents.select(
+        id_col, _tokens(F.col(text_col)).alias("_t")
+    ).where(F.size("_t") >= 1)
+    ch = toks.select(
+        id_col,
+        "_t",
+        F.posexplode(F.sequence(F.lit(1), F.size("_t"), F.lit(stride))).alias(
+            "chunk_id", "_start"
+        ),
+    )
+    body = F.slice("_t", F.col("_start"), window)
+    return ch.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(body).alias("n_chunk_tokens"),
+        F.array_join(body, " ").alias("chunk_text"),
+    )

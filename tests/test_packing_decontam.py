@@ -101,3 +101,27 @@ def test_decontaminate_no_eval_rows(spark):
     ev = tr.where(F.lit(False))
     out = decontaminate(tr, ev, n=3).collect()
     assert len(out) == 1 and out[0]["n_contaminated"] == 0
+
+
+def test_chunk_documents_windows(spark):
+    from incubator_hugegraph_computer_spark.functions.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, window=4, stride=3).collect()
+    by = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"]) for r in out}
+    # doc 1: 7 tokens -> starts 1, 4, 7
+    assert by[(1, 0)] == (4, "a b c d")
+    assert by[(1, 1)] == (4, "d e f g")
+    assert by[(1, 2)] == (1, "g")          # short tail chunk
+    assert by[(2, 0)] == (2, "x y")        # doc shorter than window
+    assert all(d != 3 for d, _ in by)      # empty doc -> no chunks
+    assert len(by) == 4
+
+    try:
+        chunk_documents(docs, window=0, stride=3)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
