@@ -151,7 +151,9 @@ def main() -> None:
         "graph_betweenness",
         "docs_minhash_dedup",
         "docs_ngram_dedup",
+        "docs_chunks",
         "emb_cosine_topk",
+        "events_asof",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 
