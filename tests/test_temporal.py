@@ -146,3 +146,43 @@ def test_gapfill_fills_missing_buckets(spark):
     assert by[("a", 3)]["n_events"] == 1
     assert by[("b", 1)]["n_events"] == 1
     assert by[("b", 3)]["n_events"] == 0
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """applyInPandasWithState as-of enrichment drained with AvailableNow
+    (one batch over a static input) equals batch asof_join exactly."""
+    import shutil
+
+    from incubator_hugegraph_computer_spark.streaming.enrich import stream_asof_enrich
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src / "events.parquet")
+    events = spark.read.parquet(str(src))
+
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("matched_value")
+    )
+    batch = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", tolerance_s=3600
+    )
+    want = {
+        r["event_id"]: (r["matched_value_r"], r["ts_r"]) for r in batch.collect()
+    }
+
+    stream_asof_enrich(
+        spark,
+        str(src),
+        checkpoint_dir=str(tmp_path / "ck"),
+        output_dir=str(tmp_path / "out"),
+        tolerance_s=3600,
+    )
+    got_rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    got = {r["event_id"]: (r["matched_value"], r["matched_ts"]) for r in got_rows}
+    assert set(got) == set(want)
+    assert len(want) > 50
+    mism = {k for k in want if got[k] != want[k]}
+    assert not mism, f"{len(mism)} mismatches, e.g. {sorted(mism)[:3]}"
