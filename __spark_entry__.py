@@ -1274,9 +1274,19 @@ FROM e2 LEFT JOIN p USING(vec_id)"""
     )
 
 
-def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
-    parts = [
-        f"WITH {_G},",
+def _pagerank_sql(iters: int, damping: float = 0.85, weighted: bool = False) -> str:
+    """One unrolled PageRank recurrence for both modes. ``weighted``
+    switches to the Vermeer weighted shape (pagerank.go:144-158):
+    contribution = rank/outdeg · w per in-edge; outdeg stays a COUNT,
+    dangling term unweighted — the exact reference shape."""
+    parts = [f"WITH {_G},"]
+    if weighted:
+        parts.append(
+            "we AS MATERIALIZED (SELECT src, dst, "
+            "CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e),"
+        )
+    edge_tbl, contrib = ("we", "p.rank/d.outdeg*we.w") if weighted else ("e", "p.rank/d.outdeg")
+    parts += [
         "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
         "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),",
         "pr0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v),",
@@ -1284,8 +1294,8 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     for k in range(1, iters + 1):
         p = f"pr{k-1}"
         parts.append(
-            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank/d.outdeg) AS s FROM {p} p "
-            f"JOIN deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1),"
+            f"m{k} AS MATERIALIZED (SELECT {edge_tbl}.dst AS id, SUM({contrib}) AS s FROM {p} p "
+            f"JOIN deg d ON d.id=p.id JOIN {edge_tbl} ON {edge_tbl}.src=p.id GROUP BY 1),"
         )
         parts.append(
             f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
@@ -1301,33 +1311,7 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
 
 
 def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
-    """Vermeer weighted recurrence (pagerank.go:144-158): contribution
-    = rank/outdeg · w per in-edge; outdeg stays a COUNT, dangling term
-    unweighted — the exact reference shape."""
-    parts = [
-        f"WITH {_G},",
-        "we AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e),",
-        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
-        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),",
-        "pr0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v),",
-    ]
-    for k in range(1, iters + 1):
-        p = f"pr{k-1}"
-        parts.append(
-            f"m{k} AS MATERIALIZED (SELECT we.dst AS id, SUM(p.rank/d.outdeg*we.w) AS s FROM {p} p "
-            f"JOIN deg d ON d.id=p.id JOIN we ON we.src=p.id GROUP BY 1),"
-        )
-        parts.append(
-            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
-            f"LEFT JOIN deg d ON d.id=p.id WHERE d.id IS NULL),"
-        )
-        parts.append(
-            f"pr{k} AS MATERIALIZED (SELECT v.id, (1.0-{damping})/(SELECT n FROM nn) + "
-            f"{damping}*(COALESCE(m.s,0.0) + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS rank "
-            f"FROM v LEFT JOIN m{k} m ON m.id=v.id),"
-        )
-    parts.append(f"fin AS (SELECT id, ROUND(rank,6) AS rank FROM pr{iters})")
-    return "\n".join(parts) + "\nSELECT id, rank FROM fin"
+    return _pagerank_sql(iters, damping, weighted=True)
 
 
 def _ppr_sql(iters: int, source: int, damping: float = 0.85) -> str:
@@ -1723,7 +1707,7 @@ LEFT JOIN (SELECT doc_id, SUM(ascii(c)) AS byte_sum,
     o["media_resize"] = """
 WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c,
                    unnest(generate_series(1, strlen(text))) AS pos
-            FROM documents),
+            FROM documents WHERE strlen(text) > 0),
 blk AS (SELECT doc_id, CAST(floor((pos - 1) / 4) AS BIGINT) AS blk,
                SUM(ascii(c)) // COUNT(*) AS v
         FROM ch GROUP BY doc_id, floor((pos - 1) / 4)),
@@ -2248,7 +2232,7 @@ SELECT d.doc_id, d.lang,
        CASE WHEN CAST(d.n_chars AS DOUBLE) <= th.q_lo THEN 'tail'
             WHEN CAST(d.n_chars AS DOUBLE) <= th.q_hi THEN 'middle'
             ELSE 'head' END AS bucket
-FROM documents d JOIN th USING(lang)
+FROM documents d JOIN th ON d.lang IS NOT DISTINCT FROM th.lang
 """
 
     # token-mass variant: identical shape, Σn_chars instead of COUNT(*).
@@ -2372,9 +2356,9 @@ seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
 mh AS (SELECT sh.doc_id, s.seed,
               MIN(md5(s.seed::VARCHAR || '|' || sh.shingle)) AS minhash
        FROM sh CROSS JOIN seeds s GROUP BY 1, 2),
-bk AS (SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+bk AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
               md5(array_to_string(list_sort(list(minhash)), ',')) AS bucket
-       FROM mh GROUP BY doc_id, CAST(seed / 4 AS INT)),
+       FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bk a JOIN bk b ON b.band = a.band AND b.bucket = a.bucket
          AND a.doc_id < b.doc_id),
@@ -2403,9 +2387,9 @@ seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
 mh AS (SELECT sh.doc_id, s.seed,
               MIN(md5(s.seed::VARCHAR || '|' || sh.shingle)) AS minhash
        FROM sh CROSS JOIN seeds s GROUP BY 1, 2),
-bk AS (SELECT doc_id, CAST(seed / 4 AS INT) AS band,
+bk AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
               md5(array_to_string(list_sort(list(minhash)), ',')) AS bucket
-       FROM mh GROUP BY doc_id, CAST(seed / 4 AS INT)),
+       FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)),
 nw AS (SELECT doc_id FROM documents
        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_incr_thr}'),
 corp AS (SELECT d.doc_id FROM documents d ANTI JOIN nw USING(doc_id)),
@@ -2455,21 +2439,17 @@ r AS (SELECT query_id, vec_id, score,
 SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM r WHERE rank <= {TOPK}
 """
 
-    o["emb_lsh_buckets"] = """
-WITH planes AS (SELECT unnest(generate_series(0, 7)) AS plane),
-dims AS (SELECT unnest(generate_series(0, 63)) AS pos),
-w AS (SELECT plane, pos,
-             CASE WHEN substr(md5(plane::VARCHAR || '_' || pos::VARCHAR), 1, 1) >= '8'
-                  THEN 1.0 ELSE -1.0 END AS w
-      FROM planes CROSS JOIN dims),
-flat AS (SELECT vec_id, unnest(embedding) AS x,
-                unnest(generate_series(0, len(embedding) - 1)) AS pos
-         FROM embeddings),
-proj AS (SELECT f.vec_id, w.plane, SUM(CAST(f.x AS DOUBLE) * w.w) AS p
-         FROM flat f JOIN w USING(pos) GROUP BY 1, 2)
-SELECT vec_id,
-       CAST(SUM(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
-FROM proj GROUP BY vec_id
+    # reuses the shared _LSH_CTES chain (one definition to keep in sync);
+    # NULL/empty embeddings surface as the sentinel bucket -1, exactly
+    # like functions/similarity.lsh_buckets
+    o["emb_lsh_buckets"] = f"""
+WITH corpus0 AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL AND len(embedding) > 0),
+{_LSH_CTES}
+SELECT vec_id, bucket FROM bk
+UNION ALL
+SELECT vec_id, CAST(-1 AS BIGINT) AS bucket FROM embeddings
+WHERE embedding IS NULL OR len(embedding) = 0
 """
 
     o["events_funnel"] = """
@@ -2561,7 +2541,8 @@ GROUP BY 1, 2
 
     o["events_transitions"] = """
 WITH o AS (SELECT event_type,
-                  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  LAG(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev
            FROM events),
 c AS (SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
       FROM o WHERE prev IS NOT NULL GROUP BY 1, 2)
@@ -2572,7 +2553,9 @@ FROM c
 
     o["events_sequences"] = f"""
 SELECT user_id, COUNT(*) AS n_events,
-       array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, {SEQ_MAX_LEN}), ' ') AS seq
+       array_to_string(list_slice(
+           list(event_type ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
+           1, {SEQ_MAX_LEN}), ' ') AS seq
 FROM events GROUP BY user_id
 """
 
