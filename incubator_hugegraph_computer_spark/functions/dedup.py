@@ -169,16 +169,21 @@ def minhash_candidates(
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
+    shingle_table: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-banded MinHash near-dup detection:
     signature → ``bands`` bands of ``num_hashes/bands`` rows → docs
     sharing any band bucket become candidates → exact Jaccard verify.
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, doc_a <
-    doc_b."""
+    doc_b. ``shingle_table`` (a precomputed :func:`shingles` result for
+    ``documents``) skips the tokenize+shingle pass — callers that
+    already hold one (the streaming near-dup path) MUST thread it
+    through; its lifecycle stays with the caller."""
     # ONE shingle pass feeds both the signature build and the exact
     # verify — tokenization + the shingle explode dominate this path,
     # so computing them twice would double the corpus scan work
-    sh = shingles(documents, n, text_col).persist()
+    caller_owned = shingle_table is not None
+    sh = shingle_table if caller_owned else shingles(documents, n, text_col).persist()
     band_key = lsh_band_buckets(
         documents, num_hashes, bands, n, text_col, shingle_table=sh
     )
@@ -219,7 +224,8 @@ def minhash_candidates(
         # an unreleased persist per call would grow until OOM)
         .localCheckpoint(eager=True)
     )
-    sh.unpersist()
+    if not caller_owned:
+        sh.unpersist()
     return out
 
 
@@ -510,6 +516,7 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     corpus_index: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, dup_of, jaccard, keep) — dedup a NEW shard against an
     EXISTING corpus. At 100 TB nobody re-deduplicates the whole corpus
@@ -525,7 +532,9 @@ def incremental_minhash_dedup(
     (a persisted :func:`shingles` table) to skip re-hashing the corpus —
     the repeated-delta path MUST do this or each call re-tokenizes and
     re-minhashes the whole corpus (O(deltas × corpus) compute).
-    ``corpus`` may then be None.
+    ``corpus`` may then be None. ``new_shingles`` (a precomputed
+    :func:`shingles` table for ``new_docs``) likewise skips re-shingling
+    the delta when the caller already holds one.
 
     Unlike :func:`minhash_candidates`, candidates here are new×corpus
     only — new×new pairs are deliberately NOT considered (dedup within
@@ -536,12 +545,14 @@ def incremental_minhash_dedup(
     if "corpus_id" not in corpus_index.columns:
         corpus_index = corpus_index.withColumnRenamed("doc_id", "corpus_id")
     cand = (
-        lsh_band_buckets(new_docs, num_hashes, bands, n, text_col)
+        lsh_band_buckets(
+            new_docs, num_hashes, bands, n, text_col, shingle_table=new_shingles
+        )
         .join(corpus_index, ["band", "bucket"])
         .select("doc_id", "corpus_id")
         .distinct()
     )
-    sh_new = shingles(new_docs, n, text_col)
+    sh_new = new_shingles if new_shingles is not None else shingles(new_docs, n, text_col)
     sh_corp = (
         shingles(corpus, n, text_col)
         if corpus_shingles is None

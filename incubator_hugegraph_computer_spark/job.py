@@ -23,6 +23,13 @@ import sys
 import time
 
 
+def _positive_int(v: str) -> int:
+    n = int(v)
+    if n <= 0:
+        raise argparse.ArgumentTypeError("must be a positive integer")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hgc-spark", description=__doc__)
     p.add_argument(
@@ -57,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random_walk in-out factor (random_walk.inout_factor)")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="path of the (repo,path,commit,lang,content,sha256) table")
-    src.add_argument("--generate", type=int, metavar="NUM_FILES",
+    src.add_argument("--generate", type=_positive_int, metavar="NUM_FILES",
                      help="generate a deterministic synthetic corpus of this size")
     p.add_argument("--input-format", default="parquet", choices=["parquet", "iceberg", "csv"])
     p.add_argument("--output", required=True)
@@ -99,6 +106,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(args: argparse.Namespace) -> dict:
+    # refuse unsupported durability flags BEFORE paying for ingest —
+    # silently dropping a checkpoint request loses work on a crash
+    ckpt_algos = {
+        "pagerank", "pagerank_classic", "pagerank_weighted",
+        "wcc", "lpa", "lpa_sync", "sssp", "sssp_paths", "ppr",
+    }
+    if args.resume and not args.checkpoint_dir:
+        raise SystemExit("--resume requires --checkpoint-dir")
+    if args.checkpoint_dir and args.algorithm not in ckpt_algos:
+        raise SystemExit(
+            f"--checkpoint-dir/--resume are not supported for {args.algorithm} "
+            f"(supported: {', '.join(sorted(ckpt_algos))})"
+        )
+
     from pyspark.sql import functions as F
 
     from incubator_hugegraph_computer_spark.graph import Graph

@@ -24,6 +24,13 @@ distinct md5, the first-arrived (= min doc_id when fed in id order).
 NOTE "arrival order" is Spark's FileStreamSource order — file
 MODIFICATION TIME, not file name; producers that need a deterministic
 keep-rule must stamp monotone mtimes (the tests do, via os.utime).
+WITHIN one micro-batch, ``dropDuplicates`` keeps an arbitrary row per
+hash (partition iteration order — a pre-shuffle sort cannot survive
+the dedup operator's own exchange), so the min-doc_id keep-rule
+additionally requires that two copies of the same hash never co-occur
+in a single batch: one file per trigger and no intra-file duplicates.
+Producers that can't guarantee that should pre-clean each file with
+the batch ``exact_duplicates`` reducer before landing it.
 """
 
 from __future__ import annotations
@@ -177,7 +184,12 @@ def run_neardup_stream(
         if batch_id in done:
             return  # replay of a fully-committed batch: no-op
         batch = batch.persist()
+        # tokenize+shingle ONCE per batch — the dominant per-batch cost;
+        # every downstream stage (delta-vs-corpus verify, within-batch
+        # candidates, index maintenance) joins this one table
+        sh_batch = shingles(batch, n).persist()
         novel = batch
+        sh_novel = sh_batch
         if done:
             verdict = incremental_minhash_dedup(
                 batch,
@@ -192,23 +204,27 @@ def run_neardup_stream(
                 corpus_shingles=spark.read.parquet(
                     *[f"{shingles_dir}/batch-{b}" for b in done]
                 ),
+                new_shingles=sh_batch,
             )
             keep = verdict.where(F.col("keep") == 1).select("doc_id")
             novel = batch.join(keep, "doc_id", "left_semi")
+            sh_novel = sh_batch.join(keep, "doc_id", "left_semi")
         # within-batch: drop any doc matching a lower-id doc in the batch
         losers = minhash_candidates(
-            novel, num_hashes, bands, n, threshold
+            novel, num_hashes, bands, n, threshold, shingle_table=sh_novel
         ).select(F.col("doc_b").alias("doc_id")).distinct()
         survivors = novel.join(losers, "doc_id", "left_anti").persist()
+        sh_surv = sh_novel.join(losers, "doc_id", "left_anti")
         survivors.write.mode("overwrite").parquet(f"{survivors_dir}/batch-{batch_id}")
         # maintain the index side tables for the next batch
-        lsh_band_buckets(survivors, num_hashes, bands, n).write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/batch-{batch_id}")
-        shingles(survivors, n).withColumnRenamed("doc_id", "corpus_id").write.mode(
+        lsh_band_buckets(
+            survivors, num_hashes, bands, n, shingle_table=sh_surv
+        ).write.mode("overwrite").parquet(f"{index_dir}/batch-{batch_id}")
+        sh_surv.withColumnRenamed("doc_id", "corpus_id").write.mode(
             "overwrite"
         ).parquet(f"{shingles_dir}/batch-{batch_id}")
         survivors.unpersist()
+        sh_batch.unpersist()
         batch.unpersist()
         # marker LAST: commits the batch for every reader
         _mark_committed(spark, markers_dir, batch_id)

@@ -45,7 +45,11 @@ def _enrich_group(
     pdf = pdf[pdf["event_type"].isin([left_type, right_type])]
     if pdf.empty and not state.exists:
         return
-    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    # at equal ts the right row must process BEFORE the left row so the
+    # same-instant match is inclusive — the batch operator's
+    # (_ats, _side) sort order (temporal.py)
+    pdf = pdf.assign(_is_left=(pdf["event_type"] == left_type).astype(int))
+    pdf = pdf.sort_values(["ts", "_is_left", "event_id"], kind="mergesort")
     best_ts, best_val = state.get if state.exists else (None, None)
     out: list[tuple] = []
     for ts, eid, etype, val in zip(
@@ -59,8 +63,12 @@ def _enrich_group(
                 best_ts, best_val = ts_us, float(val)
         else:
             m_ts, m_val = best_ts, best_val
-            if m_ts is not None and tolerance_s is not None and (
-                ts_us - m_ts > tolerance_s * _US
+            # a late-arriving LEFT row must never match a right row from
+            # its future (backward as-of is causal), and tolerance gates
+            # the causal distance
+            if m_ts is not None and (
+                m_ts > ts_us
+                or (tolerance_s is not None and ts_us - m_ts > tolerance_s * _US)
             ):
                 m_ts, m_val = None, None
             out.append((int(eid), user_id, ts, float(val), m_val, m_ts))

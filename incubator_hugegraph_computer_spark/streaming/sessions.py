@@ -9,12 +9,14 @@ semantics are exposed twice:
   engine: a new session starts when the gap to the previous event of
   the same user exceeds ``gap``.
 - ``sessionize_stream`` — ``applyInPandasWithState`` form over
-  ``readStream``: per-user state holds the open session; an arriving
-  batch closes every session whose successor event is more than ``gap``
-  later and emits it, keeping only the still-open tail session in
-  state (flushed on event-time timeout). Tested with
-  Trigger.AvailableNow equal to the batch form restricted to sessions
-  the final watermark has closed.
+  ``readStream``: per-user state holds every session the event-time
+  watermark has not yet closed (a session is mutable until the
+  watermark passes ``session_end + gap`` — an on-time late event may
+  still merge into a successor-closed session, so eager emission would
+  split it); sessions are emitted exactly when the watermark passes
+  their close boundary (event-time timeout flushes between batches).
+  Tested with Trigger.AvailableNow equal to the batch form restricted
+  to sessions the final watermark has closed.
 
 Session row: (user_id, session_start, session_end, n_events, sum_value).
 """
@@ -31,7 +33,9 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
 )
-_STATE_SCHEMA = "start long, end long, n long, s double"
+_STATE_SCHEMA = (
+    "starts array<long>, ends array<long>, ns array<long>, ss array<double>"
+)
 _US = 1_000_000  # timestamps carried as epoch microseconds in state
 
 
@@ -65,76 +69,67 @@ def _sessionize_group(
     state: GroupState,
     gap_us: int,
 ) -> Iterator[pd.DataFrame]:
+    """A session is emitted ONLY once the event-time watermark passes
+    its close boundary (session_end + gap): until then any on-time
+    event — including one older than a session already closed by a
+    successor — may still merge into or extend it, so eager emission
+    would split what the batch form reports as one session. State
+    therefore holds EVERY unflushed session (bounded by the watermark
+    horizon / gap, not by stream length); the timeout flushes the rest
+    when the watermark advances past their close boundaries."""
     (user_id,) = key
-    if state.hasTimedOut:
-        start, end, n, s = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start, unit="us")],
-                "session_end": [pd.Timestamp(end, unit="us")],
-                "n_events": [n],
-                "sum_value": [round(s, 6)],
-            }
-        )
-        return
+    sessions: list[list] = []
+    if state.exists:
+        starts, ends, ns, ss = state.get
+        sessions = [list(t) for t in zip(starts, ends, ns, ss)]
 
     ts_list: list[int] = []
     val_list: list[float] = []
-    for pdf in batches:
-        ts_list.extend(pdf["ts"].astype("int64") // 1000)  # ns → us
-        val_list.extend(pdf["value"].astype(float))
-    order = sorted(range(len(ts_list)), key=ts_list.__getitem__)
-    ts_sorted = [ts_list[i] for i in order]
-    vals = [val_list[i] for i in order]
+    if not state.hasTimedOut:
+        for pdf in batches:
+            ts_list.extend(pdf["ts"].astype("int64") // 1000)  # ns → us
+            val_list.extend(pdf["value"].astype(float))
+    for i in sorted(range(len(ts_list)), key=ts_list.__getitem__):
+        sessions.append([ts_list[i], ts_list[i], 1, val_list[i]])
 
-    # sessions from this batch's events alone (event-time order)
-    sessions: list[list] = []
-    for t, v in zip(ts_sorted, vals):
-        if sessions and t - sessions[-1][1] <= gap_us:
-            cur = sessions[-1]
-            cur[1] = max(cur[1], t)
-            cur[2] += 1
-            cur[3] += v
+    # interval-merge everything in EVENT-TIME order with the gap rule: a
+    # late (above-watermark) event may fall before, inside, or after any
+    # stored session — merging the full set handles every case exactly
+    # like the batch window form.
+    sessions.sort(key=lambda r: (r[0], r[1]))
+    merged: list[list] = []
+    for r in sessions:
+        if merged and r[0] - merged[-1][1] <= gap_us:
+            m = merged[-1]
+            m[1] = max(m[1], r[1])
+            m[2] += r[2]
+            m[3] += r[3]
         else:
-            sessions.append([t, t, 1, v])
-    if state.exists:
-        # merge the stored open session in EVENT-TIME order: a late
-        # event (above watermark) may fall before, inside, or after it.
-        # Interval-merging with the gap rule handles all three — in
-        # particular an event within gap BEFORE the stored start extends
-        # session_start backwards (min), and one more than gap before
-        # it becomes its own earlier session, exactly like the batch
-        # window form.
-        sessions.append(list(state.get))
-        sessions.sort(key=lambda r: (r[0], r[1]))
-        merged: list[list] = []
-        for r in sessions:
-            if merged and r[0] - merged[-1][1] <= gap_us:
-                m = merged[-1]
-                m[1] = max(m[1], r[1])
-                m[2] += r[2]
-                m[3] += r[3]
-            else:
-                merged.append(r)
-        sessions = merged
-    *closed, open_sess = sessions
-    out_rows: list[tuple[int, int, int, float]] = [tuple(r) for r in closed]
-    start, end, n, s = open_sess
-    state.update((start, end, n, s))
-    # flush the open session once the event-time watermark passes its
-    # close boundary (session_end + gap)
-    state.setTimeoutTimestamp((end + gap_us) // 1000)
+            merged.append(r)
 
-    if out_rows:
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    flush = [s for s in merged if s[1] + gap_us <= wm_us]
+    keep = [s for s in merged if s[1] + gap_us > wm_us]
+    if keep:
+        state.update((
+            [s[0] for s in keep],
+            [s[1] for s in keep],
+            [s[2] for s in keep],
+            [s[3] for s in keep],
+        ))
+        next_close_ms = min(s[1] + gap_us for s in keep) // 1000
+        state.setTimeoutTimestamp(max(next_close_ms, wm_us // 1000 + 1))
+    elif state.exists:
+        state.remove()
+
+    if flush:
         yield pd.DataFrame(
             {
-                "user_id": [user_id] * len(out_rows),
-                "session_start": [pd.Timestamp(r[0], unit="us") for r in out_rows],
-                "session_end": [pd.Timestamp(r[1], unit="us") for r in out_rows],
-                "n_events": [r[2] for r in out_rows],
-                "sum_value": [round(r[3], 6) for r in out_rows],
+                "user_id": [user_id] * len(flush),
+                "session_start": [pd.Timestamp(r[0], unit="us") for r in flush],
+                "session_end": [pd.Timestamp(r[1], unit="us") for r in flush],
+                "n_events": [r[2] for r in flush],
+                "sum_value": [round(r[3], 6) for r in flush],
             }
         )
 
@@ -146,6 +141,7 @@ def sessionize_stream(
     output_dir: str,
     gap_minutes: int = 30,
     watermark: str = "0 seconds",
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Streaming sessionization: file source → per-user
     ``applyInPandasWithState`` (event-time timeout) → parquet sink,
@@ -153,9 +149,11 @@ def sessionize_stream(
     O(|users|), not O(|events|)."""
     gap_us = gap_minutes * 60 * _US
     schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )

@@ -92,7 +92,16 @@ def test_stream_sessionize_late_events(spark, tmp_path):
     # must move back); user 2 gets a late 10:00 (beyond gap -> its own
     # session, emitted); plus a 14:00 event per user to close sessions
     land("1", [(1, 11, 45), (2, 10, 0), (1, 14, 0), (2, 14, 0)])
-    sessionize_stream(spark, indir, ck, outdir, gap_minutes=30, watermark="2 hours")
+    # batch 3 pushes the final watermark to 15:00 so every session above
+    # is watermark-closed (close boundary = end + 30min <= 15:00); the
+    # 17:00 sessions themselves stay unflushed — emission is strictly
+    # watermark-driven, never eager (an eager emit of a successor-closed
+    # session would split it if an on-time late event landed before it)
+    land("2", [(1, 17, 0), (2, 17, 0)])
+    sessionize_stream(
+        spark, indir, ck, outdir,
+        gap_minutes=30, watermark="2 hours", max_files_per_trigger=1,
+    )
     got = {
         (r["user_id"], r["session_start"].strftime("%H:%M"),
          r["session_end"].strftime("%H:%M"), r["n_events"])
@@ -101,6 +110,8 @@ def test_stream_sessionize_late_events(spark, tmp_path):
     assert (1, "11:45", "12:00", 2) in got  # start extended backwards
     assert (2, "10:00", "10:00", 1) in got  # separate earlier session
     assert (2, "12:00", "12:00", 1) in got
+    assert (1, "14:00", "14:00", 1) in got  # closed once watermark passed
+    assert not any(s == "17:00" for _, s, _, _ in got)  # not yet closed
 
 
 def test_ivf_topk_recall_and_determinism(spark):
@@ -169,3 +180,55 @@ def test_ivf_trained_centroids_recall(spark):
     recall_n = len(exact & naive) / len(exact)
     assert recall_t >= 0.6, f"trained IVF recall {recall_t}"
     assert recall_t >= recall_n - 0.05, (recall_t, recall_n)
+
+
+def test_stream_sessionize_no_split_on_late_merge(spark, tmp_path):
+    """Regression: a session already closed by a successor event must
+    NOT be emitted until the watermark passes its close boundary — an
+    on-time late event landing just before it must merge, yielding the
+    single session the batch form reports (eager emission would split
+    it into two)."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from incubator_hugegraph_computer_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    indir, ck, outdir = (
+        str(tmp_path / "nin"), str(tmp_path / "nck"), str(tmp_path / "nout")
+    )
+
+    def land(name, rows):
+        df = spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1, h, m), 1.0) for u, h, m in rows],
+            "user_id long, ts timestamp, value double",
+        ).coalesce(1)
+        tmp = str(tmp_path / ("n" + name + ".tmp"))
+        df.write.mode("overwrite").parquet(tmp)
+        _os.makedirs(indir, exist_ok=True)
+        f = [x for x in _os.listdir(tmp) if x.endswith(".parquet")][0]
+        dest = f"{indir}/{name}.parquet"
+        _os.rename(f"{tmp}/{f}", dest)
+        ts = _time.time() + int(name)
+        _os.utime(dest, (ts, ts))
+
+    # batch 1: 10:00 and 12:00 -> [10:00] is successor-closed already
+    land("0", [(1, 10, 0), (1, 12, 0)])
+    # batch 2: on-time late 10:15 (watermark still 10:00) must MERGE
+    land("1", [(1, 10, 15)])
+    # batch 3: advance the watermark past every close boundary
+    land("2", [(1, 17, 0)])
+    sessionize_stream(
+        spark, indir, ck, outdir,
+        gap_minutes=30, watermark="2 hours", max_files_per_trigger=1,
+    )
+    got = {
+        (r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M"), r["n_events"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert ("10:00", "10:15", 2) in got, got   # ONE merged session
+    assert ("10:00", "10:00", 1) not in got    # no split emission
+    assert ("10:15", "10:15", 1) not in got
