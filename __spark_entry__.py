@@ -117,6 +117,16 @@ def _q_degree(spark, sf_dir):
     return degree_centrality(g, direction="both")
 
 
+def _q_degree_weighted(spark, sf_dir):
+    """Java weighted degree (DegreeCentrality.java:90-110): value =
+    Σ edge-weight over out-edges, same shared derived weight rule."""
+    from incubator_hugegraph_computer_spark.operators.degree import degree_centrality
+
+    g = _weighted(orders_graph(spark, sf_dir))
+    d = degree_centrality(g, direction="out", weight_col="weight")
+    return d.select("id", F.round("degree", 6).alias("degree"))
+
+
 def _q_pagerank(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.pagerank import pagerank_classic
 
@@ -260,6 +270,20 @@ def _q_closeness(spark, sf_dir):
     g = orders_graph(spark, sf_dir)
     seeds = g.vertices.where(F.col("id") <= CLOSENESS_SEED_MAX).select("id")
     c = closeness(g, sources=seeds)
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
+def _q_closeness_weighted(spark, sf_dir):
+    """Reference ``closeness.weight_property`` surface
+    (ClosenessCentrality.java:128-141): message distance = running sum
+    of edge weights. Same derived weight rule as every weighted query;
+    fixed relaxation budget on both sides (the Spark change-frontier is
+    level-for-level identical to the oracle's unrolled Bellman-Ford)."""
+    from incubator_hugegraph_computer_spark.operators.closeness import closeness
+
+    g = _weighted(orders_graph(spark, sf_dir))
+    seeds = g.vertices.where(F.col("id") <= CLOSENESS_SEED_MAX).select("id")
+    c = closeness(g, sources=seeds, weight_col="weight", max_depth=SSSP_PATH_ITERS)
     return c.select("id", F.round("closeness", 6).alias("closeness"))
 
 
@@ -1107,6 +1131,7 @@ def _q_events_hourly(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
+        "graph_degree_weighted": _q_degree_weighted,
         "graph_pagerank": _q_pagerank,
         "graph_pagerank_weighted": _q_pagerank_weighted,
         "graph_wcc": _q_wcc,
@@ -1122,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_jaccard": _q_jaccard,
         "graph_kout": _q_kout,
         "graph_closeness": _q_closeness,
+        "graph_closeness_weighted": _q_closeness_weighted,
         "graph_top_degree": _q_top_degree,
         "graph_modularity": _q_modularity,
         "graph_rings": _q_rings,
@@ -1414,6 +1440,28 @@ def _kcore_sql(k: int, rounds: int) -> str:
     )
 
 
+def _closeness_weighted_sql(seed_max: int, iters: int) -> str:
+    """Level-unrolled multi-source weighted Bellman-Ford → Σ 1/d."""
+    parts = [
+        f"WITH {_G},",
+        "we AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e),",
+        f"l0 AS MATERIALIZED (SELECT id AS source, id, 0.0 AS d FROM v WHERE id <= {seed_max}),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT source, id, MIN(d) AS d FROM ("
+            f"SELECT source, id, d FROM {p} UNION ALL "
+            f"SELECT p.source, we.dst AS id, p.d + we.w AS d FROM {p} p JOIN we ON we.src = p.id"
+            f") GROUP BY source, id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return (
+        "\n".join(parts)
+        + f"\nSELECT id, ROUND(SUM(1.0 / d), 6) AS closeness FROM l{iters} WHERE d > 0 GROUP BY 1"
+    )
+
+
 def _sssp_dist_sql(source: int, iters: int) -> str:
     """Level-unrolled weighted Bellman-Ford, dist only."""
     parts = [
@@ -1583,6 +1631,14 @@ WITH {_G},
 ids AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
 d AS (SELECT id, COUNT(*) AS degree FROM ids GROUP BY 1)
 SELECT v.id, COALESCE(d.degree, 0) AS degree FROM v LEFT JOIN d USING(id)
+"""
+
+    o["graph_degree_weighted"] = f"""
+WITH {_G},
+d AS (SELECT src AS id, SUM(CAST((src + dst) % 5 + 1 AS DOUBLE)) AS degree
+      FROM e GROUP BY 1)
+SELECT v.id, ROUND(COALESCE(d.degree, 0.0), 6) AS degree
+FROM v LEFT JOIN d USING(id)
 """
 
     o["graph_pagerank"] = _pagerank_sql(PR_ITERS)
@@ -1822,6 +1878,10 @@ r(src, tgt, d) AS (
 m AS (SELECT src, tgt, MIN(d) AS d FROM r GROUP BY 1, 2)
 SELECT tgt AS id, ROUND(SUM(1.0 / d), 6) AS closeness FROM m WHERE d > 0 GROUP BY 1
 """
+
+    o["graph_closeness_weighted"] = _closeness_weighted_sql(
+        CLOSENESS_SEED_MAX, SSSP_PATH_ITERS
+    )
 
     o["graph_top_degree"] = f"""
 WITH {_G},

@@ -28,6 +28,7 @@ def closeness(
     max_depth: int = 30,
     sources: DataFrame | None = None,
     edge_sample_rate: float = 1.0,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(id, closeness) with closeness = Σ_{sampled sources u ≠ v
     reaching v} 1 / d(u, v).
@@ -39,7 +40,23 @@ def closeness(
       (``ClosenessCentrality.java:148-151``: each message send is
       dropped with probability 1-p, per edge per superstep) — a seeded
       hash Bernoulli over (v, source, dst, depth) instead of
-      ``Math.random()`` so runs reproduce."""
+      ``Math.random()`` so runs reproduce.
+
+    ``weight_col``: the reference's ``closeness.weight_property``
+    (``ClosenessCentrality.java:128-141,153-166``: message distance is
+    the running SUM of edge weights, missing weight → 1.0). Switches
+    the propagation from layered BFS to multi-source Bellman-Ford with
+    a change-frontier: only rows whose best distance improved last
+    round relax their out-edges (an unchanged row's relaxations were
+    already min-merged earlier, so the per-level state is identical to
+    full Bellman-Ford — which is what the level-unrolled SQL oracle
+    replays). ``max_depth`` bounds the relaxation rounds."""
+    if weight_col is not None:
+        return _closeness_weighted(
+            graph, seed=seed, rounds=max_depth, sources=sources,
+            sample_rate=sample_rate, edge_sample_rate=edge_sample_rate,
+            weight_col=weight_col,
+        )
     if sources is None:
         sources = graph.vertices.select("id")
         if sample_rate < 1.0:
@@ -81,6 +98,83 @@ def closeness(
         frontier = nxt.persist()
     return (
         visited.where(F.col("dist") > 0)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(1.0 / F.col("dist")).alias("closeness"))
+    )
+
+
+def _closeness_weighted(
+    graph: Graph,
+    seed: int,
+    rounds: int,
+    sources: DataFrame | None,
+    sample_rate: float,
+    edge_sample_rate: float,
+    weight_col: str,
+) -> DataFrame:
+    """Multi-source weighted shortest distances, then Σ 1/d.
+
+    State ``best(v, source, dist)`` is monotone non-increasing under
+    min-merge, so the change-frontier recurrence reaches the same
+    per-round state as full Bellman-Ford; early exit on an empty
+    frontier is a fixed point and equals the round-``rounds`` state.
+    Strictly-smaller-only improvement matches the reference's
+    ``newValue >= oldValue → skip`` (ClosenessCentrality.java:113-116).
+    """
+    if sources is None:
+        sources = graph.vertices.select("id")
+        if sample_rate < 1.0:
+            sources = sources.where(
+                F.pmod(F.hash(F.col("id"), F.lit(seed)), F.lit(1_000_000))
+                < int(sample_rate * 1_000_000)
+            )
+    edges = graph.edges.select(
+        "src", "dst", F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0)).alias("w")
+    )
+    frontier = sources.select(
+        F.col("id").alias("v"), F.col("id").alias("source"),
+        F.lit(0.0).alias("dist"),
+    ).persist()
+    best = frontier
+    for rnd in range(1, rounds + 1):
+        expanded = frontier.join(edges, frontier.v == edges.src)
+        if edge_sample_rate < 1.0:
+            expanded = expanded.where(
+                F.pmod(
+                    F.hash(F.col("v"), F.col("source"), F.col("dst"),
+                           F.lit(seed), F.lit(rnd)),
+                    F.lit(1_000_000),
+                )
+                < int(edge_sample_rate * 1_000_000)
+            )
+        cand = (
+            expanded
+            .select(F.col("dst").alias("v"), "source",
+                    (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("v", "source")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                best.select("v", "source", F.col("dist").alias("_old")),
+                ["v", "source"], "left",
+            )
+            .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            .select("v", "source", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.join(improved.select("v", "source"), ["v", "source"], "left_anti")
+            .unionAll(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier.unpersist()
+        frontier = improved
+    frontier.unpersist()
+    return (
+        best.where(F.col("dist") > 0)
         .groupBy(F.col("v").alias("id"))
         .agg(F.sum(1.0 / F.col("dist")).alias("closeness"))
     )

@@ -397,3 +397,34 @@ def test_closeness_edge_sampling(spark):
     assert s3 != s1  # different seed, different sample
     # dropping sends can only lengthen distances / lose sources
     assert all(s1[v] <= exact[v] + 1e-9 for v in s1)
+
+
+def test_closeness_weighted(spark):
+    """closeness.weight_property (ClosenessCentrality.java:128-141,
+    153-166): distance is the running SUM of edge weights, missing
+    weight coalesces to 1.0. Hand-computed weighted distances on a
+    fixture where the weighted shortest path differs from the hop-count
+    one; NULL weights reduce to the unweighted BFS scores."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.closeness import closeness
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    g = Graph(verts, edges, num_partitions=4)
+    got = {r["id"]: r["closeness"] for r in closeness(g, weight_col="weight").collect()}
+    # d(0,1)=2; d(0,2)=3 (0->1->2 beats the direct 5); d(0,3)=4;
+    # d(1,2)=1; d(1,3)=2; d(2,3)=1
+    exp = {1: 1 / 2, 2: 1 / 3 + 1 / 1, 3: 1 / 4 + 1 / 2 + 1 / 1}
+    assert set(got) == set(exp)
+    assert all(abs(got[k] - exp[k]) < 1e-9 for k in exp)
+    # all-NULL weights == unweighted hop-count closeness (coalesce → 1.0)
+    g_null = Graph(verts, edges.withColumn("weight", F.lit(None).cast("double")), num_partitions=4)
+    w = {r["id"]: r["closeness"] for r in closeness(g_null, weight_col="weight").collect()}
+    u = {r["id"]: r["closeness"] for r in closeness(g_null).collect()}
+    assert set(w) == set(u)
+    assert all(abs(w[k] - u[k]) < 1e-9 for k in u)
