@@ -131,8 +131,15 @@ def mint_bytesid_ordered_ids(values: DataFrame, col: str = "sid") -> DataFrame:
     rings' "smallest vertex") then reproduces the reference's choice
     exactly: numeric ``min`` over these ids == BytesId min over the
     strings. Uses the same parallel dense-id minting as
-    :func:`build_catalog` (no single-task stage)."""
-    base = values.select(col).distinct().withColumn("_len", F.length(F.col(col)))
+    :func:`build_catalog` (no single-task stage).
+
+    Length means **UTF-8 byte length** (``octet_length``), not character
+    count — the reference compares the serialized byte arrays, so a
+    2-byte 'é' sorts after any 2-char ASCII id of equal byte length,
+    before 3-byte ones (and DuckDB's ``strlen`` replays byte length).
+    The bytewise tie-break is Spark's native string order (UTF8String
+    compares raw UTF-8 bytes, which is also code-point order)."""
+    base = values.select(col).distinct().withColumn("_len", F.octet_length(F.col(col)))
     return dense_ids_by_sort(base, ["_len", col]).drop("_len")
 
 

@@ -141,3 +141,21 @@ def test_uuid_id_bytesid_order(spark):
     # minted dense ids must be 0..N-1 in byte order of the uuid strings
     want = {u: i for i, u in enumerate(sorted(set(uuids)))}
     assert minted == want
+
+
+def test_bytesid_order_multibyte(spark):
+    """BytesId length is UTF-8 BYTE length, not character count
+    (BytesUtil.compare runs over the serialized byte arrays): the 2-byte
+    'é' ties with 2-char ASCII ids and loses the bytewise tie-break
+    (0xC3.. > ASCII), and the 3-byte '日' groups with 3-char ASCII ids.
+    A char-length ordering would rank both multibyte ids first."""
+    from incubator_hugegraph_computer_spark.sources.extractor import (
+        mint_bytesid_ordered_ids,
+    )
+
+    sids = ["é", "ab", "zz", "a", "abc", "日"]
+    expected = sorted(sids, key=lambda s: (len(s.encode()), s.encode()))
+    assert expected == ["a", "ab", "zz", "é", "abc", "日"]
+    df = spark.createDataFrame([(s,) for s in sids], "sid string")
+    minted = {r["sid"]: r["id"] for r in mint_bytesid_ordered_ids(df).collect()}
+    assert minted == {s: i for i, s in enumerate(expected)}
