@@ -93,9 +93,15 @@ def closeness(
         )
         if nxt.isEmpty():
             break
+        prev_visited = visited
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # release the superseded round-(k-1) caches — visited is
+        # materialized, so nothing downstream re-reads them
+        if prev_visited is not frontier:
+            prev_visited.unpersist()
         frontier.unpersist()
         frontier = nxt.persist()
+    frontier.unpersist()
     return (
         visited.where(F.col("dist") > 0)
         .groupBy(F.col("v").alias("id"))
@@ -165,11 +171,15 @@ def _closeness_weighted(
         )
         if improved.isEmpty():
             break
+        prev_best = best
         best = (
             best.join(improved.select("v", "source"), ["v", "source"], "left_anti")
             .unionAll(improved)
             .localCheckpoint(eager=True)
         )
+        # release superseded caches (round-(k-1) best and frontier)
+        if prev_best is not frontier:
+            prev_best.unpersist()
         frontier.unpersist()
         frontier = improved
     frontier.unpersist()
