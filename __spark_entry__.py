@@ -47,6 +47,21 @@ IVF_CENTROIDS = 16
 IVF_PROBE = 4
 RW_LEN = 5
 SSSP_PATH_ITERS = 15
+HITS_ITERS = 4
+# 1/32: a binary fraction so every Katz intermediate (alpha^k × integer
+# walk count) is an exact dyadic double — both engines compute
+# bit-identical values in any summation order. A decimal alpha (0.05)
+# puts katz on exact multiples of 6.25e-6, i.e. ON the 6-decimal
+# half-way rounding boundary, where 1-ULP noise flips the round.
+KATZ_ALPHA = 0.03125
+KATZ_ITERS = 4
+LP_TOPK = 50
+# Wedge-intermediary degree cap: excludes super-hubs (everyone shares
+# "google.com" — no signal, quadratic cost). Non-binding at sf0.01
+# (max sym degree ≈ 25) so gate semantics are effectively uncapped;
+# binds at sf0.1+ where the %1024 buckets exceed it. Oracle replays it.
+LP_DEG_CAP = 64
+TOP_TERMS_K = 20
 # Floor for the louvain gate: the orders graph gets denser with SF so
 # max modularity falls — measured deterministic louvain Q: sf0.001
 # 0.660, sf0.01 0.155, sf0.1 0.122. 0.1 is meaningful (trivial
@@ -438,6 +453,48 @@ def _q_depth_sketch(spark, sf_dir):
     return value_sketch(bfs_depth(orders_graph(spark, sf_dir), source=SSSP_SOURCE), "depth")
 
 
+def _q_hits(spark, sf_dir):
+    """Kleinberg hubs/authorities, sum-normalized, fixed iterations —
+    the canonical missing member of the reference's centrality family."""
+    from incubator_hugegraph_computer_spark.operators.hits import hits
+
+    r = hits(orders_graph(spark, sf_dir), iterations=HITS_ITERS)
+    return r.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _q_katz(spark, sf_dir):
+    """Truncated Katz centrality (attenuated walk counts)."""
+    from incubator_hugegraph_computer_spark.operators.katz import katz
+
+    r = katz(orders_graph(spark, sf_dir), alpha=KATZ_ALPHA, iterations=KATZ_ITERS)
+    return r.select("id", F.round("katz", 6).alias("katz"))
+
+
+def _q_link_prediction(spark, sf_dir):
+    """Adamic-Adar / common-neighbor link prediction, top-k under the
+    deterministic integer order (cn DESC, src, dst). The intermediary
+    degree cap is part of the declared semantics (oracle replays it)."""
+    from incubator_hugegraph_computer_spark.operators.link_prediction import link_prediction
+
+    r = link_prediction(
+        orders_graph(spark, sf_dir),
+        top_k=LP_TOPK,
+        max_intermediary_degree=LP_DEG_CAP,
+    )
+    return r.select("src", "dst", "cn", F.round("aa", 6).alias("aa"))
+
+
+def _q_assortativity(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.link_prediction import (
+        degree_assortativity,
+    )
+
+    r = degree_assortativity(orders_graph(spark, sf_dir))
+    return r.select(F.round("assortativity", 6).alias("assortativity"))
+
+
 def _q_cycle_detection(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.rings import cycle_detection
 
@@ -613,6 +670,15 @@ def _q_docs_tfidf(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tfidf_keywords(docs, top_n=3)
+
+
+def _q_docs_top_terms(spark, sf_dir):
+    """Corpus heavy-hitters: the globally heaviest terms with doc
+    frequency alongside — the boilerplate/spam surfacing report."""
+    from incubator_hugegraph_computer_spark.functions.text import top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_terms(docs, k=TOP_TERMS_K)
 
 
 def _q_docs_bm25(spark, sf_dir):
@@ -1166,12 +1232,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_louvain": _q_louvain,
         "graph_louvain_weighted": _q_louvain_weighted,
         "graph_property_ingest": _q_property_ingest,
+        "graph_hits": _q_hits,
+        "graph_katz": _q_katz,
+        "graph_link_prediction": _q_link_prediction,
+        "graph_assortativity": _q_assortativity,
         "graph_wcc_strid": _q_wcc_strid,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
         "docs_repetition": _q_docs_repetition,
         "docs_tfidf": _q_docs_tfidf,
+        "docs_top_terms": _q_docs_top_terms,
         "docs_bm25": _q_docs_bm25,
         "docs_domain_mix": _q_docs_domain_mix,
         "docs_redact_pii": _q_docs_redact_pii,
@@ -1364,6 +1435,68 @@ def _ppr_sql(iters: int, source: int, damping: float = 0.85) -> str:
         )
     parts.append(f"fin AS (SELECT id, ROUND(rank,6) AS rank FROM p{iters})")
     return "\n".join(parts) + "\nSELECT id, rank FROM fin"
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled sum-normalized HITS matching operators/hits.py: per
+    iteration auth = in-sum of prev hub then sum-normalize, hub =
+    out-sum of the NEW auth then sum-normalize (zero-total guard)."""
+    parts = [
+        f"WITH {_G},",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT v.id, COALESCE(s.s, 0.0) AS r FROM v "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(h.hub) AS s FROM h{k-1} h "
+            f"JOIN e ON e.src = h.id GROUP BY 1) s ON s.id = v.id),"
+        )
+        parts.append(
+            f"at{k} AS (SELECT CASE WHEN SUM(r) = 0 THEN 1.0 ELSE SUM(r) END AS t FROM ar{k}),"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT id, r / (SELECT t FROM at{k}) AS auth FROM ar{k}),"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT v.id, COALESCE(s.s, 0.0) AS r FROM v "
+            f"LEFT JOIN (SELECT e.src AS id, SUM(a.auth) AS s FROM a{k} a "
+            f"JOIN e ON e.dst = a.id GROUP BY 1) s ON s.id = v.id),"
+        )
+        parts.append(
+            f"ht{k} AS (SELECT CASE WHEN SUM(r) = 0 THEN 1.0 ELSE SUM(r) END AS t FROM hr{k}),"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT id, r / (SELECT t FROM ht{k}) AS hub FROM hr{k}),"
+        )
+    parts.append(
+        f"fin AS (SELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub "
+        f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id)"
+    )
+    return "\n".join(parts) + "\nSELECT id, auth, hub FROM fin"
+
+
+def _katz_sql(alpha: float, iters: int) -> str:
+    """Unrolled truncated Katz matching operators/katz.py: y0 = 1,
+    y_k = alpha * in-sum of y_{k-1}, katz accumulates the y_k."""
+    parts = [
+        f"WITH {_G},",
+        "k0 AS MATERIALIZED (SELECT id, 1.0 AS y, 0.0 AS katz FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            # CAST the attenuation literal to DOUBLE: DuckDB otherwise
+            # types 0.05 as DECIMAL and runs the recurrence in exact
+            # decimal arithmetic, rounding x.xxxxx75 differently than
+            # Spark's binary doubles at the 6-decimal boundary.
+            f"k{k} AS MATERIALIZED (SELECT v.id, "
+            f"CAST({alpha!r} AS DOUBLE) * COALESCE(s.s, 0.0) AS y, "
+            f"kp.katz + CAST({alpha!r} AS DOUBLE) * COALESCE(s.s, 0.0) AS katz "
+            f"FROM v JOIN k{k-1} kp ON kp.id = v.id "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(p.y) AS s FROM k{k-1} p "
+            f"JOIN e ON e.src = p.id GROUP BY 1) s ON s.id = v.id),"
+        )
+    parts.append(f"fin AS (SELECT id, ROUND(katz, 6) AS katz FROM k{iters})")
+    return "\n".join(parts) + "\nSELECT id, katz FROM fin"
 
 
 def _lpa_sync_sql(iters: int) -> str:
@@ -2009,6 +2142,42 @@ SELECT (SELECT COUNT(*) FROM v) AS n_vertices, (SELECT COUNT(*) FROM e) AS n_edg
 """
 
     o["graph_betweenness"] = _betweenness_sql(BETW_SRC_MAX, BETW_DEPTH)
+
+    o["graph_hits"] = _hits_sql(HITS_ITERS)
+    o["graph_katz"] = _katz_sql(KATZ_ALPHA, KATZ_ITERS)
+
+    # wedge enumeration through capped-degree intermediaries, the exact
+    # shape operators/link_prediction.py declares (cap replayed here)
+    o["graph_link_prediction"] = f"""
+WITH {_G},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+nb AS (SELECT s.src AS z, s.dst AS nbr, deg.d AS dz
+       FROM sym s JOIN deg ON deg.id = s.src
+       WHERE deg.d <= {LP_DEG_CAP}),
+pairs AS (SELECT a.nbr AS src, b.nbr AS dst, COUNT(*) AS cn,
+                 SUM(1.0 / ln(CAST(a.dz AS DOUBLE))) AS aa
+          FROM nb a JOIN nb b ON b.z = a.z AND a.nbr < b.nbr
+          GROUP BY 1, 2),
+cand AS (SELECT p.src, p.dst, p.cn, p.aa FROM pairs p
+         LEFT JOIN sym s ON s.src = p.src AND s.dst = p.dst
+         WHERE s.src IS NULL)
+SELECT src, dst, cn, ROUND(aa, 6) AS aa FROM cand
+ORDER BY cn DESC, src, dst LIMIT {LP_TOPK}
+"""
+
+    o["graph_assortativity"] = f"""
+WITH {_G},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1)
+SELECT ROUND(corr(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE)), 6) AS assortativity
+FROM sym JOIN deg ds ON ds.id = sym.src JOIN deg dd ON dd.id = sym.dst
+"""
+
+    o["docs_top_terms"] = f"""
+WITH {_TOKS},
+t AS (SELECT doc_id, unnest(l) AS term FROM toks)
+SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM t GROUP BY term ORDER BY tf DESC, term LIMIT {TOP_TERMS_K}
+"""
 
     o["emb_near_dup"] = f"""
 WITH corpus0 AS (SELECT vec_id, embedding FROM embeddings),

@@ -338,3 +338,28 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
         n_phones.cast("long").alias("n_phones"),
         c3.alias("clean_text"),
     )
+
+
+def top_terms(documents: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """(term, tf, df) — the k globally heaviest terms by total
+    occurrences (tf), with document frequency alongside. The corpus
+    heavy-hitters report every training-data run starts from: boilerplate
+    and spam campaigns surface as terms whose tf/df ratio explodes.
+
+    Scale shape: explode → ONE hash aggregation keyed by term whose
+    map-side partial agg bounds shuffle volume by distinct terms per
+    partition (not token count); df via count_distinct(doc_id) rides the
+    same aggregate. Top-k is orderBy+limit (TakeOrdered-style, fully
+    parallel — no single-partition window), deterministic under the
+    total order (tf DESC, term ASC).
+    """
+    toks = documents.select("doc_id", F.explode(_tokens(F.col(text_col))).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "term")
+        .limit(k)
+    )

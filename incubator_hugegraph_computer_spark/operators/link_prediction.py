@@ -1,0 +1,89 @@
+"""Link prediction — common-neighbors / Adamic-Adar over 2-hop pairs.
+
+The standard "which edges are missing?" primitive for a link graph
+(Liben-Nowell & Kleinberg 2003). For every non-adjacent pair (a, b)
+that shares at least one neighbor in the undirected view:
+
+    cn(a,b) = |N(a) ∩ N(b)|
+    aa(a,b) = Σ_{z ∈ N(a) ∩ N(b)} 1 / ln(deg(z))
+
+(deg(z) ≥ 2 whenever z is a shared neighbor, so ln is safe.)
+
+Physical shape — candidate generation is the wedge enumeration
+(z, a, b) with a < b, NOT an all-pairs product: the neighbor list is
+self-joined on the shared intermediary z, so work is Σ_z deg(z)²/2.
+That sum is dominated by hubs, which is why ``max_intermediary_degree``
+exists: a wedge through a degree-10⁶ hub contributes ~5·10¹¹ pairs and
+essentially no signal (everyone shares "google.com"), so web-scale runs
+cap the intermediary degree — the same mitigation every production
+people-you-may-know pipeline applies. The cap is part of the operator's
+declared semantics (the oracle replays it), not a silent truncation.
+
+Top-k selection orders by the INTEGER key (cn DESC, src, dst) — a
+deterministic total order immune to float summation-order ties — and
+runs as TakeOrdered (orderBy + limit, fully parallel, no single-task
+window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+
+
+def link_prediction(
+    graph: Graph,
+    top_k: int | None = None,
+    max_intermediary_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """(src, dst, cn, aa) for candidate pairs, strongest first.
+
+    ``top_k=None`` returns all candidates (unordered); with ``top_k``
+    the result is the k best under (cn DESC, src ASC, dst ASC).
+    """
+    sym = graph.symmetrized().edges
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    nb = sym.join(deg.withColumnRenamed("id", "src"), "src").select(
+        F.col("src").alias("z"), F.col("dst").alias("nbr"), F.col("d").alias("dz")
+    )
+    if max_intermediary_degree is not None:
+        nb = nb.where(F.col("dz") <= max_intermediary_degree)
+    a, b = nb.alias("a"), nb.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.z") == F.col("b.z")) & (F.col("a.nbr") < F.col("b.nbr")))
+        .groupBy(
+            F.col("a.nbr").alias("src"),
+            F.col("b.nbr").alias("dst"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.lit(1.0) / F.log(F.col("a.dz").cast("double"))).alias("aa"),
+        )
+    )
+    if min_common > 1:
+        pairs = pairs.where(F.col("cn") >= min_common)
+    # drop already-existing edges; pairs carry src < dst and sym holds
+    # both directions, so one anti-join key orientation suffices
+    cand = pairs.join(sym, ["src", "dst"], "left_anti")
+    if top_k is not None:
+        cand = cand.orderBy(F.desc("cn"), "src", "dst").limit(top_k)
+    return cand
+
+
+def degree_assortativity(graph: Graph) -> DataFrame:
+    """One-row (assortativity,) — Pearson correlation of endpoint
+    degrees over the undirected edge list (Newson 2002 r). Positive on
+    social graphs, negative on web/biological graphs; the standard
+    one-number structural fingerprint. Two shuffles (degree agg + the
+    edge⋈degree joins feeding a scalar corr) — scale-trivial."""
+    sym = graph.symmetrized().edges
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("id").alias("src"), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst"))
+    return (
+        sym.join(ds, "src")
+        .join(dd, "dst")
+        .agg(F.corr("d_src", "d_dst").alias("assortativity"))
+    )

@@ -1,0 +1,139 @@
+"""Link-analysis additions: HITS hubs/authorities, truncated Katz,
+common-neighbor / Adamic-Adar link prediction, degree assortativity,
+and the corpus top-terms report. HITS/Katz verify against NumPy
+recurrences on the golden PRWCC graph; link prediction against a
+hand-enumerated wedge fixture."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import PRWCC_EDGES, PRWCC_VERTEX_IDS, make_graph
+
+from incubator_hugegraph_computer_spark.functions.text import top_terms
+from incubator_hugegraph_computer_spark.operators.hits import hits
+from incubator_hugegraph_computer_spark.operators.katz import katz
+from incubator_hugegraph_computer_spark.operators.link_prediction import (
+    degree_assortativity,
+    link_prediction,
+)
+
+
+def _hits_numpy(ids, edges, iters):
+    index = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = np.zeros(n)
+        for s, d in edges:
+            auth[index[d]] += hub[index[s]]
+        auth /= auth.sum() or 1.0
+        hub = np.zeros(n)
+        for s, d in edges:
+            hub[index[s]] += auth[index[d]]
+        hub /= hub.sum() or 1.0
+    return auth, hub, index
+
+
+def test_hits_matches_numpy(spark):
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits(g, iterations=3).collect()}
+    auth, hub, index = _hits_numpy(sorted(PRWCC_VERTEX_IDS), PRWCC_EDGES, 3)
+    assert set(got) == set(PRWCC_VERTEX_IDS)
+    for v in PRWCC_VERTEX_IDS:
+        assert got[v][0] == pytest.approx(auth[index[v]], abs=1e-12)
+        assert got[v][1] == pytest.approx(hub[index[v]], abs=1e-12)
+
+
+def test_hits_isolated_vertex_scores_zero(spark):
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits(g, iterations=2).collect()}
+    assert got[20] == (0.0, 0.0)
+
+
+def _katz_numpy(ids, edges, alpha, iters):
+    index = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    y = np.ones(n)
+    out = np.zeros(n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, d in edges:
+            nxt[index[d]] += y[index[s]]
+        y = alpha * nxt
+        out += y
+    return out, index
+
+
+def test_katz_matches_numpy(spark):
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    got = {r["id"]: r["katz"] for r in katz(g, alpha=0.25, iterations=4).collect()}
+    exp, index = _katz_numpy(sorted(PRWCC_VERTEX_IDS), PRWCC_EDGES, 0.25, 4)
+    for v in PRWCC_VERTEX_IDS:
+        assert got[v] == pytest.approx(exp[index[v]], abs=1e-12)
+
+
+# Path 1-2-3-4 plus chord (1,3): undirected wedges give known cn/aa.
+LP_EDGES = [(1, 2), (2, 3), (3, 4), (1, 3)]
+
+
+def test_link_prediction_hand_fixture(spark):
+    g = make_graph(spark, LP_EDGES)
+    got = {
+        (r["src"], r["dst"]): (r["cn"], r["aa"])
+        for r in link_prediction(g).collect()
+    }
+    # non-adjacent pairs sharing a neighbor: (1,4) via 3 (deg 3),
+    # (2,4) via 3 (deg 3). (1,3),(2,3) etc. are edges -> excluded.
+    assert set(got) == {(1, 4), (2, 4)}
+    assert got[(1, 4)] == (1, pytest.approx(1 / math.log(3)))
+    assert got[(2, 4)] == (1, pytest.approx(1 / math.log(3)))
+
+
+def test_link_prediction_degree_cap_drops_hub_wedges(spark):
+    g = make_graph(spark, LP_EDGES)
+    # cap 2 excludes vertex 3 (sym degree 3) as intermediary; the only
+    # sub-cap wedge center is 2 (deg 2), whose pair (1,3) is an edge.
+    assert link_prediction(g, max_intermediary_degree=2).count() == 0
+
+
+def test_link_prediction_topk_deterministic_order(spark):
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    rows = link_prediction(g, top_k=5).collect()
+    keys = [(-r["cn"], r["src"], r["dst"]) for r in rows]
+    assert keys == sorted(keys)
+    assert len(rows) == 5
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    got = degree_assortativity(g).collect()[0]["assortativity"]
+    sym = {(s, d) for s, d in PRWCC_EDGES if s != d}
+    sym |= {(d, s) for s, d in sym}
+    deg = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, d in sorted(sym)]
+    ys = [deg[d] for s, d in sorted(sym)]
+    assert got == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-9)
+
+
+def test_top_terms_counts_and_order(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple!  APPLE date"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_terms(docs, k=3).collect()
+    assert [(r["term"], r["tf"], r["df"]) for r in rows] == [
+        ("apple", 4, 2),
+        ("banana", 2, 2),
+        ("cherry", 1, 1),  # ties with 'date' on tf, term ASC wins
+    ]
+
