@@ -62,6 +62,9 @@ LP_TOPK = 50
 # binds at sf0.1+ where the %1024 buckets exceed it. Oracle replays it.
 LP_DEG_CAP = 64
 TOP_TERMS_K = 20
+EIG_ITERS = 5
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 5
 # Floor for the louvain gate: the orders graph gets denser with SF so
 # max modularity falls — measured deterministic louvain Q: sf0.001
 # 0.660, sf0.01 0.155, sf0.1 0.122. 0.1 is meaningful (trivial
@@ -493,6 +496,33 @@ def _q_assortativity(spark, sf_dir):
 
     r = degree_assortativity(orders_graph(spark, sf_dir))
     return r.select(F.round("assortativity", 6).alias("assortativity"))
+
+
+def _q_eigenvector(spark, sf_dir):
+    """Sum-normalized power iteration — the PageRank-without-teleport
+    member of the centrality family."""
+    from incubator_hugegraph_computer_spark.operators.eigenvector import eigenvector
+
+    r = eigenvector(orders_graph(spark, sf_dir), iterations=EIG_ITERS)
+    return r.select("id", F.round("x", 6).alias("x"))
+
+
+def _q_ktruss(spark, sf_dir):
+    """K-truss edges with in-subgraph support after a fixed peel-round
+    budget (extra rounds past the fixpoint are no-ops, so the unrolled
+    oracle and an early-stopped run agree)."""
+    from incubator_hugegraph_computer_spark.operators.ktruss import ktruss
+
+    return ktruss(orders_graph(spark, sf_dir), k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS)
+
+
+def _q_reciprocity(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.link_prediction import reciprocity
+
+    r = reciprocity(orders_graph(spark, sf_dir))
+    return r.select(
+        "n_edges", "n_reciprocal", F.round("reciprocity", 6).alias("reciprocity")
+    )
 
 
 def _q_cycle_detection(spark, sf_dir):
@@ -1236,6 +1266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz": _q_katz,
         "graph_link_prediction": _q_link_prediction,
         "graph_assortativity": _q_assortativity,
+        "graph_eigenvector": _q_eigenvector,
+        "graph_ktruss": _q_ktruss,
+        "graph_reciprocity": _q_reciprocity,
         "graph_wcc_strid": _q_wcc_strid,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
@@ -1473,6 +1506,63 @@ def _hits_sql(iters: int) -> str:
         f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id)"
     )
     return "\n".join(parts) + "\nSELECT id, auth, hub FROM fin"
+
+
+def _eigenvector_sql(iters: int) -> str:
+    """Unrolled sum-normalized power iteration matching
+    operators/eigenvector.py (zero-total guard mirrored)."""
+    parts = [
+        f"WITH {_G},",
+        "x0 AS MATERIALIZED (SELECT id, 1.0 AS x FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.id, COALESCE(s.s, 0.0) AS r FROM v "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(p.x) AS s FROM x{k-1} p "
+            f"JOIN e ON e.src = p.id GROUP BY 1) s ON s.id = v.id),"
+        )
+        parts.append(
+            f"t{k} AS (SELECT CASE WHEN SUM(r) = 0 THEN 1.0 ELSE SUM(r) END AS t FROM r{k}),"
+        )
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT id, r / (SELECT t FROM t{k}) AS x FROM r{k}),"
+        )
+    parts.append(f"fin AS (SELECT id, ROUND(x, 6) AS x FROM x{iters})")
+    return "\n".join(parts) + "\nSELECT id, x FROM fin"
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel matching operators/ktruss.py: per round,
+    per-edge triangle support over the current canonical edge set, drop
+    support < k-2; final support measured on the surviving subgraph."""
+    thresh = k - 2
+    sup_tpl = (
+        "tr{i} AS MATERIALIZED (SELECT t1.a AS x, t1.b AS y, t2.b AS z "
+        "FROM eu{i} t1 JOIN eu{i} t2 ON t2.a = t1.a AND t2.b > t1.b "
+        "JOIN eu{i} t3 ON t3.a = t1.b AND t3.b = t2.b),\n"
+        "sup{i} AS MATERIALIZED (SELECT a, b, COUNT(*) AS sup FROM ("
+        "SELECT x AS a, y AS b FROM tr{i} UNION ALL "
+        "SELECT x, z FROM tr{i} UNION ALL "
+        "SELECT y, z FROM tr{i}) GROUP BY 1, 2),"
+    )
+    parts = [
+        f"WITH {_G},",
+        "eu0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e WHERE src <> dst),",
+    ]
+    for i in range(rounds):
+        parts.append(sup_tpl.format(i=i))
+        parts.append(
+            f"eu{i+1} AS MATERIALIZED (SELECT eu.a, eu.b FROM eu{i} eu "
+            f"LEFT JOIN sup{i} s ON s.a = eu.a AND s.b = eu.b "
+            f"WHERE COALESCE(s.sup, 0) >= {thresh}),"
+        )
+    parts.append(sup_tpl.format(i=rounds))
+    parts.append(
+        f"fin AS (SELECT eu.a, eu.b, COALESCE(s.sup, 0) AS sup FROM eu{rounds} eu "
+        f"LEFT JOIN sup{rounds} s ON s.a = eu.a AND s.b = eu.b)"
+    )
+    return "\n".join(parts) + "\nSELECT a, b, sup FROM fin"
 
 
 def _katz_sql(alpha: float, iters: int) -> str:
@@ -2145,6 +2235,18 @@ SELECT (SELECT COUNT(*) FROM v) AS n_vertices, (SELECT COUNT(*) FROM e) AS n_edg
 
     o["graph_hits"] = _hits_sql(HITS_ITERS)
     o["graph_katz"] = _katz_sql(KATZ_ALPHA, KATZ_ITERS)
+    o["graph_eigenvector"] = _eigenvector_sql(EIG_ITERS)
+    o["graph_ktruss"] = _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)
+
+    o["graph_reciprocity"] = f"""
+WITH {_G},
+ne AS (SELECT COUNT(*) AS n_edges FROM e),
+nr AS (SELECT COUNT(*) AS n_reciprocal FROM e
+       WHERE EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src))
+SELECT ne.n_edges, nr.n_reciprocal,
+       ROUND(CAST(nr.n_reciprocal AS DOUBLE) / ne.n_edges, 6) AS reciprocity
+FROM ne, nr
+"""
 
     # wedge enumeration through capped-degree intermediaries, the exact
     # shape operators/link_prediction.py declares (cap replayed here)

@@ -72,6 +72,26 @@ def link_prediction(
     return cand
 
 
+def reciprocity(graph: Graph) -> DataFrame:
+    """One-row (n_edges, n_reciprocal, reciprocity) — the fraction of
+    directed edges whose reverse also exists. The second standard
+    one-number structural fingerprint next to assortativity (web link
+    graphs ~0.2-0.3, social follow graphs ~0.6+). One self-semi-join on
+    (dst, src) + a scalar aggregate — scale-trivial."""
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(recip.agg(F.count(F.lit(1)).alias("n_reciprocal"))))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            (F.col("n_reciprocal") / F.col("n_edges")).alias("reciprocity"),
+        )
+    )
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """One-row (assortativity,) — Pearson correlation of endpoint
     degrees over the undirected edge list (Newson 2002 r). Positive on

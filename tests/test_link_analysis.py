@@ -137,3 +137,61 @@ def test_top_terms_counts_and_order(spark):
         ("cherry", 1, 1),  # ties with 'date' on tf, term ASC wins
     ]
 
+
+def test_eigenvector_matches_numpy(spark):
+    from incubator_hugegraph_computer_spark.operators.eigenvector import eigenvector
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    got = {r["id"]: r["x"] for r in eigenvector(g, iterations=3).collect()}
+    ids = sorted(PRWCC_VERTEX_IDS)
+    index = {v: i for i, v in enumerate(ids)}
+    x = np.ones(len(ids))
+    for _ in range(3):
+        nxt = np.zeros(len(ids))
+        for s, d in PRWCC_EDGES:
+            nxt[index[d]] += x[index[s]]
+        x = nxt / (nxt.sum() or 1.0)
+    for v in PRWCC_VERTEX_IDS:
+        assert got[v] == pytest.approx(x[index[v]], abs=1e-12)
+
+
+# K4 on {1,2,3,4} plus a pendant triangle (4,5,6): the 4-truss is
+# exactly the K4 (each K4 edge sits in 2 triangles; pendant-triangle
+# edges sit in 1 and peel off, which then leaves K4 intact).
+K4_PLUS_TRI = [
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    (4, 5), (4, 6), (5, 6),
+]
+
+
+def test_ktruss_k4_fixture(spark):
+    from incubator_hugegraph_computer_spark.operators.ktruss import ktruss
+
+    g = make_graph(spark, K4_PLUS_TRI)
+    got = {(r["a"], r["b"]): r["sup"] for r in ktruss(g, k=4).collect()}
+    assert got == {(1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2}
+
+
+def test_ktruss_k3_keeps_all_triangle_edges(spark):
+    from incubator_hugegraph_computer_spark.operators.ktruss import ktruss
+
+    g = make_graph(spark, K4_PLUS_TRI + [(6, 7)])  # (6,7) in no triangle
+    got = {(r["a"], r["b"]) for r in ktruss(g, k=3).collect()}
+    assert got == {(a, b) for a, b in K4_PLUS_TRI}
+
+
+def test_ktruss_empty_result(spark):
+    from incubator_hugegraph_computer_spark.operators.ktruss import ktruss
+
+    g = make_graph(spark, [(1, 2), (2, 3)])  # no triangles at all
+    assert ktruss(g, k=4).count() == 0
+
+
+def test_reciprocity_fixture(spark):
+    from incubator_hugegraph_computer_spark.operators.link_prediction import reciprocity
+
+    # 6 directed edges, reciprocal pairs: (1,2)/(2,1) and (3,4)/(4,3)
+    g = make_graph(spark, [(1, 2), (2, 1), (3, 4), (4, 3), (1, 3), (2, 4)])
+    row = reciprocity(g).collect()[0]
+    assert (row["n_edges"], row["n_reciprocal"]) == (6, 4)
+    assert row["reciprocity"] == pytest.approx(4 / 6)
