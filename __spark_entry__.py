@@ -65,6 +65,13 @@ TOP_TERMS_K = 20
 EIG_ITERS = 5
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 5
+# K16/R20 verified converged at sf0.01 (== K16/R30 and K48/R14 runs;
+# true max coreness there is 15): the caps are declared semantics but
+# non-binding at gate scale, so the gate checks TRUE coreness. Spark
+# early-stops each level at its fixpoint; the oracle's surplus rounds
+# are no-ops.
+CORE_KMAX = 16
+CORE_ROUNDS = 20
 # Floor for the louvain gate: the orders graph gets denser with SF so
 # max modularity falls — measured deterministic louvain Q: sf0.001
 # 0.660, sf0.01 0.155, sf0.1 0.122. 0.1 is meaningful (trivial
@@ -516,6 +523,17 @@ def _q_ktruss(spark, sf_dir):
     return ktruss(orders_graph(spark, sf_dir), k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS)
 
 
+def _q_coreness(spark, sf_dir):
+    """Full core decomposition (per-vertex coreness) under the declared
+    capped-peeling budget (k_max, rounds_per_k) — the oracle replays the
+    identical nested loop."""
+    from incubator_hugegraph_computer_spark.operators.coreness import coreness
+
+    return coreness(
+        orders_graph(spark, sf_dir), k_max=CORE_KMAX, rounds_per_k=CORE_ROUNDS
+    )
+
+
 def _q_reciprocity(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.link_prediction import reciprocity
 
@@ -709,6 +727,16 @@ def _q_docs_top_terms(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return top_terms(docs, k=TOP_TERMS_K)
+
+
+def _q_docs_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram-LM mean log-prob per document — the cheap
+    perplexity proxy for quality filtering."""
+    from incubator_hugegraph_computer_spark.functions.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = unigram_logprob(docs)
+    return r.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
 def _q_docs_bm25(spark, sf_dir):
@@ -1269,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector": _q_eigenvector,
         "graph_ktruss": _q_ktruss,
         "graph_reciprocity": _q_reciprocity,
+        "graph_coreness": _q_coreness,
         "graph_wcc_strid": _q_wcc_strid,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
@@ -1276,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition": _q_docs_repetition,
         "docs_tfidf": _q_docs_tfidf,
         "docs_top_terms": _q_docs_top_terms,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_bm25": _q_docs_bm25,
         "docs_domain_mix": _q_docs_domain_mix,
         "docs_redact_pii": _q_docs_redact_pii,
@@ -1529,6 +1559,42 @@ def _eigenvector_sql(iters: int) -> str:
         )
     parts.append(f"fin AS (SELECT id, ROUND(x, 6) AS x FROM x{iters})")
     return "\n".join(parts) + "\nSELECT id, x FROM fin"
+
+
+def _coreness_sql(k_max: int, rounds: int) -> str:
+    """Unrolled nested peel matching operators/coreness.py: for each
+    level k, ``rounds`` degree-filter rounds continuing from the
+    previous level's final edge set; survivors of level k carry
+    coreness >= k; final coreness = max surviving level (0 if none)."""
+    parts = [f"WITH {_G},", "p1_0 AS MATERIALIZED (SELECT src, dst FROM sym),"]
+    surv = []
+    for k in range(1, k_max + 1):
+        for r in range(rounds):
+            parts.append(
+                f"kp{k}_{r} AS (SELECT src AS id FROM p{k}_{r} "
+                f"GROUP BY 1 HAVING COUNT(*) >= {k}),"
+            )
+            parts.append(
+                f"p{k}_{r+1} AS MATERIALIZED (SELECT e.src, e.dst FROM p{k}_{r} e "
+                f"JOIN kp{k}_{r} a ON a.id = e.src "
+                f"JOIN kp{k}_{r} b ON b.id = e.dst),"
+            )
+        parts.append(
+            f"s{k} AS (SELECT src AS id, {k} AS k FROM p{k}_{rounds} "
+            f"GROUP BY 1 HAVING COUNT(*) >= {k}),"
+        )
+        surv.append(f"SELECT id, k FROM s{k}")
+        if k < k_max:
+            parts.append(f"p{k+1}_0 AS (SELECT src, dst FROM p{k}_{rounds}),")
+    parts.append(
+        "core AS (SELECT id, MAX(k) AS coreness FROM ("
+        + " UNION ALL ".join(surv)
+        + ") GROUP BY id)"
+    )
+    return "\n".join(parts) + (
+        "\nSELECT v.id, COALESCE(core.coreness, 0) AS coreness "
+        "FROM v LEFT JOIN core USING(id)"
+    )
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -2237,6 +2303,7 @@ SELECT (SELECT COUNT(*) FROM v) AS n_vertices, (SELECT COUNT(*) FROM e) AS n_edg
     o["graph_katz"] = _katz_sql(KATZ_ALPHA, KATZ_ITERS)
     o["graph_eigenvector"] = _eigenvector_sql(EIG_ITERS)
     o["graph_ktruss"] = _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)
+    o["graph_coreness"] = _coreness_sql(CORE_KMAX, CORE_ROUNDS)
 
     o["graph_reciprocity"] = f"""
 WITH {_G},
@@ -2279,6 +2346,21 @@ WITH {_TOKS},
 t AS (SELECT doc_id, unnest(l) AS term FROM toks)
 SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
 FROM t GROUP BY term ORDER BY tf DESC, term LIMIT {TOP_TERMS_K}
+"""
+
+    o["docs_unigram_logprob"] = f"""
+WITH {_TOKS},
+t AS MATERIALIZED (SELECT doc_id, unnest(l) AS term FROM toks),
+dt AS (SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY 1, 2),
+vocab AS MATERIALIZED (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+tot AS (SELECT SUM(tf)::DOUBLE AS total FROM vocab),
+sc AS (SELECT dt.doc_id, SUM(dt.c) AS n_tokens,
+              SUM(dt.c * ln(vocab.tf / (SELECT total FROM tot))) / SUM(dt.c)
+              AS avg_logprob
+       FROM dt JOIN vocab USING(term) GROUP BY 1)
+SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+       ROUND(sc.avg_logprob, 6) AS avg_logprob
+FROM documents d LEFT JOIN sc USING(doc_id)
 """
 
     o["emb_near_dup"] = f"""

@@ -340,6 +340,49 @@ def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — per-document mean log
+    probability under the corpus-trained unigram LM:
+
+        p(term) = tf(term) / total_tokens
+        avg_logprob(doc) = (1/|doc|) Σ_tok ln p(tok)
+
+    The classic cheap perplexity proxy for training-data quality
+    filtering (CCNet-style): gibberish / rare-token-heavy documents
+    score far below the corpus mode. Empty documents get NULL.
+
+    Scale shape: one token explode feeding (a) the vocab aggregate
+    (term → tf, bounded by vocab size, map-side combined) and (b) the
+    per-(doc, term) counts; the two meet in ONE shuffle hash join keyed
+    by term; the corpus total rides in as a one-row broadcast. No
+    windows, no Python.
+    """
+    toks = documents.select("doc_id", F.explode(_tokens(F.col(text_col))).alias("term"))
+    dt = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("__total"))
+    scored = (
+        dt.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("c").cast("double")
+                    * F.log(F.col("tf").cast("double") / F.col("__total").cast("double"))
+                )
+                / F.sum("c").cast("double")
+            ).alias("avg_logprob"),
+        )
+    )
+    return documents.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "avg_logprob",
+    )
+
+
 def top_terms(documents: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """(term, tf, df) — the k globally heaviest terms by total
     occurrences (tf), with document frequency alongside. The corpus

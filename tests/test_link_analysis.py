@@ -195,3 +195,64 @@ def test_reciprocity_fixture(spark):
     row = reciprocity(g).collect()[0]
     assert (row["n_edges"], row["n_reciprocal"]) == (6, 4)
     assert row["reciprocity"] == pytest.approx(4 / 6)
+
+
+def _coreness_py(edges):
+    """Exact coreness by repeated peeling (tiny python oracle)."""
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    core = {v: 0 for v in adj}
+    k = 1
+    while adj:
+        while True:
+            drop = [v for v, nb in adj.items() if len(nb) < k]
+            if not drop:
+                break
+            for v in drop:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+            adj = {v: nb for v, nb in adj.items() if True}
+        for v in adj:
+            core[v] = k
+        k += 1
+    return core
+
+
+def test_coreness_matches_python_peel(spark):
+    from incubator_hugegraph_computer_spark.operators.coreness import coreness
+
+    edges = K4_PLUS_TRI + [(6, 7)]
+    g = make_graph(spark, edges)
+    got = {r["id"]: r["coreness"] for r in coreness(g, k_max=8, rounds_per_k=10).collect()}
+    assert got == _coreness_py(edges)
+
+
+def test_coreness_isolated_vertex_is_zero(spark):
+    from incubator_hugegraph_computer_spark.operators.coreness import coreness
+
+    g = make_graph(spark, [(1, 2)], vertex_ids=[1, 2, 9])
+    got = {r["id"]: r["coreness"] for r in coreness(g, k_max=4).collect()}
+    assert got == {1: 1, 2: 1, 9: 0}
+
+
+def test_unigram_logprob_hand_values(spark):
+    from incubator_hugegraph_computer_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    # corpus: a:2 b:2 c:1, total 5
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    import math as m
+
+    exp1 = (2 * m.log(2 / 5) + m.log(2 / 5)) / 3
+    exp2 = (m.log(2 / 5) + m.log(1 / 5)) / 2
+    assert rows[1]["n_tokens"] == 3 and rows[1]["avg_logprob"] == pytest.approx(exp1)
+    assert rows[2]["n_tokens"] == 2 and rows[2]["avg_logprob"] == pytest.approx(exp2)
+    assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] is None
