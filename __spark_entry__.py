@@ -48,6 +48,8 @@ IVF_PROBE = 4
 RW_LEN = 5
 SSSP_PATH_ITERS = 15
 HITS_ITERS = 4
+SALSA_ITERS = 4
+EGO_RADIUS = 2
 # 1/32: a binary fraction so every Katz intermediate (alpha^k × integer
 # walk count) is an exact dyadic double — both engines compute
 # bit-identical values in any summation order. A decimal alpha (0.05)
@@ -541,6 +543,33 @@ def _q_reciprocity(spark, sf_dir):
     return r.select(
         "n_edges", "n_reciprocal", F.round("reciprocity", 6).alias("reciprocity")
     )
+
+
+def _q_salsa(spark, sf_dir):
+    """Degree-normalized HITS (SALSA) — the production link-analysis
+    variant; same fixed-iteration sum-normalized contract as graph_hits."""
+    from incubator_hugegraph_computer_spark.operators.salsa import salsa
+
+    r = salsa(orders_graph(spark, sf_dir), iterations=SALSA_ITERS)
+    return r.select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def _q_motifs(spark, sf_dir):
+    """Dyad census + directed-triangle motif split (cyclic vs
+    transitive) — one-row structural summary of the link graph."""
+    from incubator_hugegraph_computer_spark.operators.motifs import motif_census
+
+    return motif_census(orders_graph(spark, sf_dir))
+
+
+def _q_ego2(spark, sf_dir):
+    """Per-vertex 2-hop neighborhood size (friend-of-follow count) —
+    the all-sources generalization of Vermeer's kout."""
+    from incubator_hugegraph_computer_spark.operators.bfs import ego_size
+
+    return ego_size(orders_graph(spark, sf_dir), radius=EGO_RADIUS)
 
 
 def _q_cycle_detection(spark, sf_dir):
@@ -1297,6 +1326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector": _q_eigenvector,
         "graph_ktruss": _q_ktruss,
         "graph_reciprocity": _q_reciprocity,
+        "graph_salsa": _q_salsa,
+        "graph_motifs": _q_motifs,
+        "graph_ego2": _q_ego2,
         "graph_coreness": _q_coreness,
         "graph_wcc_strid": _q_wcc_strid,
         "docs_token_stats": _q_docs_tokens,
@@ -1524,6 +1556,48 @@ def _hits_sql(iters: int) -> str:
             f"hr{k} AS MATERIALIZED (SELECT v.id, COALESCE(s.s, 0.0) AS r FROM v "
             f"LEFT JOIN (SELECT e.src AS id, SUM(a.auth) AS s FROM a{k} a "
             f"JOIN e ON e.dst = a.id GROUP BY 1) s ON s.id = v.id),"
+        )
+        parts.append(
+            f"ht{k} AS (SELECT CASE WHEN SUM(r) = 0 THEN 1.0 ELSE SUM(r) END AS t FROM hr{k}),"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT id, r / (SELECT t FROM ht{k}) AS hub FROM hr{k}),"
+        )
+    parts.append(
+        f"fin AS (SELECT a.id, ROUND(a.auth, 6) AS auth, ROUND(h.hub, 6) AS hub "
+        f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id)"
+    )
+    return "\n".join(parts) + "\nSELECT id, auth, hub FROM fin"
+
+
+def _salsa_sql(iters: int) -> str:
+    """Unrolled sum-normalized SALSA matching operators/salsa.py: the
+    HITS recurrence with each contribution divided by the sender's
+    out-degree (auth pass) / the receiver-side in-degree (hub pass)."""
+    parts = [
+        f"WITH {_G},",
+        "od AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY 1),",
+        "idg AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS d FROM e GROUP BY 1),",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT v.id, COALESCE(s.s, 0.0) AS r FROM v "
+            f"LEFT JOIN (SELECT e.dst AS id, SUM(h.hub / od.d) AS s FROM h{k-1} h "
+            f"JOIN e ON e.src = h.id JOIN od ON od.id = e.src GROUP BY 1) s "
+            f"ON s.id = v.id),"
+        )
+        parts.append(
+            f"at{k} AS (SELECT CASE WHEN SUM(r) = 0 THEN 1.0 ELSE SUM(r) END AS t FROM ar{k}),"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT id, r / (SELECT t FROM at{k}) AS auth FROM ar{k}),"
+        )
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT v.id, COALESCE(s.s, 0.0) AS r FROM v "
+            f"LEFT JOIN (SELECT e.src AS id, SUM(a.auth / idg.d) AS s FROM a{k} a "
+            f"JOIN e ON e.dst = a.id JOIN idg ON idg.id = e.dst GROUP BY 1) s "
+            f"ON s.id = v.id),"
         )
         parts.append(
             f"ht{k} AS (SELECT CASE WHEN SUM(r) = 0 THEN 1.0 ELSE SUM(r) END AS t FROM hr{k}),"
@@ -2313,6 +2387,41 @@ nr AS (SELECT COUNT(*) AS n_reciprocal FROM e
 SELECT ne.n_edges, nr.n_reciprocal,
        ROUND(CAST(nr.n_reciprocal AS DOUBLE) / ne.n_edges, 6) AS reciprocity
 FROM ne, nr
+"""
+
+    o["graph_salsa"] = _salsa_sql(SALSA_ITERS)
+
+    o["graph_motifs"] = f"""
+WITH {_G},
+pr AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+      COUNT(*) AS n_dir FROM e GROUP BY 1, 2),
+dy AS (SELECT COALESCE(SUM(CASE WHEN n_dir = 2 THEN 1 ELSE 0 END), 0) AS mu,
+              COALESCE(SUM(CASE WHEN n_dir = 1 THEN 1 ELSE 0 END), 0) AS asym
+       FROM pr),
+nv AS (SELECT COUNT(*) AS n FROM v),
+cy AS (SELECT COUNT(*) AS c FROM e e1
+       JOIN e e2 ON e2.src = e1.dst
+       JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+       WHERE e1.src < e1.dst AND e1.src < e2.dst),
+tr AS (SELECT COUNT(*) AS c FROM e e1
+       JOIN e e2 ON e2.src = e1.dst
+       JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+       WHERE e1.src <> e2.dst)
+SELECT nv.n AS n_vertices, dy.mu AS mutual_dyads, dy.asym AS asym_dyads,
+       CAST(nv.n * (nv.n - 1) / 2 - dy.mu - dy.asym AS BIGINT) AS null_dyads,
+       cy.c AS cyclic_triangles, tr.c AS transitive_triangles
+FROM nv, dy, cy, tr
+"""
+
+    o["graph_ego2"] = f"""
+WITH {_G},
+r1 AS MATERIALIZED (SELECT src AS root, dst AS v FROM e),
+r2 AS (SELECT DISTINCT r1.root, e.dst AS v FROM r1 JOIN e ON e.src = r1.v),
+reach AS (SELECT DISTINCT root, v FROM
+          (SELECT root, v FROM r1 UNION ALL SELECT root, v FROM r2)
+          WHERE root <> v),
+c AS (SELECT root AS id, COUNT(*) AS ego_size FROM reach GROUP BY 1)
+SELECT v.id, COALESCE(c.ego_size, 0) AS ego_size FROM v LEFT JOIN c USING(id)
 """
 
     # wedge enumeration through capped-degree intermediaries, the exact

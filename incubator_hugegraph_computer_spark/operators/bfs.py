@@ -31,3 +31,42 @@ def kout(graph: Graph, source: int, k: int) -> DataFrame:
     return graph.spark.createDataFrame(
         [(source, n)], "source long, kout_size long"
     )
+
+
+def ego_size(graph: Graph, radius: int = 2) -> DataFrame:
+    """(id, ego_size) for EVERY vertex: # distinct vertices (≠ self)
+    reachable within ``radius`` hops along out-edges — the all-sources
+    generalization of ``kout`` (vermeer kout.go computes one source per
+    job; a pipeline wanting per-vertex neighborhood features runs this
+    instead of V jobs).
+
+    Physical shape: the state is (root, v) reachability pairs grown one
+    frontier join per hop — O(Σ_k |N_k|) rows, hash-shuffled on the
+    frontier vertex; the distinct after each expansion is the map-side
+    dedup that keeps hub fan-out from exploding the pair multiset. At
+    radius 2 (the friend-of-friend feature) this is two shuffles plus
+    the final count. Rooted at EVERY vertex the state is O(V·avg-reach)
+    — same scale story as multi-source closeness, which is why radius
+    stays small (2-3) at web scale.
+    """
+    e = graph.edges.select("src", "dst").distinct()
+    # reach: all (root, v) with 1 <= d(root, v) <= radius
+    frontier = e.select(F.col("src").alias("root"), F.col("dst").alias("v"))
+    reach = frontier
+    for _ in range(radius - 1):
+        frontier = (
+            frontier.join(e, frontier.v == e.src)
+            .select("root", F.col("dst").alias("v"))
+            .distinct()
+        )
+        reach = reach.unionAll(frontier)
+    counts = (
+        reach.where(F.col("root") != F.col("v"))
+        .distinct()
+        .groupBy(F.col("root").alias("id"))
+        .agg(F.count(F.lit(1)).alias("ego_size"))
+    )
+    return (
+        graph.vertices.join(counts, "id", "left")
+        .select("id", F.coalesce("ego_size", F.lit(0)).alias("ego_size"))
+    )

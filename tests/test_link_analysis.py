@@ -256,3 +256,98 @@ def test_unigram_logprob_hand_values(spark):
     assert rows[1]["n_tokens"] == 3 and rows[1]["avg_logprob"] == pytest.approx(exp1)
     assert rows[2]["n_tokens"] == 2 and rows[2]["avg_logprob"] == pytest.approx(exp2)
     assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] is None
+
+
+def _salsa_numpy(ids, edges, iters):
+    edges = sorted(set(edges))
+    index = {v: i for i, v in enumerate(ids)}
+    outdeg, indeg = {}, {}
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        indeg[d] = indeg.get(d, 0) + 1
+    n = len(ids)
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    for _ in range(iters):
+        auth = np.zeros(n)
+        for s, d in edges:
+            auth[index[d]] += hub[index[s]] / outdeg[s]
+        auth /= auth.sum() or 1.0
+        hub = np.zeros(n)
+        for s, d in edges:
+            hub[index[s]] += auth[index[d]] / indeg[d]
+        hub /= hub.sum() or 1.0
+    return auth, hub, index
+
+
+def test_salsa_matches_numpy(spark):
+    from incubator_hugegraph_computer_spark.operators.salsa import salsa
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in salsa(g, iterations=3).collect()}
+    auth, hub, index = _salsa_numpy(sorted(PRWCC_VERTEX_IDS), PRWCC_EDGES, 3)
+    assert set(got) == set(PRWCC_VERTEX_IDS)
+    for v in PRWCC_VERTEX_IDS:
+        assert got[v][0] == pytest.approx(auth[index[v]], abs=1e-12)
+        assert got[v][1] == pytest.approx(hub[index[v]], abs=1e-12)
+
+
+def test_salsa_isolated_vertex_scores_zero(spark):
+    from incubator_hugegraph_computer_spark.operators.salsa import salsa
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    got = {r["id"]: (r["auth"], r["hub"]) for r in salsa(g, iterations=2).collect()}
+    assert got[20] == (0.0, 0.0)
+
+
+def test_motif_census_hand_fixture(spark):
+    from incubator_hugegraph_computer_spark.operators.motifs import motif_census
+
+    # {1,2} mutual, {1,3} mutual, {2,3} asym; one cyclic triangle
+    # (1->2->3->1) and three transitive embeddings; vertex 9 isolated.
+    g = make_graph(
+        spark, [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3)], vertex_ids=[1, 2, 3, 9]
+    )
+    row = motif_census(g).collect()[0]
+    assert row["n_vertices"] == 4
+    assert row["mutual_dyads"] == 2
+    assert row["asym_dyads"] == 1
+    assert row["null_dyads"] == 3  # 4*3/2 - 2 - 1
+    assert row["cyclic_triangles"] == 1
+    assert row["transitive_triangles"] == 3
+
+
+def test_motif_census_no_triangles(spark):
+    from incubator_hugegraph_computer_spark.operators.motifs import motif_census
+
+    row = motif_census(make_graph(spark, [(1, 2), (2, 3)])).collect()[0]
+    assert row["cyclic_triangles"] == 0
+    assert row["transitive_triangles"] == 0
+    assert row["mutual_dyads"] == 0
+    assert row["asym_dyads"] == 2
+
+
+def test_ego_size_chain(spark):
+    from incubator_hugegraph_computer_spark.operators.bfs import ego_size
+
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 4)], vertex_ids=[1, 2, 3, 4, 9])
+    got = {r["id"]: r["ego_size"] for r in ego_size(g, radius=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 0, 9: 0}
+
+
+def test_ego_size_cycle_excludes_self(spark):
+    from incubator_hugegraph_computer_spark.operators.bfs import ego_size
+
+    # 1->2->3->1: every vertex reaches the other two in <=2 hops but
+    # never counts itself (root==v excluded even when reachable).
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 1)])
+    got = {r["id"]: r["ego_size"] for r in ego_size(g, radius=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_ego_size_radius_three(spark):
+    from incubator_hugegraph_computer_spark.operators.bfs import ego_size
+
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r["id"]: r["ego_size"] for r in ego_size(g, radius=3).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 0}
