@@ -50,6 +50,10 @@ SSSP_PATH_ITERS = 15
 HITS_ITERS = 4
 SALSA_ITERS = 4
 EGO_RADIUS = 2
+DIAM_DEPTH = 60
+COPURCHASE_K = 100
+WINNOW_K = 4  # token k-gram size (fixed in the oracle's join chain)
+WINNOW_W = 4  # winnowing window: guarantees matches of >= k+w-1 tokens
 # 1/32: a binary fraction so every Katz intermediate (alpha^k × integer
 # walk count) is an exact dyadic double — both engines compute
 # bit-identical values in any summation order. A decimal alpha (0.05)
@@ -570,6 +574,41 @@ def _q_ego2(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.bfs import ego_size
 
     return ego_size(orders_graph(spark, sf_dir), radius=EGO_RADIUS)
+
+
+def _q_diameter(spark, sf_dir):
+    """Double-sweep diameter lower bound over the undirected view."""
+    from incubator_hugegraph_computer_spark.operators.bfs import diameter_2sweep
+
+    return diameter_2sweep(orders_graph(spark, sf_dir), max_depth=DIAM_DEPTH)
+
+
+def _q_copurchase(spark, sf_dir):
+    """Bipartite projection: parts co-occurring in an order, top-k by
+    co-occurrence count (weight DESC, src, dst — a total order, so the
+    limit boundary is deterministic)."""
+    from incubator_hugegraph_computer_spark.operators.projection import project
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = project(
+        li.select(
+            F.col("l_orderkey").cast("long").alias("g"),
+            F.col("l_partkey").cast("long").alias("item"),
+        ),
+        "g",
+        "item",
+    )
+    return pairs.orderBy(F.desc("weight"), "src", "dst").limit(COPURCHASE_K)
+
+
+def _q_winnowing(spark, sf_dir):
+    """MOSS winnowing fingerprints over the documents table — the
+    substring-level contamination detector (any shared run of
+    >= WINNOW_K + WINNOW_W - 1 tokens shares a fingerprint)."""
+    from incubator_hugegraph_computer_spark.functions.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_W)
 
 
 def _q_cycle_detection(spark, sf_dir):
@@ -1329,6 +1368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_salsa": _q_salsa,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
+        "graph_diameter": _q_diameter,
+        "graph_copurchase": _q_copurchase,
+        "docs_winnowing": _q_winnowing,
         "graph_coreness": _q_coreness,
         "graph_wcc_strid": _q_wcc_strid,
         "docs_token_stats": _q_docs_tokens,
@@ -2422,6 +2464,59 @@ reach AS (SELECT DISTINCT root, v FROM
           WHERE root <> v),
 c AS (SELECT root AS id, COUNT(*) AS ego_size FROM reach GROUP BY 1)
 SELECT v.id, COALESCE(c.ego_size, 0) AS ego_size FROM v LEFT JOIN c USING(id)
+"""
+
+    o["graph_diameter"] = f"""
+WITH RECURSIVE {_G},
+s0 AS (SELECT MIN(id) AS id FROM v),
+r1(id, d) AS (
+    SELECT id, 0 FROM s0
+    UNION
+    SELECT s.dst, r1.d + 1 FROM r1 JOIN sym s ON s.src = r1.id
+    WHERE r1.d < {DIAM_DEPTH}
+),
+d1 AS (SELECT id, MIN(d) AS d FROM r1 GROUP BY id),
+far AS (SELECT id FROM d1 ORDER BY d DESC, id ASC LIMIT 1),
+r2(id, d) AS (
+    SELECT id, 0 FROM far
+    UNION
+    SELECT s.dst, r2.d + 1 FROM r2 JOIN sym s ON s.src = r2.id
+    WHERE r2.d < {DIAM_DEPTH}
+),
+d2 AS (SELECT id, MIN(d) AS d FROM r2 GROUP BY id)
+SELECT (SELECT id FROM s0) AS start,
+       (SELECT MAX(d) FROM d1) AS ecc_start,
+       (SELECT id FROM far) AS far_vertex,
+       (SELECT MAX(d) FROM d2) AS diameter_lb
+"""
+
+    o["graph_copurchase"] = f"""
+WITH gi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS item
+                         FROM lineitem),
+pairs AS (SELECT a.item AS src, b.item AS dst, COUNT(*) AS weight
+          FROM gi a JOIN gi b ON b.g = a.g AND a.item < b.item
+          GROUP BY 1, 2)
+SELECT src, dst, weight FROM pairs
+ORDER BY weight DESC, src, dst LIMIT {COPURCHASE_K}
+"""
+
+    o["docs_winnowing"] = f"""
+WITH {_TOKS}, {_TOKPOS},
+kg AS MATERIALIZED (
+  SELECT a.doc_id, a.pos,
+         ('0x' || substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok),
+          1, 8))::BIGINT AS h
+  FROM tokpos a
+  JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tokpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  JOIN tokpos d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3),
+mem AS (SELECT doc_id, pos, h, unnest(generate_series(pos - {WINNOW_W - 1}, pos)) AS s
+        FROM kg),
+rn AS (SELECT doc_id, s, pos, h,
+              ROW_NUMBER() OVER (PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS rn,
+              COUNT(*) OVER (PARTITION BY doc_id, s) AS n
+       FROM mem WHERE s >= 1)
+SELECT DISTINCT doc_id, pos, h AS fp FROM rn WHERE rn = 1 AND n = {WINNOW_W}
 """
 
     # wedge enumeration through capped-degree intermediaries, the exact

@@ -406,3 +406,75 @@ def top_terms(documents: DataFrame, k: int = 20, text_col: str = "text") -> Data
         .orderBy(F.desc("tf"), "term")
         .limit(k)
     )
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = 4, window: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """MOSS winnowing fingerprints: (doc_id, pos, fp).
+
+    The guarantee-bearing document fingerprint (Schleimer, Wilkerson &
+    Aiken, SIGMOD'03): hash every k-gram of the normalized token stream,
+    slide a window of ``window`` consecutive k-gram hashes, and in each
+    window select the minimum hash (ties → rightmost position); the
+    deduplicated (pos, hash) picks are the fingerprint set. Any shared
+    token run of length >= k + window - 1 between two documents is
+    GUARANTEED to share a fingerprint — the substring-level
+    contamination/clone detector that whole-doc ``document_fingerprint``
+    and bag-of-shingles MinHash both miss.
+
+    Hashes are the md5-prefix integers used across ``functions/dedup``
+    (portable: DuckDB replays them bit-for-bit). ``pos`` is the 1-based
+    token position where the selected k-gram starts.
+
+    Physical shape — everything is keyed by doc_id, so every stage is
+    embarrassingly parallel across documents: one projection builds
+    tokens, a per-doc window (lead) forms k-grams, and window selection
+    explodes each k-gram to the <= ``window`` window-starts it belongs
+    to (fan-out exactly ×window — no self-join, no quadratic blowup on
+    long documents) followed by a map-side-combined struct-min
+    aggregate. No global shuffle keys, no driver collection; at 100 TB
+    the stage scales with input splits.
+    """
+    from pyspark.sql import Window
+
+    tp = documents.select(
+        "doc_id", F.posexplode(_tokens(F.col(text_col))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    kgram = F.concat_ws(" ", *[F.lead("tok", j).over(w) for j in range(k)])
+    kg = (
+        tp.select(
+            "doc_id",
+            "pos",
+            kgram.alias("kgram"),
+            F.lead("tok", k - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("kgram"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    member = kg.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(F.col("pos") - window + 1, F.col("pos"))
+        ).alias("s"),
+    ).where(F.col("s") >= 1)
+    picked = (
+        member.groupBy("doc_id", "s")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("_np"))).alias("_m"),
+        )
+        .where(F.col("_n") == window)  # full windows only
+        .select("doc_id", (-F.col("_m._np")).alias("pos"), F.col("_m.h").alias("fp"))
+        .distinct()
+    )
+    return picked

@@ -70,3 +70,29 @@ def ego_size(graph: Graph, radius: int = 2) -> DataFrame:
         graph.vertices.join(counts, "id", "left")
         .select("id", F.coalesce("ego_size", F.lit(0)).alias("ego_size"))
     )
+
+
+def diameter_2sweep(graph: Graph, max_depth: int = 100) -> DataFrame:
+    """One row (start, ecc_start, far_vertex, diameter_lb) — the
+    standard double-sweep diameter lower bound over the UNDIRECTED view
+    (symmetrized edges): BFS from the minimum vertex id, hop to the
+    farthest reached vertex (ties → min id), BFS again; the second
+    eccentricity is the diameter estimate. Exact on trees, and in
+    practice tight on web-shaped graphs (Magnien/Latapy/Habib 2009).
+
+    Cost: exactly two frontier BFS runs — O(diameter) supersteps each,
+    every superstep one hash-shuffled frontier join. The two scalar
+    pulls (start id, farthest id) are one-row driver actions, not
+    collections.
+    """
+    sym = graph.symmetrized()
+    start = sym.vertices.agg(F.min("id")).first()[0]
+    d1 = bfs_depth(sym, int(start), max_depth=max_depth)
+    far_row = d1.orderBy(F.desc("depth"), F.asc("id")).first()
+    far, ecc_start = int(far_row["id"]), int(far_row["depth"])
+    d2 = bfs_depth(sym, far, max_depth=max_depth)
+    diameter_lb = d2.agg(F.max("depth")).first()[0]
+    return graph.spark.createDataFrame(
+        [(int(start), ecc_start, far, int(diameter_lb))],
+        "start long, ecc_start long, far_vertex long, diameter_lb long",
+    )

@@ -1,0 +1,107 @@
+"""Bipartite projection, double-sweep diameter, and MOSS winnowing."""
+
+import hashlib
+
+import pytest
+
+from tests.conftest import make_graph
+
+from incubator_hugegraph_computer_spark.functions.text import winnow_fingerprints
+from incubator_hugegraph_computer_spark.operators.bfs import diameter_2sweep
+from incubator_hugegraph_computer_spark.operators.projection import project
+
+
+def _bip(spark, rows):
+    return spark.createDataFrame(rows, "g long, item long")
+
+
+def test_project_counts_shared_groups(spark):
+    # groups: 10 -> {1,2,3}, 20 -> {2,3}, 30 -> {3}
+    pairs = _bip(spark, [(10, 1), (10, 2), (10, 3), (20, 2), (20, 3), (30, 3)])
+    got = {(r["src"], r["dst"]): r["weight"] for r in project(pairs, "g", "item").collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_project_dedupes_multiset_membership(spark):
+    # duplicate (g, item) rows must not inflate weights
+    pairs = _bip(spark, [(10, 1), (10, 1), (10, 2)])
+    got = {(r["src"], r["dst"]): r["weight"] for r in project(pairs, "g", "item").collect()}
+    assert got == {(1, 2): 1}
+
+
+def test_project_group_size_cap(spark):
+    rows = [(10, i) for i in range(1, 5)] + [(20, 1), (20, 2)]
+    pairs = _bip(spark, rows)
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in project(pairs, "g", "item", max_group_size=3).collect()
+    }
+    # group 10 (size 4) excluded entirely; only group 20 contributes
+    assert got == {(1, 2): 1}
+
+
+def test_diameter_path_graph(spark):
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    row = diameter_2sweep(g).collect()[0]
+    assert row["start"] == 1
+    assert row["ecc_start"] == 4
+    assert row["far_vertex"] == 5
+    assert row["diameter_lb"] == 4
+
+
+def test_diameter_directed_edges_treated_undirected(spark):
+    # all edges point INTO 1; undirected view still spans the star
+    g = make_graph(spark, [(2, 1), (3, 1), (4, 1)])
+    row = diameter_2sweep(g).collect()[0]
+    assert row["start"] == 1
+    assert row["ecc_start"] == 1
+    assert row["far_vertex"] == 2  # depth-1 ties broken by min id
+    assert row["diameter_lb"] == 2
+
+
+def _winnow_py(text, k, w):
+    toks = [t for t in "".join(c if c.isalnum() else " " for c in text.lower()).split() if t]
+    kg = []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        kg.append((i + 1, h))
+    out = set()
+    for s in range(len(kg) - w + 1):
+        win = kg[s : s + w]
+        mn = min(h for _, h in win)
+        pos = max(p for p, h in win if h == mn)
+        out.add((pos, mn))
+    return out
+
+
+WINNOW_TEXT = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+def test_winnow_matches_python_reference(spark):
+    docs = spark.createDataFrame([(1, WINNOW_TEXT)], "doc_id long, text string")
+    got = {(r["pos"], r["fp"]) for r in winnow_fingerprints(docs, k=4, window=4).collect()}
+    assert got == _winnow_py(WINNOW_TEXT, 4, 4)
+    assert got  # non-empty
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # two docs share a 7-token run (k + w - 1 = 7): the winnowing
+    # guarantee says they MUST share at least one fingerprint hash
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [(1, "xx yy " + shared + " zz"), (2, shared + " aa bb cc dd")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, k=4, window=4).collect()
+    fps1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+    fps2 = {r["fp"] for r in rows if r["doc_id"] == 2}
+    assert fps1 & fps2
+
+
+def test_winnow_short_doc_yields_nothing(spark):
+    # k-grams: 6 tokens -> 3 kgrams < window 4 -> no full window
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    assert winnow_fingerprints(docs, k=4, window=4).count() == 0
