@@ -611,6 +611,23 @@ def _q_winnowing(spark, sf_dir):
     return winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_W)
 
 
+def _q_msf(spark, sf_dir):
+    """Boruvka minimum spanning forest over the shared weighted rule,
+    reported as the per-weight MSF edge histogram. The histogram is
+    invariant across ALL minimum spanning forests (Kruskal exchange
+    property), so the oracle can verify it from component-count deltas
+    of the weight-threshold subgraphs without replaying Boruvka; the
+    exact chosen edge set (deterministic under the (w, a, b) order) is
+    pinned by unit tests against a Python Kruskal."""
+    from incubator_hugegraph_computer_spark.operators.mst import msf
+
+    g = _weighted(orders_graph(spark, sf_dir))
+    f = msf(g, weight_col="weight")
+    return f.groupBy(F.col("w").alias("weight")).agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+
+
 def _q_cycle_detection(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.rings import cycle_detection
 
@@ -1370,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
         "graph_copurchase": _q_copurchase,
+        "graph_msf": _q_msf,
         "docs_winnowing": _q_winnowing,
         "graph_coreness": _q_coreness,
         "graph_wcc_strid": _q_wcc_strid,
@@ -2489,6 +2507,44 @@ SELECT (SELECT id FROM s0) AS start,
        (SELECT id FROM far) AS far_vertex,
        (SELECT MAX(d) FROM d2) AS diameter_lb
 """
+
+    # MSF per-weight histogram from the Kruskal threshold curve: edges
+    # of weight t in ANY minimum spanning forest number C(<t) - C(<=t),
+    # where C(x) = component count of the subgraph with edges <= x
+    # (computed per threshold by recursive-CTE reachability). The
+    # derived weight rule has exactly 5 values, so 5 closures suffice.
+    _msf_parts = [
+        f"WITH RECURSIVE {_G},",
+        "uw AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "MIN(CAST((src + dst) % 5 + 1 AS DOUBLE)) AS w "
+        "FROM e WHERE src <> dst GROUP BY 1, 2),",
+        "c0 AS (SELECT COUNT(*) AS n FROM v),",
+    ]
+    for _t in range(1, 6):
+        _msf_parts.append(
+            f"sw{_t} AS MATERIALIZED (SELECT a AS src, b AS dst FROM uw WHERE w <= {_t} "
+            f"UNION ALL SELECT b, a FROM uw WHERE w <= {_t}),"
+        )
+        _msf_parts.append(
+            f"cc{_t}(id, anc) AS (SELECT id, id FROM v "
+            f"UNION SELECT s.dst, cc.anc FROM cc{_t} cc JOIN sw{_t} s ON s.src = cc.id),"
+        )
+        _msf_parts.append(
+            f"c{_t} AS (SELECT COUNT(DISTINCT m) AS n FROM "
+            f"(SELECT id, MIN(anc) AS m FROM cc{_t} GROUP BY id)),"
+        )
+    _msf_parts.append(
+        "hist AS ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({_t} AS DOUBLE) AS weight, "
+            f"(SELECT n FROM c{_t - 1}) - (SELECT n FROM c{_t}) AS n_edges"
+            for _t in range(1, 6)
+        )
+        + ")"
+    )
+    o["graph_msf"] = (
+        "\n".join(_msf_parts) + "\nSELECT weight, n_edges FROM hist WHERE n_edges > 0"
+    )
 
     o["graph_copurchase"] = f"""
 WITH gi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS g, l_partkey AS item

@@ -105,3 +105,88 @@ def test_winnow_short_doc_yields_nothing(spark):
         [(1, "one two three four five six")], "doc_id long, text string"
     )
     assert winnow_fingerprints(docs, k=4, window=4).count() == 0
+
+
+def _kruskal(edges):
+    """(a, b, w) canonical list -> unique MSF under (w, a, b) order."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = set()
+    canon = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        canon[(a, b)] = min(canon.get((a, b), w), w)
+    for (a, b), w in sorted(canon.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            chosen.add((a, b, w))
+    return chosen
+
+
+def _weighted_graph(spark, rows):
+    from incubator_hugegraph_computer_spark.graph import Graph
+
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    return Graph.from_edges(edges)
+
+
+def test_msf_matches_kruskal_weighted(spark):
+    from incubator_hugegraph_computer_spark.operators.mst import msf
+
+    rows = [
+        (1, 2, 1.0), (2, 3, 2.0), (3, 1, 3.0),  # triangle: drops (3,1)
+        (3, 4, 1.0), (4, 5, 5.0), (5, 3, 4.0),  # triangle: drops (4,5)
+        (10, 11, 1.0),                            # separate component
+    ]
+    g = _weighted_graph(spark, rows)
+    got = {(r["a"], r["b"], r["w"]) for r in msf(g, weight_col="weight").collect()}
+    assert got == _kruskal(rows)
+
+
+def test_msf_tie_break_is_lexicographic(spark):
+    from incubator_hugegraph_computer_spark.operators.mst import msf
+
+    # all weights equal: the unique MSF under (w, a, b) = Kruskal's
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (2, 4, 1.0), (4, 1, 1.0)]
+    g = _weighted_graph(spark, rows)
+    got = {(r["a"], r["b"], r["w"]) for r in msf(g, weight_col="weight").collect()}
+    assert got == _kruskal(rows)
+
+
+def test_msf_long_chain_merges(spark):
+    from incubator_hugegraph_computer_spark.operators.mst import msf
+
+    # increasing weights along a path force chained pointer merges
+    rows = [(i, i + 1, float(i)) for i in range(1, 12)]
+    g = _weighted_graph(spark, rows)
+    got = {(r["a"], r["b"], r["w"]) for r in msf(g, weight_col="weight").collect()}
+    assert got == _kruskal(rows)
+    assert len(got) == 11  # a path IS its own spanning tree
+
+
+def test_msf_unit_weights_spanning_forest(spark):
+    from incubator_hugegraph_computer_spark.operators.mst import msf
+
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 1), (5, 6)], vertex_ids=[1, 2, 3, 5, 6, 9])
+    rows = msf(g).collect()
+    # V=6, isolated 9 contributes no edge, 2 components with edges:
+    # forest edges = (3-1) + (2-1) = 3
+    assert len(rows) == 3
+    assert all(r["w"] == 1.0 for r in rows)
+
+
+def test_msf_empty_graph(spark):
+    from incubator_hugegraph_computer_spark.operators.mst import msf
+
+    g = make_graph(spark, [(1, 1)], vertex_ids=[1, 2])  # only a self-loop
+    assert msf(g).count() == 0
