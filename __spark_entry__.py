@@ -52,6 +52,10 @@ SALSA_ITERS = 4
 EGO_RADIUS = 2
 DIAM_DEPTH = 60
 COPURCHASE_K = 100
+# Speculative-coloring round budget: measured 12 rounds to full
+# convergence at sf0.01; the budget is declared semantics, replayed by
+# the oracle (post-convergence rounds are no-ops on both sides).
+COLOR_ROUNDS = 20
 WINNOW_K = 4  # token k-gram size (fixed in the oracle's join chain)
 WINNOW_W = 4  # winnowing window: guarantees matches of >= k+w-1 tokens
 # 1/32: a binary fraction so every Katz intermediate (alpha^k × integer
@@ -609,6 +613,15 @@ def _q_winnowing(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return winnow_fingerprints(docs, k=WINNOW_K, window=WINNOW_W)
+
+
+def _q_coloring(spark, sf_dir):
+    """Speculative greedy coloring under portable md5 priorities —
+    fully deterministic rounds, so the oracle replays them
+    bit-for-bit."""
+    from incubator_hugegraph_computer_spark.operators.coloring import greedy_coloring
+
+    return greedy_coloring(orders_graph(spark, sf_dir), max_rounds=COLOR_ROUNDS)
 
 
 def _q_msf(spark, sf_dir):
@@ -1388,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_diameter": _q_diameter,
         "graph_copurchase": _q_copurchase,
         "graph_msf": _q_msf,
+        "graph_coloring": _q_coloring,
         "docs_winnowing": _q_winnowing,
         "graph_coreness": _q_coreness,
         "graph_wcc_strid": _q_wcc_strid,
@@ -1670,6 +1684,49 @@ def _salsa_sql(iters: int) -> str:
         f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id)"
     )
     return "\n".join(parts) + "\nSELECT id, auth, hub FROM fin"
+
+
+def _coloring_sql(rounds: int) -> str:
+    """Unrolled speculative coloring matching operators/coloring.py:
+    per round every uncolored vertex proposes the mex of its colored
+    neighbors' colors; adjacent equal proposals lose to the higher
+    (p, id) endpoint; winners take their proposal."""
+    parts = [
+        f"WITH {_G},",
+        "pri AS MATERIALIZED (SELECT id, "
+        "('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS p FROM v),",
+        "s0 AS MATERIALIZED (SELECT id, CAST(NULL AS INT) AS color FROM v),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"unc{r} AS MATERIALIZED (SELECT s.id, pri.p FROM s{r-1} s "
+            f"JOIN pri USING(id) WHERE s.color IS NULL),"
+        )
+        parts.append(
+            f"usd{r} AS (SELECT u.id, list_distinct(list(s.color)) AS used "
+            f"FROM unc{r} u JOIN sym e ON e.src = u.id "
+            f"JOIN s{r-1} s ON s.id = e.dst AND s.color IS NOT NULL GROUP BY u.id),"
+        )
+        parts.append(
+            f"cnd{r} AS MATERIALIZED (SELECT u.id, u.p, CAST(COALESCE(list_min("
+            f"list_filter(generate_series(0, len(w.used)), "
+            f"x -> NOT list_contains(w.used, x))), 0) AS INT) AS cand "
+            f"FROM unc{r} u LEFT JOIN usd{r} w USING(id)),"
+        )
+        parts.append(
+            f"lsr{r} AS (SELECT DISTINCT a.id FROM cnd{r} a "
+            f"JOIN sym e ON e.src = a.id JOIN cnd{r} b ON b.id = e.dst "
+            f"WHERE a.cand = b.cand AND "
+            f"((b.p > a.p) OR (b.p = a.p AND b.id > a.id))),"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT s.id, COALESCE(s.color, "
+            f"CASE WHEN l.id IS NULL THEN c.cand END) AS color "
+            f"FROM s{r-1} s LEFT JOIN cnd{r} c USING(id) "
+            f"LEFT JOIN lsr{r} l USING(id)),"
+        )
+    parts.append(f"fin AS (SELECT id, color FROM s{rounds})")
+    return "\n".join(parts) + "\nSELECT id, color FROM fin"
 
 
 def _eigenvector_sql(iters: int) -> str:
@@ -2450,6 +2507,7 @@ FROM ne, nr
 """
 
     o["graph_salsa"] = _salsa_sql(SALSA_ITERS)
+    o["graph_coloring"] = _coloring_sql(COLOR_ROUNDS)
 
     o["graph_motifs"] = f"""
 WITH {_G},

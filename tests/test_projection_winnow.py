@@ -190,3 +190,56 @@ def test_msf_empty_graph(spark):
 
     g = make_graph(spark, [(1, 1)], vertex_ids=[1, 2])  # only a self-loop
     assert msf(g).count() == 0
+
+
+def _assert_proper(edges, colors):
+    for s, d in edges:
+        if s != d and colors[s] is not None and colors[d] is not None:
+            assert colors[s] != colors[d], (s, d)
+
+
+def test_coloring_is_proper_and_total(spark):
+    from incubator_hugegraph_computer_spark.operators.coloring import greedy_coloring
+    from tests.conftest import PRWCC_EDGES, PRWCC_VERTEX_IDS
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    colors = {r["id"]: r["color"] for r in greedy_coloring(g).collect()}
+    assert set(colors) == set(PRWCC_VERTEX_IDS)
+    assert all(c is not None for c in colors.values())
+    _assert_proper(PRWCC_EDGES, colors)
+    # isolated vertex has no constraints -> greedy gives it color 0
+    assert colors[20] == 0
+
+
+def test_coloring_star_one_round_for_spokes(spark):
+    from incubator_hugegraph_computer_spark.operators.coloring import greedy_coloring
+
+    # star: spokes are pairwise non-adjacent; with 2 rounds everything
+    # must be colored (hub and spokes resolve in <= 2 rounds) and use
+    # exactly 2 colors
+    star = [(0, i) for i in range(1, 9)]
+    colors = {r["id"]: r["color"] for r in greedy_coloring(make_graph(spark, star), max_rounds=2).collect()}
+    assert all(c is not None for c in colors.values())
+    _assert_proper(star, colors)
+    assert len(set(colors.values())) == 2
+
+
+def test_coloring_budget_leaves_nulls(spark):
+    from incubator_hugegraph_computer_spark.operators.coloring import greedy_coloring
+
+    # K3: three mutually-adjacent vertices need 3 rounds (one winner
+    # per round); with max_rounds=1 exactly one vertex is colored
+    k3 = [(1, 2), (2, 3), (3, 1)]
+    colors = {r["id"]: r["color"] for r in greedy_coloring(make_graph(spark, k3), max_rounds=1).collect()}
+    assert sum(1 for c in colors.values() if c is None) == 2
+    assert sum(1 for c in colors.values() if c == 0) == 1
+
+
+def test_coloring_deterministic(spark):
+    from incubator_hugegraph_computer_spark.operators.coloring import greedy_coloring
+    from tests.conftest import PRWCC_EDGES, PRWCC_VERTEX_IDS
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    a = sorted((r["id"], r["color"]) for r in greedy_coloring(g).collect())
+    b = sorted((r["id"], r["color"]) for r in greedy_coloring(g).collect())
+    assert a == b
