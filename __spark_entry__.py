@@ -56,6 +56,10 @@ COPURCHASE_K = 100
 # convergence at sf0.01; the budget is declared semantics, replayed by
 # the oracle (post-convergence rounds are no-ops on both sides).
 COLOR_ROUNDS = 20
+HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
+NF_MAX_H = 3  # exact neighborhood-function horizon
+COND_LPA_ROUNDS = 5  # LPA rounds feeding the conductance query
+ANOMALY_Z = 2.0
 WINNOW_K = 4  # token k-gram size (fixed in the oracle's join chain)
 WINNOW_W = 4  # winnowing window: guarantees matches of >= k+w-1 tokens
 # 1/32: a binary fraction so every Katz intermediate (alpha^k × integer
@@ -1350,6 +1354,68 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_harmonic(spark, sf_dir):
+    """Harmonic centrality + Wasserman–Faust closeness for a seed set
+    (the out-direction dual of graph_closeness; same BFS kernel)."""
+    from incubator_hugegraph_computer_spark.operators.harmonic import harmonic
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") <= HARMONIC_SEED_MAX).select("id")
+    h = harmonic(g, sources=seeds)
+    return h.select(
+        "id",
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("wf_closeness", 6).alias("wf_closeness"),
+    )
+
+
+def _q_neighborhood(spark, sf_dir):
+    """Exact neighborhood function N(v, h) for h=1..3 over the directed
+    graph (ANF primitive; the sketched HyperANF path is the 100 TB
+    strategy, pytest-checked against this exact one)."""
+    from incubator_hugegraph_computer_spark.operators.neighborhood import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(orders_graph(spark, sf_dir), max_h=NF_MAX_H, exact=True)
+
+
+def _q_conductance(spark, sf_dir):
+    """Community-quality sweep: LPA labels → per-community volume /
+    cut / conductance over the symmetrized graph."""
+    from incubator_hugegraph_computer_spark.operators.conductance import conductance
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa
+
+    g = orders_graph(spark, sf_dir)
+    labels = lpa(g, max_supersteps=COND_LPA_ROUNDS, count_messages=False)
+    c = conductance(g, labels)
+    return c.select(
+        "label", "size", "volume", "cut",
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
+def _q_docs_diversity(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.functions.text import diversity_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return diversity_stats(docs)
+
+
+def _q_events_anomaly(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.streaming.events import hourly_anomaly
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = hourly_anomaly(events, z_threshold=ANOMALY_Z)
+    return a.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        "z",
+        "is_anomaly",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -1399,6 +1465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
+        "graph_harmonic": _q_harmonic,
+        "graph_neighborhood": _q_neighborhood,
+        "graph_conductance": _q_conductance,
+        "docs_diversity": _q_docs_diversity,
+        "events_anomaly": _q_events_anomaly,
         "graph_copurchase": _q_copurchase,
         "graph_msf": _q_msf,
         "graph_coloring": _q_coloring,
@@ -1868,6 +1939,15 @@ def _lpa_sync_sql(iters: int) -> str:
 
 def _lpa_directed_sql(rounds: int) -> str:
     """Java-semantics LPA: only changed vertices rebroadcast (directed)."""
+    parts = _lpa_directed_ctes(rounds)
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def _lpa_directed_ctes(rounds: int) -> list[str]:
+    """The CTE chain behind the LPA oracle (l{rounds} = final labels),
+    reusable by downstream oracles (conductance) — every part ends
+    with a trailing comma."""
     parts = [
         f"WITH {_G},",
         "l0 AS MATERIALIZED (SELECT id, id AS label FROM v),",
@@ -1893,8 +1973,31 @@ def _lpa_directed_sql(rounds: int) -> str:
         parts.append(
             f"chg{k} AS MATERIALIZED (SELECT a.id FROM l{k} a JOIN {p} b USING(id) WHERE a.label <> b.label),"
         )
-    parts[-1] = parts[-1].rstrip(",")
-    return "\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+    return parts
+
+
+def _conductance_sql(rounds: int) -> str:
+    """LPA labels (shared CTE chain) → per-label volume / cut /
+    conductance over the symmetrized edge multiset ``sym``."""
+    parts = _lpa_directed_ctes(rounds)
+    parts += [
+        f"lab AS MATERIALIZED (SELECT id, label FROM l{rounds}),",
+        "tag AS (SELECT a.label AS sl, b.label AS dl FROM sym s "
+        "JOIN lab a ON a.id = s.src JOIN lab b ON b.id = s.dst),",
+        "pl AS (SELECT sl AS label, COUNT(*) AS volume, "
+        "SUM(CASE WHEN sl <> dl THEN 1 ELSE 0 END) AS cut FROM tag GROUP BY 1),",
+        "sz AS (SELECT label, COUNT(*) AS size FROM lab GROUP BY 1),",
+        "tot AS (SELECT COUNT(*) AS t FROM sym)",
+    ]
+    return "\n".join(parts) + """
+SELECT sz.label, sz.size,
+       COALESCE(pl.volume, 0) AS volume,
+       COALESCE(pl.cut, 0) AS cut,
+       ROUND(CASE WHEN LEAST(COALESCE(pl.volume, 0), t - COALESCE(pl.volume, 0)) > 0
+             THEN COALESCE(pl.cut, 0) * 1.0 / LEAST(pl.volume, t - pl.volume)
+             ELSE 0 END, 6) AS conductance
+FROM sz LEFT JOIN pl USING(label) CROSS JOIN tot
+"""
 
 
 def _kcore_peel_ctes(k: int, rounds: int) -> list[str]:
@@ -3294,6 +3397,70 @@ FROM events GROUP BY user_id
 SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY ROLLUP(event_type, day)
+"""
+
+    o["graph_harmonic"] = f"""
+WITH RECURSIVE {_G},
+seeds AS (SELECT id FROM v WHERE id <= {HARMONIC_SEED_MAX}),
+r(src, tgt, d) AS (
+    SELECT id, id, 0 FROM seeds
+    UNION
+    SELECT r.src, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.tgt WHERE r.d < 30
+),
+m AS (SELECT src, tgt, MIN(d) AS d FROM r GROUP BY 1, 2),
+agg AS (SELECT src, SUM(1.0 / d) AS h, SUM(d) AS sumd, COUNT(*) AS r1
+        FROM m WHERE d > 0 GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM v)
+SELECT seeds.id,
+       ROUND(COALESCE(agg.h, 0), 6) AS harmonic,
+       ROUND(CASE WHEN agg.r1 > 0 AND n.n > 1
+             THEN (agg.r1 * 1.0 / agg.sumd) * (agg.r1 * 1.0 / (n.n - 1))
+             ELSE 0 END, 6) AS wf_closeness
+FROM seeds LEFT JOIN agg ON agg.src = seeds.id CROSS JOIN n
+"""
+
+    o["graph_neighborhood"] = f"""
+WITH {_G},
+r1 AS MATERIALIZED (SELECT DISTINCT src AS root, dst AS t FROM e),
+r2 AS MATERIALIZED (SELECT DISTINCT root, t FROM (
+    SELECT root, t FROM r1
+    UNION ALL SELECT r1.root, e.dst FROM r1 JOIN e ON e.src = r1.t)),
+r3 AS MATERIALIZED (SELECT DISTINCT root, t FROM (
+    SELECT root, t FROM r2
+    UNION ALL SELECT r2.root, e.dst FROM r2 JOIN e ON e.src = r2.t)),
+c1 AS (SELECT root, COUNT(*) AS n FROM r1 WHERE root <> t GROUP BY 1),
+c2 AS (SELECT root, COUNT(*) AS n FROM r2 WHERE root <> t GROUP BY 1),
+c3 AS (SELECT root, COUNT(*) AS n FROM r3 WHERE root <> t GROUP BY 1)
+SELECT v.id, COALESCE(c1.n, 0) AS n1, COALESCE(c2.n, 0) AS n2, COALESCE(c3.n, 0) AS n3
+FROM v LEFT JOIN c1 ON c1.root = v.id
+       LEFT JOIN c2 ON c2.root = v.id
+       LEFT JOIN c3 ON c3.root = v.id
+"""
+
+    o["graph_conductance"] = _conductance_sql(COND_LPA_ROUNDS)
+
+    o["docs_diversity"] = f"""
+WITH {_TOKS},
+st AS (SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS nd FROM toks),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(l) AS tok FROM toks) GROUP BY 1, 2),
+ent AS (SELECT doc_id, SUM(c * ln(c)) AS sclc FROM cnt GROUP BY 1)
+SELECT st.doc_id, st.n AS n_tokens,
+       ROUND(CASE WHEN st.n > 0 THEN nd * 1.0 / st.n ELSE 0 END, 6) AS ttr,
+       ROUND(CASE WHEN st.n > 0 THEN ln(st.n) - COALESCE(sclc, 0) / st.n
+             ELSE 0 END, 6) AS word_entropy
+FROM st LEFT JOIN ent USING(doc_id)
+"""
+
+    o["events_anomaly"] = f"""
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, AVG(n_events) AS mu, stddev_pop(n_events) AS sd
+      FROM h GROUP BY 1)
+SELECT h.event_type, strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour, h.n_events,
+       ROUND(CASE WHEN sd > 0 THEN (n_events - mu) / sd ELSE 0 END, 6) AS z,
+       (CASE WHEN sd > 0 THEN abs((n_events - mu) / sd) ELSE 0 END) >= {ANOMALY_Z} AS is_anomaly
+FROM h JOIN s USING(event_type)
 """
 
     return o

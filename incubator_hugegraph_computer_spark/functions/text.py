@@ -162,6 +162,61 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def diversity_stats(documents: DataFrame) -> DataFrame:
+    """Lexical-diversity quality signals per document: type-token ratio
+    and Shannon word entropy (nats) — the standard complements to the
+    Gopher repetition filters (low-entropy docs = keyword stuffing /
+    boilerplate; they can pass dup-word checks while still being junk).
+
+    Output: (doc_id, n_tokens, ttr, word_entropy), rounded 6dp.
+
+    Physical shape mirrors ``repetition_stats``: one projection builds
+    the token array and its distinct size (no shuffle), then explode →
+    groupBy(doc_id, tok) with map-side combine → groupBy(doc_id) folds
+    Σ c·ln c, and entropy = ln n − Σ c·ln c / n needs no join back
+    because the per-doc scalars ride as grouping keys. Keyed by doc_id
+    throughout — embarrassingly parallel at corpus scale.
+    """
+    l = _tokens(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        l.alias("l"),
+        F.size(l).alias("n_tokens"),
+        F.size(F.array_distinct(l)).alias("n_distinct"),
+    )
+    keys = ["doc_id", "n_tokens", "n_distinct"]
+    folded = (
+        base.select(*keys, F.explode_outer("l").alias("tok"))
+        .groupBy(*keys, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull(), F.col("c") * F.log(F.col("c"))
+                ).otherwise(0.0)
+            ).alias("_sclc")
+        )
+    )
+    nt = F.col("n_tokens").cast("double")
+    return folded.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.col("n_distinct") / nt
+            ),
+            6,
+        ).alias("ttr"),
+        F.round(
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.log(nt) - F.col("_sclc") / nt
+            ),
+            6,
+        ).alias("word_entropy"),
+    )
+
+
 def analyze(documents: DataFrame) -> DataFrame:
     """All text metrics in one pass."""
     return documents.select(

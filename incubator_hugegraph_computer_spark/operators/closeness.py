@@ -66,6 +66,33 @@ def closeness(
                 F.pmod(F.hash(F.col("id"), F.lit(seed)), F.lit(1_000_000))
                 < int(sample_rate * 1_000_000)
             )
+    visited = multi_source_bfs(
+        graph, sources, max_depth=max_depth, seed=seed,
+        edge_sample_rate=edge_sample_rate,
+    )
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(1.0 / F.col("dist")).alias("closeness"))
+    )
+
+
+def multi_source_bfs(
+    graph: Graph,
+    sources: DataFrame,
+    max_depth: int = 30,
+    seed: int = 42,
+    edge_sample_rate: float = 1.0,
+) -> DataFrame:
+    """Layered multi-source BFS → ``(v, source, dist)`` with the MINIMAL
+    hop count per reached pair (dist 0 rows = the sources themselves).
+
+    The shared kernel behind closeness, harmonic centrality and the
+    exact neighborhood function. State is O(reached pairs) — the caller
+    controls blowup via the source set and ``max_depth``; the per-level
+    left-anti join keeps each pair exactly once, so levels shrink as
+    the frontier saturates. Per-level ``localCheckpoint`` truncates the
+    lineage (30 unions would otherwise stack a 30-deep plan)."""
     # visited: (vertex, source, dist) with minimal dist; frontier = last layer
     frontier = sources.select(
         F.col("id").alias("v"), F.col("id").alias("source"), F.lit(0).alias("dist")
@@ -102,11 +129,7 @@ def closeness(
         frontier.unpersist()
         frontier = nxt.persist()
     frontier.unpersist()
-    return (
-        visited.where(F.col("dist") > 0)
-        .groupBy(F.col("v").alias("id"))
-        .agg(F.sum(1.0 / F.col("dist")).alias("closeness"))
-    )
+    return visited
 
 
 def _closeness_weighted(

@@ -1,0 +1,97 @@
+"""Neighborhood function N(v, h) — exact and HyperANF-style sketched.
+
+Beyond-reference addition (SURVEY.md §2.10): the reference ships only
+a depth *sketch* statistic (``vermeer/algorithms/statistics.go``,
+sketch_depth). The neighborhood function — |{u : d(v,u) ≤ h}| for
+every v and h = 1..H — is the primitive behind effective-diameter and
+average-distance estimation (Palmer et al. ANF, KDD'02; Boldi & Vigna
+HyperANF, WWW'11).
+
+Two physical strategies:
+
+- ``exact=True``: the shared ``multi_source_bfs`` kernel (state =
+  O(reached pairs)) then one conditional-sum pivot per horizon. Exact,
+  oracle-checkable, and the right choice up to ~10⁷ pairs.
+- ``exact=False``: HyperANF — per-vertex HyperLogLog sketches
+  (Spark's built-in DataSketches ``hll_sketch_agg`` /
+  ``hll_union_agg``), one join + one groupBy per hop. State is
+  O(V · sketch bytes) REGARDLESS of reachability — this is the 100 TB
+  path: h supersteps, each a single E-row shuffle, no pair blowup.
+
+Direction follows ``graph.edges`` — pass ``graph.symmetrized()`` for
+the undirected ball.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.operators.closeness import multi_source_bfs
+
+
+def neighborhood_function(
+    graph: Graph,
+    max_h: int = 3,
+    exact: bool = True,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """(id, n1, ..., n{max_h}) — #distinct vertices within ≤h hops,
+    excluding the vertex itself. Exact: long counts. Sketched: double
+    estimates (HLL standard error ≈ 1.04/√2^lg_config_k ≈ 1.6% at the
+    default lg_config_k=12)."""
+    if exact:
+        visited = multi_source_bfs(graph, graph.vertices.select("id"), max_depth=max_h)
+        aggs = [
+            F.sum(((F.col("dist") > 0) & (F.col("dist") <= h)).cast("long")).alias(f"n{h}")
+            for h in range(1, max_h + 1)
+        ]
+        return visited.groupBy(F.col("source").alias("id")).agg(*aggs)
+
+    # HyperANF: ball(v, k) = {v} ∪ ⋃_{(v,w)∈E} ball(w, k-1), carried as
+    # an HLL sketch per vertex; each hop = one shuffle join + one union-agg.
+    state = (
+        graph.vertices.groupBy("id")
+        .agg(F.hll_sketch_agg("id", F.lit(lg_config_k)).alias("sk"))
+        .persist()
+    )
+    out = graph.vertices.select("id")
+    edges = graph.edges.select("src", "dst")
+    for h in range(1, max_h + 1):
+        msgs = edges.join(state, edges.dst == state.id).select(
+            F.col("src").alias("id"), "sk"
+        )
+        new_state = (
+            state.unionAll(msgs)
+            .groupBy("id")
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = new_state.persist()
+        est = state.select(
+            "id",
+            (F.hll_sketch_estimate("sk") - F.lit(1.0)).alias(f"n{h}"),
+        )
+        out = out.join(est, "id")
+    state.unpersist()
+    return out
+
+
+def effective_diameter(
+    nf: DataFrame, max_h: int = 3, quantile: float = 0.9
+) -> DataFrame:
+    """One-row (eff_diameter, avg_reach_h{max_h}) from a neighborhood-
+    function table: the smallest h whose mean ball size reaches
+    ``quantile`` × the mean ball size at max_h (integer-h variant of the
+    standard interpolated estimator)."""
+    means = nf.agg(
+        *[F.avg(f"n{h}").alias(f"m{h}") for h in range(1, max_h + 1)]
+    )
+    target = F.col(f"m{max_h}") * quantile
+    eff = F.lit(max_h)
+    for h in range(max_h - 1, 0, -1):
+        eff = F.when(F.col(f"m{h}") >= target, F.lit(h)).otherwise(eff)
+    return means.select(
+        eff.alias("eff_diameter"), F.col(f"m{max_h}").alias("avg_reach")
+    )

@@ -153,3 +153,39 @@ def cohort_retention(
             F.round(F.col("n_users") / F.col("__size"), 6).alias("retention"),
         )
     )
+
+
+def hourly_anomaly(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Per-(event_type, hour) anomaly score: z = (n − mean_type) /
+    stddev_pop_type over that type's populated hours — the standard
+    ops-monitoring sweep (traffic spikes / drops per event class).
+
+    Output: (event_type, hour, n_events, z, is_anomaly), z rounded 6dp;
+    z = 0.0 where the type's count is constant (stddev 0). Hours with
+    no events for a type are absent by construction (mean/std are over
+    populated hours), which keeps the statistic join-free to compute.
+
+    Physical shape: one groupBy(event_type, hour) with map-side
+    combine, then a per-type scalar aggregate (tiny — #types rows)
+    broadcast back onto the hourly table. No window functions, no
+    single-partition stage; both shuffles key on event_type(+hour) —
+    scale-safe for arbitrarily long event histories.
+    """
+    hourly = events.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    per_type = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("_mu"),
+        F.stddev_pop("n_events").alias("_sd"),
+    )
+    z = F.when(F.col("_sd") > 0, (F.col("n_events") - F.col("_mu")) / F.col("_sd")).otherwise(0.0)
+    return (
+        hourly.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(z, 6).alias("z"),
+            (F.abs(z) >= F.lit(z_threshold)).alias("is_anomaly"),
+        )
+    )

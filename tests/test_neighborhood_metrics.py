@@ -1,0 +1,149 @@
+"""Harmonic centrality, neighborhood function (exact + HyperANF),
+conductance, lexical diversity, hourly anomaly."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_graph
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols[:-1]) if len(cols) > 2 else r[cols[0]]: r[cols[-1]]
+            for r in df.collect()}
+
+
+# ---------------------------------------------------------------- harmonic
+def test_harmonic_path_graph(spark):
+    # 1 -> 2 -> 3: h(1) = 1 + 1/2, h(2) = 1, h(3) = 0
+    from incubator_hugegraph_computer_spark.operators.harmonic import harmonic
+
+    g = make_graph(spark, [(1, 2), (2, 3)])
+    out = {r["id"]: r for r in harmonic(g).collect()}
+    assert out[1]["harmonic"] == pytest.approx(1.5)
+    assert out[2]["harmonic"] == pytest.approx(1.0)
+    assert out[3]["harmonic"] == pytest.approx(0.0)
+    # WF(1): r-1 = 2 reached, sumd = 3, n = 3 -> (2/3) * (2/2) = 2/3
+    assert out[1]["wf_closeness"] == pytest.approx(2.0 / 3.0)
+    assert out[3]["wf_closeness"] == pytest.approx(0.0)
+
+
+def test_harmonic_sources_subset(spark):
+    from incubator_hugegraph_computer_spark.operators.harmonic import harmonic
+
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 1)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = harmonic(g, sources=seeds).collect()
+    assert len(out) == 1 and out[0]["id"] == 1
+    assert out[0]["harmonic"] == pytest.approx(1.0 + 0.5)
+
+
+# ---------------------------------------------------- neighborhood function
+def test_neighborhood_exact_path(spark):
+    from incubator_hugegraph_computer_spark.operators.neighborhood import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 4)])
+    nf = {r["id"]: r for r in neighborhood_function(g, max_h=3, exact=True).collect()}
+    assert (nf[1]["n1"], nf[1]["n2"], nf[1]["n3"]) == (1, 2, 3)
+    assert (nf[3]["n1"], nf[3]["n2"], nf[3]["n3"]) == (1, 1, 1)
+    assert (nf[4]["n1"], nf[4]["n2"], nf[4]["n3"]) == (0, 0, 0)
+    ed = effective_diameter(
+        neighborhood_function(g, max_h=3, exact=True), max_h=3
+    ).collect()[0]
+    assert 1 <= ed["eff_diameter"] <= 3
+
+
+def test_neighborhood_hyperanf_close_to_exact(spark):
+    """The HLL-sketch path (the 100 TB strategy) tracks the exact counts
+    — at these cardinalities DataSketches HLL is in sparse mode, so the
+    estimates are near-exact."""
+    from incubator_hugegraph_computer_spark.operators.neighborhood import (
+        neighborhood_function,
+    )
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40)] + [(i, i + 1) for i in range(39)]
+    g = make_graph(spark, [(s, d) for s, d in edges if s != d])
+    exact = {r["id"]: r for r in neighborhood_function(g, max_h=2, exact=True).collect()}
+    approx = {r["id"]: r for r in neighborhood_function(g, max_h=2, exact=False).collect()}
+    assert set(exact) == set(approx)
+    for vid, e in exact.items():
+        a = approx[vid]
+        for h in (1, 2):
+            assert a[f"n{h}"] == pytest.approx(e[f"n{h}"], rel=0.05, abs=1.5)
+
+
+# ------------------------------------------------------------- conductance
+def test_conductance_two_triangles(spark):
+    """Two triangles bridged by one edge; labels = triangle membership.
+    Each community: size 3, volume 7 (sym degree sum), cut 1 ->
+    conductance 1/7."""
+    from incubator_hugegraph_computer_spark.operators.conductance import conductance
+
+    g = make_graph(
+        spark, [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    )
+    labels = spark.createDataFrame(
+        [(i, 100 if i <= 3 else 200) for i in range(1, 7)], "id long, label long"
+    )
+    out = {r["label"]: r for r in conductance(g, labels).collect()}
+    for lab in (100, 200):
+        assert out[lab]["size"] == 3
+        assert out[lab]["volume"] == 7
+        assert out[lab]["cut"] == 1
+        assert out[lab]["conductance"] == pytest.approx(1.0 / 7.0)
+
+
+def test_conductance_isolated_label(spark):
+    from incubator_hugegraph_computer_spark.operators.conductance import conductance
+
+    g = make_graph(spark, [(1, 2)], vertex_ids=[1, 2, 3])
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)], "id long, label long"
+    )
+    out = {r["label"]: r for r in conductance(g, labels).collect()}
+    assert out[99]["volume"] == 0 and out[99]["conductance"] == 0.0
+    assert out[10]["cut"] == 0 and out[10]["conductance"] == 0.0
+
+
+# ---------------------------------------------------------- text diversity
+def test_diversity_stats(spark):
+    from incubator_hugegraph_computer_spark.functions.text import diversity_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y z"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in diversity_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["ttr"] == pytest.approx(2 / 3, abs=1e-6)
+    expected_h = math.log(3) - (2 * math.log(2)) / 3
+    assert out[1]["word_entropy"] == pytest.approx(expected_h, abs=1e-6)
+    assert out[2]["word_entropy"] == pytest.approx(math.log(3), abs=1e-6)
+    assert out[3]["n_tokens"] == 0 and out[3]["ttr"] == 0.0
+
+
+# ---------------------------------------------------------- hourly anomaly
+def test_hourly_anomaly(spark):
+    from incubator_hugegraph_computer_spark.streaming.events import hourly_anomaly
+
+    rows = []
+    eid = 0
+    for hour in range(6):
+        n = 100 if hour == 3 else 10  # one spike hour for type 'click'
+        for _ in range(n):
+            rows.append((eid, f"2024-01-01 0{hour}:15:00", "click"))
+            eid += 1
+        rows.append((eid, f"2024-01-01 0{hour}:30:00", "view"))  # constant
+        eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = hourly_anomaly(events)
+    flagged = [r for r in out.collect() if r["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged[0]["event_type"] == "click" and flagged[0]["n_events"] == 100
+    views = [r for r in out.collect() if r["event_type"] == "view"]
+    assert all(r["z"] == 0.0 and not r["is_anomaly"] for r in views)
