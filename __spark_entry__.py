@@ -1354,6 +1354,22 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_wcc_incremental(spark, sf_dir):
+    """Delta-ingest WCC: label half the edge set, then merge the other
+    half via component-graph contraction (cost O(|delta|), no rescan of
+    old edges). The oracle is the FULL-graph recursive-CTE WCC — the
+    incremental result must be indistinguishable from a recompute."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc, wcc_incremental
+
+    g = orders_graph(spark, sf_dir)
+    parity = (F.col("src") + F.col("dst")) % 2
+    old_edges = g.edges.where(parity == 0)
+    delta = g.edges.where(parity != 0)
+    prev = wcc(Graph.from_edges(old_edges), count_messages=False)
+    return wcc_incremental(prev, delta, count_messages=False)
+
+
 def _q_harmonic(spark, sf_dir):
     """Harmonic centrality + Wasserman–Faust closeness for a seed set
     (the out-direction dual of graph_closeness; same BFS kernel)."""
@@ -1465,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
+        "graph_wcc_incremental": _q_wcc_incremental,
         "graph_harmonic": _q_harmonic,
         "graph_neighborhood": _q_neighborhood,
         "graph_conductance": _q_conductance,
@@ -3398,6 +3415,9 @@ SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY ROLLUP(event_type, day)
 """
+
+    # incremental WCC must equal a full recompute — same oracle as graph_wcc
+    o["graph_wcc_incremental"] = o["graph_wcc"]
 
     o["graph_harmonic"] = f"""
 WITH RECURSIVE {_G},

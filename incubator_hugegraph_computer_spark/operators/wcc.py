@@ -194,3 +194,67 @@ def wcc(
         # pass) leaks a cached edge set for the session lifetime
         g.unpersist()
     return result
+
+
+def wcc_incremental(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    max_supersteps: int = 100,
+    **engine_kwargs,
+) -> DataFrame:
+    """Maintain WCC labels under an edge DELTA without rescanning the
+    old edge set — the operation a web-scale deployment actually runs
+    per crawl/commit batch (nobody recomputes components over 10^12
+    files because one day's imports landed).
+
+    ``prev_labels``: (id, comp) — a correct WCC labeling of the old
+    graph (comp = min member id, as ``wcc`` produces). ``new_edges``:
+    (src, dst) delta (direction irrelevant — weak connectivity).
+    Returns (id, comp) correct for old ∪ delta, covering old vertices
+    plus any vertices the delta introduces.
+
+    Correctness: contract each old component to its label. Any path in
+    the merged graph alternates old-component interiors (connected by
+    induction) with delta edges, so two vertices are weakly connected
+    in the merged graph iff their labels are connected in the
+    contracted multigraph {(comp(u), comp(v)) : (u,v) ∈ delta}. Labels
+    are min member ids, so min-propagation over the contracted graph
+    yields exactly the merged graph's min member id per component.
+
+    Scale shape: the contracted graph has ≤ 2·|delta| vertices and
+    ≤ |delta| edges — the BSP run costs O(|delta|), independent of
+    |E_old|; the only full-width work is ONE V-row hash join to apply
+    the relabeling (and old components untouched by the delta join to
+    nothing and keep their label). Reference parity: output identical
+    to ``wcc`` on the union graph (``Wcc.java:32-71`` semantics);
+    parity-tested in tests/test_neighborhood_metrics.py.
+    """
+    prev = prev_labels.select("id", "comp")
+    delta_ids = (
+        new_edges.select(F.col("src").alias("id"))
+        .unionAll(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    fresh = delta_ids.join(prev.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    all_labels = prev.unionAll(fresh)
+    lab_s = all_labels.select(F.col("id").alias("src"), F.col("comp").alias("_cs"))
+    lab_d = all_labels.select(F.col("id").alias("dst"), F.col("comp").alias("_cd"))
+    contracted = (
+        new_edges.select("src", "dst")
+        .join(lab_s, "src")
+        .join(lab_d, "dst")
+        .select(F.col("_cs").alias("src"), F.col("_cd").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if contracted.isEmpty():
+        return all_labels
+    mapping = wcc(
+        Graph.from_edges(contracted), max_supersteps=max_supersteps, **engine_kwargs
+    ).select(F.col("id").alias("_oldcomp"), F.col("comp").alias("_newcomp"))
+    return (
+        all_labels.join(mapping, all_labels.comp == mapping._oldcomp, "left")
+        .select("id", F.coalesce("_newcomp", "comp").alias("comp"))
+    )

@@ -147,3 +147,88 @@ def test_hourly_anomaly(spark):
     assert flagged[0]["event_type"] == "click" and flagged[0]["n_events"] == 100
     views = [r for r in out.collect() if r["event_type"] == "view"]
     assert all(r["z"] == 0.0 and not r["is_anomaly"] for r in views)
+
+
+# ----------------------------------------------------- incremental WCC
+def test_wcc_incremental_matches_full(spark):
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc, wcc_incremental
+
+    # deterministic pseudo-random graph, split into halves by hash
+    edges = [(i, (i * 13 + 7) % 50) for i in range(120)]
+    edges = [(s, d) for s, d in edges if s != d]
+    e_old = [(s, d) for s, d in edges if (s + d) % 2 == 0]
+    e_new = [(s, d) for s, d in edges if (s + d) % 2 == 1]
+    g_old = make_graph(spark, e_old)
+    prev = wcc(g_old, count_messages=False)
+    delta = spark.createDataFrame(e_new, "src long, dst long")
+    inc = {r["id"]: r["comp"] for r in wcc_incremental(prev, delta).collect()}
+    full = {
+        r["id"]: r["comp"]
+        for r in wcc(make_graph(spark, edges), count_messages=False).collect()
+    }
+    assert inc == full
+
+
+def test_wcc_incremental_empty_delta(spark):
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc, wcc_incremental
+
+    g = make_graph(spark, [(1, 2), (3, 4)])
+    prev = wcc(g, count_messages=False)
+    delta = spark.createDataFrame([], "src long, dst long")
+    out = {r["id"]: r["comp"] for r in wcc_incremental(prev, delta).collect()}
+    assert out == {r["id"]: r["comp"] for r in prev.collect()}
+
+
+def test_wcc_incremental_new_vertices_and_merge(spark):
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc, wcc_incremental
+
+    g = make_graph(spark, [(1, 2), (10, 11)])
+    prev = wcc(g, count_messages=False)
+    # delta bridges the two old components THROUGH a brand-new vertex,
+    # and adds a disconnected new pair
+    delta = spark.createDataFrame(
+        [(2, 99), (99, 10), (200, 201)], "src long, dst long"
+    )
+    out = {r["id"]: r["comp"] for r in wcc_incremental(prev, delta).collect()}
+    assert out == {1: 1, 2: 1, 10: 1, 11: 1, 99: 1, 200: 200, 201: 200}
+
+
+def test_wcc_stream_matches_batch(spark, tmp_path):
+    import os
+    import time
+
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+    from incubator_hugegraph_computer_spark.streaming.graph_ingest import (
+        read_components,
+        run_wcc_stream,
+    )
+
+    edges = [(i, (i * 17 + 3) % 30) for i in range(90)]
+    edges = [(s, d) for s, d in edges if s != d]
+    src = tmp_path / "edges"
+    src.mkdir()
+    for chunk in range(3):
+        part = edges[chunk * 30 : (chunk + 1) * 30]
+        df = spark.createDataFrame(part, "src long, dst long").coalesce(1)
+        pdir = str(src / f"chunk{chunk}.parquet")
+        df.write.mode("overwrite").parquet(pdir + ".tmp")
+        fname = [f for f in os.listdir(pdir + ".tmp") if f.endswith(".parquet")][0]
+        dest = str(src / f"part-{chunk:05d}.parquet")
+        os.rename(os.path.join(pdir + ".tmp", fname), dest)
+        ts = time.time() + chunk
+        os.utime(dest, (ts, ts))
+
+    run_wcc_stream(
+        spark, str(src), str(tmp_path / "ck"), str(tmp_path / "labels"),
+        max_files_per_trigger=1,
+    )
+    streamed = {
+        r["id"]: r["comp"]
+        for r in read_components(spark, str(tmp_path / "labels")).collect()
+    }
+    full = {
+        r["id"]: r["comp"]
+        for r in wcc(make_graph(spark, edges), count_messages=False).collect()
+    }
+    assert streamed == full
