@@ -40,6 +40,8 @@ def conductance(graph: Graph, labels: DataFrame) -> DataFrame:
         F.sum((F.col("_sl") != F.col("_dl")).cast("long")).alias("cut"),
     )
     sizes = lab.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    # scalar-in-plan: one-row broadcast BNLJ (the build side is a global
+    # aggregate — exactly one row, the audit tool recognizes this shape)
     total = sym.agg(F.count(F.lit(1)).alias("_vol_total"))
     return (
         sizes.join(per_label, "label", "left")

@@ -60,6 +60,8 @@ def harmonic(
             F.count(F.lit(1)).alias("_r1"),  # reached, excluding self
         )
     )
+    # scalar-in-plan: one-row broadcast BNLJ (the build side is a global
+    # aggregate — exactly one row, the audit tool recognizes this shape)
     n_row = verts.agg(F.count(F.lit(1)).alias("_n"))
     return (
         sources.join(per_src, "id", "left")

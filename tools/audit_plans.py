@@ -4,8 +4,10 @@
 Flags, per query:
 
 - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — all-pairs joins
-  that explode at scale (broadcast-NLJ is tolerated only when the build
-  side is a literal one-row/constant frame; we report it and eyeball).
+  that explode at scale. A broadcast-NLJ whose BUILD side is a global
+  (keys=[]) aggregate is exactly one row — the sanctioned scalar-in-plan
+  shape (PageRank's in-plan scalars, motif census parameters, harmonic's
+  vertex count) — and is auto-whitelisted; every other BNLJ is flagged.
 - ``BatchEvalPython`` / ``PythonUDF`` outside ``ArrowEvalPython`` /
   ``MapInPandas`` / ``FlatMapGroupsInPandas`` — row-at-a-time Python in
   the plan (the Arrow nodes are the sanctioned vectorized path).
@@ -46,19 +48,53 @@ _SCALAR_PARENTS = re.compile(
 )
 
 
+def _prefix_len(line: str) -> int:
+    return re.match(r"^[\s:+*-]*", line).end()
+
+
+def _bnlj_flags(simple: str) -> list[str]:
+    """Flag each BroadcastNestedLoopJoin whose BUILD-side subtree is NOT
+    rooted in a global (keys=[]) aggregate — i.e. anything that can be
+    more than one row. Tree walk over the simple plan string: a node's
+    subtree is the following lines with a longer marker prefix; its
+    direct children sit at the minimal prefix within that subtree."""
+    lines = simple.split("\n")
+    out = []
+    for i, ln in enumerate(lines):
+        m = re.search(r"BroadcastNestedLoopJoin Build(Right|Left)", ln)
+        if not m:
+            continue
+        indent = _prefix_len(ln)
+        sub: list[tuple[int, str]] = []
+        for l2 in lines[i + 1:]:
+            if l2.strip() and _prefix_len(l2) <= indent:
+                break
+            sub.append((_prefix_len(l2), l2))
+        kids: list[list[str]] = []
+        child_ind = min((ind for ind, l2 in sub if l2.strip()), default=None)
+        for ind, l2 in sub:
+            if ind == child_ind:
+                kids.append([])
+            if kids:
+                kids[-1].append(l2)
+        build = (kids[-1] if m.group(1) == "Right" else kids[0]) if kids else []
+        if not any("HashAggregate(keys=[]" in l2 for l2 in build):
+            out.append("BroadcastNestedLoopJoin")
+    return out
+
+
 def audit_one(df) -> list[str]:
     plan = plan_string(df)
     flags: list[str] = []
     if "CartesianProduct" in plan:
         flags.append("CartesianProduct")
-    if "BroadcastNestedLoopJoin" in plan:
-        flags.append("BroadcastNestedLoopJoin")
     # Arrow-vectorized Python nodes are fine; row-wise BatchEvalPython is not.
     if "BatchEvalPython" in plan:
         flags.append("BatchEvalPython(row-wise UDF)")
     # formatted mode lists operators as "(N) OpName"; exchanges carry their
     # partitioning in the details section — fall back to simple/extended scan.
     simple = df._jdf.queryExecution().executedPlan().toString()
+    flags.extend(_bnlj_flags(simple))
     for m in re.finditer(r"^(?P<indent>[\s:+*-]*)Exchange SinglePartition", simple, re.M):
         # find the nearest less-indented line above = the consumer operator
         upto = simple[: m.start()]
