@@ -57,6 +57,10 @@ COPURCHASE_K = 100
 # the oracle (post-convergence rounds are no-ops on both sides).
 COLOR_ROUNDS = 20
 HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
+# Luby-MIS round budget: declared semantics replayed exactly by the
+# oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
+MIS_ROUNDS = 12
+MIS_SEED = 42
 NF_MAX_H = 3  # exact neighborhood-function horizon
 COND_LPA_ROUNDS = 5  # LPA rounds feeding the conductance query
 ANOMALY_Z = 2.0
@@ -1354,6 +1358,18 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_mis(spark, sf_dir):
+    """Luby maximal independent set — md5 per-round priorities make the
+    whole run SQL-replayable (the oracle unrolls the rounds)."""
+    from incubator_hugegraph_computer_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    return maximal_independent_set(
+        orders_graph(spark, sf_dir), max_rounds=MIS_ROUNDS, seed=MIS_SEED
+    )
+
+
 def _q_wcc_incremental(spark, sf_dir):
     """Delta-ingest WCC: label half the edge set, then merge the other
     half via component-graph contraction (cost O(|delta|), no rescan of
@@ -1481,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
+        "graph_mis": _q_mis,
         "graph_wcc_incremental": _q_wcc_incremental,
         "graph_harmonic": _q_harmonic,
         "graph_neighborhood": _q_neighborhood,
@@ -1991,6 +2008,39 @@ def _lpa_directed_ctes(rounds: int) -> list[str]:
             f"chg{k} AS MATERIALIZED (SELECT a.id FROM l{k} a JOIN {p} b USING(id) WHERE a.label <> b.label),"
         )
     return parts
+
+
+def _mis_sql(rounds: int, seed: int) -> str:
+    """Unrolled Luby rounds: per round the alive set draws md5
+    priorities, local minima win, winners + neighbors leave. Identical
+    construction to operators/mis.py — md5 is bit-identical across
+    engines, so the whole run replays."""
+    parts = [
+        f"WITH {_G},",
+        "a0 AS MATERIALIZED (SELECT id FROM v),",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM sym),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"p{r} AS MATERIALIZED (SELECT id, "
+            f"md5(CAST(id AS VARCHAR) || ':{seed}:{r}') AS p FROM a{p}),",
+            f"n{r} AS (SELECT e.src AS id, MIN(pd.p) AS mnp FROM e{p} e "
+            f"JOIN p{r} pd ON pd.id = e.dst GROUP BY 1),",
+            f"w{r} AS MATERIALIZED (SELECT p{r}.id FROM p{r} LEFT JOIN n{r} USING(id) "
+            f"WHERE n{r}.mnp IS NULL OR p{r}.p < n{r}.mnp),",
+            f"rm{r} AS (SELECT id FROM w{r} UNION "
+            f"SELECT e.dst AS id FROM e{p} e JOIN w{r} w ON w.id = e.src),",
+            f"a{r} AS MATERIALIZED (SELECT a.id FROM a{p} a "
+            f"ANTI JOIN rm{r} r ON r.id = a.id),",
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM e{p} e "
+            f"SEMI JOIN a{r} s ON s.id = e.src SEMI JOIN a{r} d ON d.id = e.dst),",
+        ]
+    union = " UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(1, rounds + 1))
+    parts.append(f"mis AS ({union})")
+    return "\n".join(parts) + """
+SELECT v.id, (m.id IS NOT NULL) AS in_mis FROM v LEFT JOIN mis m USING(id)
+"""
 
 
 def _conductance_sql(rounds: int) -> str:
@@ -3418,6 +3468,8 @@ FROM events GROUP BY ROLLUP(event_type, day)
 
     # incremental WCC must equal a full recompute — same oracle as graph_wcc
     o["graph_wcc_incremental"] = o["graph_wcc"]
+
+    o["graph_mis"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
 
     o["graph_harmonic"] = f"""
 WITH RECURSIVE {_G},

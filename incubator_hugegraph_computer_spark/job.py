@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stride", type=int, default=None,
                    help="iterations fused per action for --method stride "
                    "(default: pagerank 2, lpa 4)")
+    p.add_argument("--initial-ranks", default=None,
+                   help="parquet (id, rank) warm-start seed for pagerank — "
+                        "the delta-ingest path: converge from last run's "
+                        "ranks instead of the uniform vector")
     p.add_argument("--node2vec-p", type=float, default=1.0,
                    help="random_walk return factor (random_walk.return_factor)")
     p.add_argument("--node2vec-q", type=float, default=1.0,
@@ -250,7 +254,10 @@ def run(args: argparse.Namespace) -> dict:
     algos = {
         "pagerank": lambda: pagerank(
             graph, method=args.method,
-            **({"stride": args.stride} if args.stride else {}), **iter_kwargs),
+            **({"stride": args.stride} if args.stride else {}),
+            **({"initial_ranks": spark.read.parquet(args.initial_ranks)
+                .select("id", "rank")} if args.initial_ranks else {}),
+            **iter_kwargs),
         "pagerank_classic": lambda: pagerank_classic(graph, **iter_kwargs),
         "pagerank_weighted": lambda: _pagerank_weighted(graph, **iter_kwargs),
         "wcc": lambda: wcc(graph, method=args.wcc_method, **iter_kwargs),

@@ -232,3 +232,74 @@ def test_wcc_stream_matches_batch(spark, tmp_path):
         for r in wcc(make_graph(spark, edges), count_messages=False).collect()
     }
     assert streamed == full
+
+
+# ------------------------------------------------------------ Luby MIS
+def _python_luby(edges, vertices, rounds=20, seed=42):
+    import hashlib
+
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    alive = set(vertices)
+    ae = {v: set(n for n in adj.get(v, ()) if n in alive) for v in alive}
+    mis = set()
+    for r in range(1, rounds + 1):
+        if not alive:
+            break
+        pri = {
+            v: hashlib.md5(f"{v}:{seed}:{r}".encode()).hexdigest() for v in alive
+        }
+        winners = {
+            v for v in alive
+            if all(pri[v] < pri[n] for n in ae[v])
+        }
+        mis |= winners
+        removed = set(winners)
+        for w in winners:
+            removed |= ae[w]
+        alive -= removed
+        ae = {v: {n for n in ae[v] if n in alive} for v in alive}
+    return mis
+
+
+def test_mis_matches_python_replay(spark):
+    from incubator_hugegraph_computer_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    edges = [(i, (i * 11 + 5) % 60) for i in range(150)]
+    edges = [(s, d) for s, d in edges if s != d]
+    vertices = sorted({v for e in edges for v in e})
+    g = make_graph(spark, edges)
+    out = {
+        r["id"]: r["in_mis"]
+        for r in maximal_independent_set(g, max_rounds=20).collect()
+    }
+    expected = _python_luby(edges, vertices)
+    assert {v for v, m in out.items() if m} == expected
+
+    # independence: no symmetrized edge inside the MIS
+    for s, d in edges:
+        assert not (out[s] and out[d])
+    # maximality: every non-MIS vertex has a MIS neighbor
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for v, m in out.items():
+        if not m:
+            assert any(out[n] for n in adj.get(v, ())), v
+
+
+def test_mis_isolated_vertices_join(spark):
+    from incubator_hugegraph_computer_spark.operators.mis import (
+        maximal_independent_set,
+    )
+
+    g = make_graph(spark, [(1, 2)], vertex_ids=[1, 2, 3])
+    out = {r["id"]: r["in_mis"] for r in maximal_independent_set(g).collect()}
+    assert out[3] is True
+    assert out[1] != out[2]  # exactly one endpoint of the edge

@@ -94,3 +94,40 @@ def test_salted_message_pass_equivalence(spark, fixture_graph):
     plain = _as_dict(pagerank_classic(fixture_graph, max_iterations=10, tol=0.0))
     via_salt = _as_dict(pagerank_classic(g3, max_iterations=10, tol=0.0))
     assert plain == via_salt
+
+
+def test_pagerank_warm_start(spark, fixture_graph):
+    """Warm-starting from converged ranks halts almost immediately and
+    reproduces the fixed point; warm-starting from an arbitrary positive
+    seed reaches the same fixed point (the cumulative-rank normalization
+    makes the iteration seed-invariant at convergence)."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.pagerank import PageRankProgram
+    from incubator_hugegraph_computer_spark.plans.bsp import BspEngine
+
+    # alpha=0.5 so the L1 residual decays ~0.5^k and the 1e-7 threshold
+    # is reachable in ~25 supersteps (with the Java default 0.85 decay,
+    # 1e-7 needs ~100 — same semantics, cheaper test)
+    def run(initial_ranks=None, max_steps=60):
+        prog = PageRankProgram(alpha=0.5, l1_threshold=1e-7)
+        prog.initial_ranks = initial_ranks
+        engine = BspEngine(fixture_graph, max_supersteps=max_steps, count_messages=False)
+        state, ctx = engine.run(prog)
+        return state.select("id", "rank"), ctx.superstep
+
+    cold, steps_cold = run()
+    cold_ranks = {r["id"]: r["rank"] for r in cold.collect()}
+
+    warm, steps_warm = run(initial_ranks=cold)
+    warm_ranks = {r["id"]: r["rank"] for r in warm.collect()}
+    assert steps_warm < steps_cold
+    assert steps_warm <= 3
+    for vid, rank in cold_ranks.items():
+        assert warm_ranks[vid] == pytest.approx(rank, abs=1e-6)
+
+    # skewed positive seed -> same fixed point
+    skew = cold.select("id", (F.col("id") + 1.0).alias("rank"))
+    skewed, _ = run(initial_ranks=skew)
+    for r in skewed.collect():
+        assert r["rank"] == pytest.approx(cold_ranks[r["id"]], abs=1e-6)

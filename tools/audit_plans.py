@@ -4,10 +4,14 @@
 Flags, per query:
 
 - ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — all-pairs joins
-  that explode at scale. A broadcast-NLJ whose BUILD side is a global
-  (keys=[]) aggregate is exactly one row — the sanctioned scalar-in-plan
-  shape (PageRank's in-plan scalars, motif census parameters, harmonic's
-  vertex count) — and is auto-whitelisted; every other BNLJ is flagged.
+  that explode at scale. A broadcast-NLJ is auto-whitelisted when its
+  BUILD side is provably bounded at the plan level: a global (keys=[])
+  aggregate (one row — PageRank-style in-plan scalars), a
+  TakeOrdered/limit (k rows — IVF centroids), a literal ``Range`` /
+  ``LocalTableScan`` / literal-array explode (parameter frames — LSH
+  planes, gap-fill spine). Build sides bounded only by a CONTRACT the
+  plan can't prove (a pushed filter selecting the query set) need an
+  entry in ``WAIVED`` naming the contract; every other BNLJ is flagged.
 - ``BatchEvalPython`` / ``PythonUDF`` outside ``ArrowEvalPython`` /
   ``MapInPandas`` / ``FlatMapGroupsInPandas`` — row-at-a-time Python in
   the plan (the Arrow nodes are the sanctioned vectorized path).
@@ -48,16 +52,33 @@ _SCALAR_PARENTS = re.compile(
 )
 
 
+# BNLJs whose build side is bounded by a query-level contract the plan
+# cannot express — keep this list SHORT and name the bound.
+WAIVED = {
+    "emb_cosine_topk": "broadcast query set: vec_id < QUERY_MAX (≤5 rows by contract)",
+}
+
+# build-side roots that bound the broadcast frame at the plan level
+_BOUNDED_BUILD = re.compile(
+    r"TakeOrderedAndProject\(limit=|CollectLimit|GlobalLimit|LocalTableScan"
+    r"|Range \(\d|Generate explode\(org\.apache\.spark\.sql\.catalyst\.expressions\.Unsafe"
+    r"|HashAggregate\(keys=\[\]"
+    # createDataFrame of driver-resident rows (trained centroids etc.) —
+    # bounded by driver memory by construction
+    r"|Scan ExistingRDD"
+)
+
+
 def _prefix_len(line: str) -> int:
     return re.match(r"^[\s:+*-]*", line).end()
 
 
 def _bnlj_flags(simple: str) -> list[str]:
     """Flag each BroadcastNestedLoopJoin whose BUILD-side subtree is NOT
-    rooted in a global (keys=[]) aggregate — i.e. anything that can be
-    more than one row. Tree walk over the simple plan string: a node's
-    subtree is the following lines with a longer marker prefix; its
-    direct children sit at the minimal prefix within that subtree."""
+    rooted (within its first few operators) in a plan-level-bounded
+    frame (see ``_BOUNDED_BUILD``). Tree walk over the simple plan
+    string: a node's subtree is the following lines with a longer marker
+    prefix; its direct children sit at the minimal prefix within it."""
     lines = simple.split("\n")
     out = []
     for i, ln in enumerate(lines):
@@ -78,7 +99,10 @@ def _bnlj_flags(simple: str) -> list[str]:
             if kids:
                 kids[-1].append(l2)
         build = (kids[-1] if m.group(1) == "Right" else kids[0]) if kids else []
-        if not any("HashAggregate(keys=[]" in l2 for l2 in build):
+        # root-level check only (first 4 operators of the build subtree:
+        # the exchange wrapper + the producing op ± a projection) — a
+        # bounded node buried DEEP inside a growing build must not pass
+        if not any(_BOUNDED_BUILD.search(l2) for l2 in build[:4]):
             out.append("BroadcastNestedLoopJoin")
     return out
 
@@ -132,7 +156,9 @@ def main() -> int:
             print(f"{name:32s} ERROR {type(exc).__name__}: {exc}")
             bad += 1
             continue
-        if flags:
+        if flags and name in WAIVED and all(f == "BroadcastNestedLoopJoin" for f in flags):
+            print(f"{name:32s} ok (waived BNLJ: {WAIVED[name]})")
+        elif flags:
             bad += 1
             print(f"{name:32s} FLAG  {'; '.join(flags)}")
         else:
