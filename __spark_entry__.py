@@ -61,6 +61,9 @@ HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
 # oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
 MIS_ROUNDS = 12
 MIS_SEED = 42
+# DOULION edge-sampling coin: md5 < '29' → p = 41/256 ≈ 0.16
+DOULION_HEX = "29"
+DOULION_SEED = 42
 NF_MAX_H = 3  # exact neighborhood-function horizon
 COND_LPA_ROUNDS = 5  # LPA rounds feeding the conductance query
 ANOMALY_Z = 2.0
@@ -1358,6 +1361,18 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_triangle_sampled(spark, sf_dir):
+    """DOULION sampled triangle estimate — the md5 coin replays in SQL,
+    so the oracle checks the exact estimate, not just its expectation."""
+    from incubator_hugegraph_computer_spark.operators.triangle_count import (
+        triangle_count_sampled,
+    )
+
+    return triangle_count_sampled(
+        orders_graph(spark, sf_dir), threshold_hex=DOULION_HEX, seed=DOULION_SEED
+    )
+
+
 def _q_mis(spark, sf_dir):
     """Luby maximal independent set — md5 per-round priorities make the
     whole run SQL-replayable (the oracle unrolls the rounds)."""
@@ -1497,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
+        "graph_triangle_sampled": _q_triangle_sampled,
         "graph_mis": _q_mis,
         "graph_wcc_incremental": _q_wcc_incremental,
         "graph_harmonic": _q_harmonic,
@@ -3470,6 +3486,23 @@ FROM events GROUP BY ROLLUP(event_type, day)
     o["graph_wcc_incremental"] = o["graph_wcc"]
 
     o["graph_mis"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
+
+    _doulion_p = int(DOULION_HEX, 16) / float(16 ** len(DOULION_HEX))
+    _doulion_scale = (1.0 / _doulion_p) ** 3
+    o["graph_triangle_sampled"] = f"""
+WITH {_G},
+u AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM e WHERE src <> dst),
+s AS MATERIALIZED (SELECT a, b FROM u WHERE
+    md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR) || ':{DOULION_SEED}') < '{DOULION_HEX}'),
+t AS (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM s e1 JOIN s e2 ON e2.a = e1.b
+      JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b),
+m AS (SELECT COUNT(*) AS sampled_triangles FROM t),
+n AS (SELECT COUNT(*) AS sampled_edges FROM s)
+SELECT sampled_edges, sampled_triangles,
+       ROUND(sampled_triangles * CAST({_doulion_scale!r} AS DOUBLE), 6) AS est_triangles
+FROM n CROSS JOIN m
+"""
 
     o["graph_harmonic"] = f"""
 WITH RECURSIVE {_G},

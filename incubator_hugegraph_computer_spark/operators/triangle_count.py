@@ -109,3 +109,51 @@ def triangle_count(graph: Graph) -> DataFrame:
 
 def total_triangles(graph: Graph) -> int:
     return triangles(graph.edges).count()
+
+
+def triangle_count_sampled(
+    graph: Graph, threshold_hex: str = "29", seed: int = 42
+) -> DataFrame:
+    """DOULION estimator (Tsourakakis et al., KDD'09): keep each
+    undirected edge with probability p via a DETERMINISTIC md5 coin
+    (``md5(a:b:seed) < threshold_hex`` — lexicographic compare on the
+    uniform hex digest, p = int(threshold_hex, 16) / 16^len), count
+    triangles exactly on the sample, scale by 1/p³.
+
+    One row: (sampled_edges, sampled_triangles, est_triangles). The
+    coin replays bit-identically in SQL, so the estimate itself is
+    oracle-gated — not just its expectation.
+
+    Scale shape: the sample cuts the wedge-join input by p (and wedge
+    WORK by ~p², triangles by p³) before the only expensive stage runs —
+    this is the knob when even the degree-oriented exact count is too
+    hot at 10^12 edges. Variance: Var[est] grows with 1/p³; DOULION's
+    analysis keeps the relative error small while the sampled triangle
+    count stays ≫ 1 — pick p so that st ≈ 10³⁺.
+    """
+    p = int(threshold_hex, 16) / float(16 ** len(threshold_hex))
+    scale = (1.0 / p) ** 3
+    und = undirected_edges(graph.edges)
+    coin = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("a").cast("string"),
+            F.col("b").cast("string"),
+            F.lit(str(seed)),
+        )
+    )
+    samp = und.where(coin < F.lit(threshold_hex)).persist()
+    tri = triangles(samp.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    st = tri.agg(F.count(F.lit(1)).alias("sampled_triangles"))
+    se = samp.agg(F.count(F.lit(1)).alias("sampled_edges"))
+    out = (
+        se.crossJoin(st)  # one-row × one-row
+        .select(
+            "sampled_edges",
+            "sampled_triangles",
+            F.round(F.col("sampled_triangles") * F.lit(scale), 6).alias(
+                "est_triangles"
+            ),
+        )
+    )
+    return out
