@@ -64,6 +64,10 @@ MIS_SEED = 42
 # DOULION edge-sampling coin: md5 < '29' → p = 41/256 ≈ 0.16
 DOULION_HEX = "29"
 DOULION_SEED = 42
+SEEDED_ROUNDS = 5  # seeded-LPA rounds (oracle unrolls them)
+SEEDED_MAX = 40  # seeds: id <= SEEDED_MAX, label = id % SEEDED_CLASSES
+SEEDED_CLASSES = 4
+LANDMARK_MAX = 8  # landmark set: id <= LANDMARK_MAX
 NF_MAX_H = 3  # exact neighborhood-function horizon
 COND_LPA_ROUNDS = 5  # LPA rounds feeding the conductance query
 ANOMALY_Z = 2.0
@@ -1361,6 +1365,30 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_lpa_seeded(spark, sf_dir):
+    """Semi-supervised LPA: fixed seed labels (id % 4 on the low ids)
+    fan out over the symmetrized graph for a fixed round budget."""
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa_seeded
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") <= SEEDED_MAX).select(
+        "id", (F.col("id") % SEEDED_CLASSES).alias("label")
+    )
+    return lpa_seeded(g, seeds, rounds=SEEDED_ROUNDS)
+
+
+def _q_landmarks(spark, sf_dir):
+    """Landmark distance table (long format) — the distance-oracle
+    primitive; estimation is a landmark-keyed self-join."""
+    from incubator_hugegraph_computer_spark.operators.landmarks import (
+        landmark_distances,
+    )
+
+    g = orders_graph(spark, sf_dir)
+    lm = g.vertices.where(F.col("id") <= LANDMARK_MAX).select("id")
+    return landmark_distances(g, lm)
+
+
 def _q_triangle_sampled(spark, sf_dir):
     """DOULION sampled triangle estimate — the md5 coin replays in SQL,
     so the oracle checks the exact estimate, not just its expectation."""
@@ -1512,6 +1540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
+        "graph_lpa_seeded": _q_lpa_seeded,
+        "graph_landmarks": _q_landmarks,
         "graph_triangle_sampled": _q_triangle_sampled,
         "graph_mis": _q_mis,
         "graph_wcc_incremental": _q_wcc_incremental,
@@ -2024,6 +2054,31 @@ def _lpa_directed_ctes(rounds: int) -> list[str]:
             f"chg{k} AS MATERIALIZED (SELECT a.id FROM l{k} a JOIN {p} b USING(id) WHERE a.label <> b.label),"
         )
     return parts
+
+
+def _lpa_seeded_sql(rounds: int, seed_max: int, classes: int) -> str:
+    """Unrolled seeded-LPA rounds: seeds keep their label, everyone else
+    adopts the (max count, min label) winner among labeled symmetrized
+    neighbors — identical rule to operators/lpa.py lpa_seeded."""
+    parts = [
+        f"WITH {_G},",
+        f"l0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id <= {seed_max} "
+        f"THEN v.id % {classes} END AS label, v.id <= {seed_max} AS seed FROM v),",
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts += [
+            f"msg{k} AS (SELECT e.dst AS id, l.label FROM sym e "
+            f"JOIN l{p} l ON l.id = e.src WHERE l.label IS NOT NULL),",
+            f"cnt{k} AS (SELECT id, label, COUNT(*) AS c FROM msg{k} GROUP BY 1, 2),",
+            f"w{k} AS (SELECT id, label FROM (SELECT id, label, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM cnt{k}) WHERE rn = 1),",
+            f"l{k} AS MATERIALIZED (SELECT l.id, CASE WHEN l.seed THEN l.label "
+            f"ELSE COALESCE(w.label, l.label) END AS label, l.seed "
+            f"FROM l{p} l LEFT JOIN w{k} w USING(id)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
 
 
 def _mis_sql(rounds: int, seed: int) -> str:
@@ -3486,6 +3541,19 @@ FROM events GROUP BY ROLLUP(event_type, day)
     o["graph_wcc_incremental"] = o["graph_wcc"]
 
     o["graph_mis"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
+
+    o["graph_lpa_seeded"] = _lpa_seeded_sql(SEEDED_ROUNDS, SEEDED_MAX, SEEDED_CLASSES)
+
+    o["graph_landmarks"] = f"""
+WITH RECURSIVE {_G},
+lm AS (SELECT id FROM v WHERE id <= {LANDMARK_MAX}),
+r(landmark, id, d) AS (
+    SELECT id, id, 0 FROM lm
+    UNION
+    SELECT r.landmark, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 30
+)
+SELECT id, landmark, MIN(d) AS dist FROM r GROUP BY 1, 2
+"""
 
     _doulion_p = int(DOULION_HEX, 16) / float(16 ** len(DOULION_HEX))
     _doulion_scale = (1.0 / _doulion_p) ** 3

@@ -216,3 +216,50 @@ def lpa_sync(
     # cache this call created is no longer needed
     g.unpersist()
     return state.select("id", "label")
+
+
+def lpa_seeded(graph: Graph, seeds: DataFrame, rounds: int = 5) -> DataFrame:
+    """Semi-supervised label propagation: ``seeds`` (id, label) carry
+    FIXED labels; every other vertex recomputes, each synchronous round,
+    the most frequent label among its symmetrized neighbors' current
+    labels (NULL labels excluded; ties → smallest label, the same
+    deterministic rule as LPA's ``_argmax_min_label``). Unreached
+    vertices stay NULL.
+
+    The classic community-seeding workflow (Zhu & Ghahramani 2002 shape,
+    discretized): a handful of curated labels fan out over the link
+    graph. Beyond-reference addition (SURVEY §2.10) — the reference's
+    LPA (`LpaComputation.java`, `lpa.go`) has no fixed-seed mode.
+
+    Scale shape per round: one E-row join against the CURRENT labeled
+    set + the two-stage argmax aggregation (map-side combined), then a
+    V-row left join to apply winners; state is localCheckpoint-truncated
+    per round. Deterministic — the whole run replays in SQL (the oracle
+    unrolls the rounds)."""
+    sym = graph.symmetrized().edges.select("src", "dst")
+    state = (
+        graph.vertices.select("id")
+        .join(seeds.select("id", F.col("label").cast("long").alias("label")), "id", "left")
+        .select("id", "label", F.col("label").isNotNull().alias("seed"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        msgs = sym.join(
+            state.where(F.col("label").isNotNull()).select(
+                F.col("id").alias("src"), F.col("label").alias("msg")
+            ),
+            "src",
+        ).select("dst", "msg")
+        winners = _argmax_min_label(msgs).withColumnRenamed("msg", "_win")
+        state = (
+            state.join(winners, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("seed"), F.col("label"))
+                .otherwise(F.coalesce(F.col("_win"), F.col("label")))
+                .alias("label"),
+                "seed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("id", "label")

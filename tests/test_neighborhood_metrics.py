@@ -303,3 +303,58 @@ def test_mis_isolated_vertices_join(spark):
     out = {r["id"]: r["in_mis"] for r in maximal_independent_set(g).collect()}
     assert out[3] is True
     assert out[1] != out[2]  # exactly one endpoint of the edge
+
+
+# ------------------------------------------------------------ seeded LPA
+def test_lpa_seeded_propagation(spark):
+    """Two seed labels at the ends of a path: each vertex adopts the
+    nearer seed's label (min-label on the midpoint tie); seeds stay."""
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa_seeded
+
+    # path 1-2-3-4-5, seeds: 1 -> label 10, 5 -> label 20. Hand replay of
+    # the sync-recompute rule: round 1 labels 2:10 and 4:20 (3 hears
+    # nothing); round 2 labels 3 with the {10,20} tie -> min = 10.
+    # (Later rounds keep eroding tie vertices toward the min label —
+    # 4 would flip at round 3 when {3:10, 5:20} ties — deterministic,
+    # replayed exactly by the SQL oracle.)
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1, 10), (5, 20)], "id long, label long")
+    out = {r["id"]: r["label"] for r in lpa_seeded(g, seeds, rounds=2).collect()}
+    assert out == {1: 10, 2: 10, 3: 10, 4: 20, 5: 20}
+    out3 = {r["id"]: r["label"] for r in lpa_seeded(g, seeds, rounds=3).collect()}
+    assert out3[4] == 10 and out3[5] == 20  # tie erosion; seed frozen
+
+
+def test_lpa_seeded_unreached_stay_null(spark):
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa_seeded
+
+    g = make_graph(spark, [(1, 2)], vertex_ids=[1, 2, 3])
+    seeds = spark.createDataFrame([(1, 7)], "id long, label long")
+    out = {r["id"]: r["label"] for r in lpa_seeded(g, seeds, rounds=3).collect()}
+    assert out[1] == 7 and out[2] == 7
+    assert out[3] is None
+
+
+# ------------------------------------------------------------- landmarks
+def test_landmark_distances_and_estimate(spark):
+    from incubator_hugegraph_computer_spark.operators.landmarks import (
+        estimate_distance,
+        landmark_distances,
+    )
+
+    # directed table: cycle 1->2->3->4->1 plus chord 2->4
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)])
+    lm = spark.createDataFrame([(1,), (3,)], "id long")
+    t = landmark_distances(g, lm)
+    d = {(r["landmark"], r["id"]): r["dist"] for r in t.collect()}
+    assert d[(1, 1)] == 0 and d[(1, 2)] == 1 and d[(1, 4)] == 2 and d[(1, 3)] == 2
+    assert d[(3, 4)] == 1 and d[(3, 1)] == 2
+
+    # estimation contract: UNDIRECTED table; est is a triangle-inequality
+    # upper bound, exact when a landmark sits on a shortest path
+    tu = landmark_distances(g.symmetrized(), lm)
+    pairs = spark.createDataFrame([(2, 3), (4, 2)], "u long, v long")
+    est = {(r["u"], r["v"]): r["est_dist"] for r in estimate_distance(tu, pairs).collect()}
+    assert est[(2, 3)] == 1  # landmark 3 on the shortest path -> exact
+    assert est[(4, 2)] >= 1  # true undirected d = 1 (chord); bound holds
+    assert est[(4, 2)] == 2  # min over {1, 3}: 1+1 both ways
