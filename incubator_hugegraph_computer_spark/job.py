@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
             "triangle_count", "degree", "kcore", "scc", "clustering_coefficient",
             "rings", "random_walk", "betweenness", "closeness", "louvain",
             "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
-            "cycle_detection",
+            "cycle_detection", "mis",
         ],
     )
     p.add_argument("--source", type=int, default=0,
@@ -249,6 +249,9 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
     from incubator_hugegraph_computer_spark.operators.jaccard import jaccard as _jaccard
+    from incubator_hugegraph_computer_spark.operators.mis import (
+        maximal_independent_set as _mis,
+    )
 
     t1 = time.monotonic()
     algos = {
@@ -280,6 +283,7 @@ def run(args: argparse.Namespace) -> dict:
         "betweenness": lambda: betweenness(graph, sample_rate=0.05),
         "closeness": lambda: closeness(graph, sample_rate=0.05),
         "louvain": lambda: louvain(graph),
+        "mis": lambda: _mis(graph, seed=args.seed),
         "sssp": lambda: _sssp(
             graph, source=args.source, **step_kwargs, **engine_kwargs
         ),
