@@ -68,6 +68,8 @@ SEEDED_ROUNDS = 5  # seeded-LPA rounds (oracle unrolls them)
 SEEDED_MAX = 40  # seeds: id <= SEEDED_MAX, label = id % SEEDED_CLASSES
 SEEDED_CLASSES = 4
 LANDMARK_MAX = 8  # landmark set: id <= LANDMARK_MAX
+HIT_TARGET_MAX = 10  # hitting-time targets: id <= HIT_TARGET_MAX
+HIT_HORIZON = 8
 NF_MAX_H = 3  # exact neighborhood-function horizon
 COND_LPA_ROUNDS = 5  # LPA rounds feeding the conductance query
 ANOMALY_Z = 2.0
@@ -1365,6 +1367,19 @@ def _q_events_hourly(spark, sf_dir):
     )
 
 
+def _q_hitting_time(spark, sf_dir):
+    """Truncated hitting time to the low-id target set — random-walk
+    proximity, K fixed-point sweeps (oracle unrolls them)."""
+    from incubator_hugegraph_computer_spark.operators.hitting_time import (
+        hitting_time,
+    )
+
+    g = orders_graph(spark, sf_dir)
+    targets = g.vertices.where(F.col("id") <= HIT_TARGET_MAX).select("id")
+    h = hitting_time(g, targets, horizon=HIT_HORIZON)
+    return h.select("id", F.round("hitting_time", 6).alias("hitting_time"))
+
+
 def _q_lpa_seeded(spark, sf_dir):
     """Semi-supervised LPA: fixed seed labels (id % 4 on the low ids)
     fan out over the symmetrized graph for a fixed round budget."""
@@ -1540,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
+        "graph_hitting_time": _q_hitting_time,
         "graph_lpa_seeded": _q_lpa_seeded,
         "graph_landmarks": _q_landmarks,
         "graph_triangle_sampled": _q_triangle_sampled,
@@ -2054,6 +2070,33 @@ def _lpa_directed_ctes(rounds: int) -> list[str]:
             f"chg{k} AS MATERIALIZED (SELECT a.id FROM l{k} a JOIN {p} b USING(id) WHERE a.label <> b.label),"
         )
     return parts
+
+
+def _hitting_time_sql(target_max: int, horizon: int) -> str:
+    """Unrolled truncated-hitting-time sweeps — identical recurrence to
+    operators/hitting_time.py (targets 0, danglings K, else
+    min(K, 1 + Σ h(out-neighbors)/outdeg))."""
+    k = float(horizon)
+    parts = [
+        f"WITH {_G},",
+        "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY 1),",
+        f"h0 AS MATERIALIZED (SELECT v.id, CASE WHEN v.id <= {target_max} "
+        f"THEN 0.0 ELSE {k!r} END AS h FROM v),",
+    ]
+    for r in range(1, horizon + 1):
+        p = r - 1
+        parts += [
+            f"s{r} AS (SELECT e.src AS id, SUM(p.h) AS s FROM e "
+            f"JOIN h{p} p ON p.id = e.dst GROUP BY 1),",
+            f"h{r} AS MATERIALIZED (SELECT b.id, CASE WHEN b.id <= {target_max} THEN 0.0 "
+            f"WHEN deg.d IS NULL THEN {k!r} "
+            f"ELSE LEAST({k!r}, 1.0 + s{r}.s / deg.d) END AS h "
+            f"FROM h{p} b LEFT JOIN deg USING(id) LEFT JOIN s{r} USING(id)),",
+        ]
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + (
+        f"\nSELECT id, ROUND(h, 6) AS hitting_time FROM h{horizon}"
+    )
 
 
 def _lpa_seeded_sql(rounds: int, seed_max: int, classes: int) -> str:
@@ -3543,6 +3586,8 @@ FROM events GROUP BY ROLLUP(event_type, day)
     o["graph_mis"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
 
     o["graph_lpa_seeded"] = _lpa_seeded_sql(SEEDED_ROUNDS, SEEDED_MAX, SEEDED_CLASSES)
+
+    o["graph_hitting_time"] = _hitting_time_sql(HIT_TARGET_MAX, HIT_HORIZON)
 
     o["graph_landmarks"] = f"""
 WITH RECURSIVE {_G},

@@ -358,3 +358,32 @@ def test_landmark_distances_and_estimate(spark):
     assert est[(2, 3)] == 1  # landmark 3 on the shortest path -> exact
     assert est[(4, 2)] >= 1  # true undirected d = 1 (chord); bound holds
     assert est[(4, 2)] == 2  # min over {1, 3}: 1+1 both ways
+
+
+# ---------------------------------------------------------- hitting time
+def test_hitting_time_path(spark):
+    """Chain 3 -> 2 -> 1 with target {1}: h(1)=0, h(2)=1, h(3)=2;
+    dangling/unreachable vertices sit at the horizon."""
+    from incubator_hugegraph_computer_spark.operators.hitting_time import (
+        hitting_time,
+    )
+
+    g = make_graph(spark, [(3, 2), (2, 1), (4, 5)], vertex_ids=[1, 2, 3, 4, 5])
+    targets = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["hitting_time"] for r in hitting_time(g, targets, horizon=6).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0 and out[3] == 2.0
+    assert out[5] == 6.0  # dangling, not a target
+    assert out[4] == 6.0  # only route leads to a horizon-capped dangler
+
+
+def test_hitting_time_branching(spark):
+    """Vertex with two out-edges: one to the target, one to a dead end —
+    h = 1 + (0 + K)/2 capped at K."""
+    from incubator_hugegraph_computer_spark.operators.hitting_time import (
+        hitting_time,
+    )
+
+    g = make_graph(spark, [(2, 1), (2, 9)], vertex_ids=[1, 2, 9])
+    targets = spark.createDataFrame([(1,)], "id long")
+    out = {r["id"]: r["hitting_time"] for r in hitting_time(g, targets, horizon=8).collect()}
+    assert out[2] == 1.0 + (0.0 + 8.0) / 2.0
