@@ -2173,7 +2173,7 @@ def _conductance_sql(rounds: int) -> str:
     return "\n".join(parts) + """
 SELECT sz.label, sz.size,
        COALESCE(pl.volume, 0) AS volume,
-       COALESCE(pl.cut, 0) AS cut,
+       CAST(COALESCE(pl.cut, 0) AS BIGINT) AS cut,
        ROUND(CASE WHEN LEAST(COALESCE(pl.volume, 0), t - COALESCE(pl.volume, 0)) > 0
              THEN COALESCE(pl.cut, 0) * 1.0 / LEAST(pl.volume, t - pl.volume)
              ELSE 0 END, 6) AS conductance
@@ -2516,7 +2516,7 @@ FROM comp JOIN sv ON sv.id = comp.id
 WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
 SELECT d.doc_id,
        strlen(d.text) AS n_bytes,
-       COALESCE(s.byte_sum, 0) AS byte_sum,
+       CAST(COALESCE(s.byte_sum, 0) AS BIGINT) AS byte_sum,
        COALESCE(s.byte_mean, 0.0) AS byte_mean
 FROM documents d
 LEFT JOIN (SELECT doc_id, SUM(ascii(c)) AS byte_sum,
@@ -2536,7 +2536,7 @@ st AS (SELECT doc_id, COUNT(*) AS n_bytes, SUM(v) AS byte_sum,
        FROM blk GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(st.n_bytes, 0) AS n_bytes,
-       COALESCE(st.byte_sum, 0) AS byte_sum,
+       CAST(COALESCE(st.byte_sum, 0) AS BIGINT) AS byte_sum,
        COALESCE(st.byte_mean, 0.0) AS byte_mean
 FROM documents d LEFT JOIN st USING (doc_id)
 """
@@ -2706,7 +2706,7 @@ r(id, d) AS (
 depths AS (SELECT id, MIN(d) AS depth FROM r GROUP BY id)
 SELECT COUNT(*) AS n, COUNT(DISTINCT depth) AS n_distinct,
        ROUND(AVG(depth), 6) AS avg, ROUND(VAR_POP(depth), 6) AS dispersion,
-       MIN(depth) AS min, MAX(depth) AS max
+       CAST(MIN(depth) AS BIGINT) AS min, CAST(MAX(depth) AS BIGINT) AS max
 FROM depths
 """
 
@@ -2764,7 +2764,7 @@ r(id, d) AS (
     UNION
     SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 100
 )
-SELECT id, MIN(d) AS depth FROM r GROUP BY id
+SELECT id, CAST(MIN(d) AS BIGINT) AS depth FROM r GROUP BY id
 """
 
     o["graph_counts"] = f"""
@@ -2809,7 +2809,8 @@ tr AS (SELECT COUNT(*) AS c FROM e e1
        JOIN e e2 ON e2.src = e1.dst
        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
        WHERE e1.src <> e2.dst)
-SELECT nv.n AS n_vertices, dy.mu AS mutual_dyads, dy.asym AS asym_dyads,
+SELECT nv.n AS n_vertices, CAST(dy.mu AS BIGINT) AS mutual_dyads,
+       CAST(dy.asym AS BIGINT) AS asym_dyads,
        CAST(nv.n * (nv.n - 1) / 2 - dy.mu - dy.asym AS BIGINT) AS null_dyads,
        cy.c AS cyclic_triangles, tr.c AS transitive_triangles
 FROM nv, dy, cy, tr
@@ -2845,9 +2846,9 @@ r2(id, d) AS (
 ),
 d2 AS (SELECT id, MIN(d) AS d FROM r2 GROUP BY id)
 SELECT (SELECT id FROM s0) AS start,
-       (SELECT MAX(d) FROM d1) AS ecc_start,
+       (SELECT CAST(MAX(d) AS BIGINT) FROM d1) AS ecc_start,
        (SELECT id FROM far) AS far_vertex,
-       (SELECT MAX(d) FROM d2) AS diameter_lb
+       (SELECT CAST(MAX(d) AS BIGINT) FROM d2) AS diameter_lb
 """
 
     # MSF per-weight histogram from the Kruskal threshold curve: edges
@@ -2960,7 +2961,7 @@ sc AS (SELECT dt.doc_id, SUM(dt.c) AS n_tokens,
               SUM(dt.c * ln(vocab.tf / (SELECT total FROM tot))) / SUM(dt.c)
               AS avg_logprob
        FROM dt JOIN vocab USING(term) GROUP BY 1)
-SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens,
+SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
        ROUND(sc.avg_logprob, 6) AS avg_logprob
 FROM documents d LEFT JOIN sc USING(doc_id)
 """
@@ -3330,7 +3331,8 @@ FROM s
 
     o["docs_pack"] = f"""
 WITH {_pack_ctes}
-SELECT doc_id, n_tokens, start_offset, seq_first, seq_last,
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       seq_first, seq_last,
        CAST(CASE WHEN n_tokens > 0 THEN seq_last - seq_first + 1 ELSE 0 END
             AS BIGINT) AS n_seqs
 FROM pk

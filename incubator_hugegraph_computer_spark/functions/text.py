@@ -529,7 +529,7 @@ def winnow_fingerprints(
             F.min(F.struct(F.col("h"), (-F.col("pos")).alias("_np"))).alias("_m"),
         )
         .where(F.col("_n") == window)  # full windows only
-        .select("doc_id", (-F.col("_m._np")).alias("pos"), F.col("_m.h").alias("fp"))
+        .select("doc_id", (-F.col("_m._np")).cast("long").alias("pos"), F.col("_m.h").alias("fp"))
         .distinct()
     )
     return picked

@@ -40,6 +40,7 @@ def maximal_independent_set(
     undirected). ``max_rounds`` is declared semantics — both this and
     the SQL oracle run exactly the same rounds; on every graph tested
     the alive set empties well before 20 (expected O(log V))."""
+    max_rounds = max(1, max_rounds)  # mis must exist before the final join
     sym = graph.symmetrized().edges.select("src", "dst")
     alive_v = graph.vertices.select("id").localCheckpoint(eager=True)
     alive_e = sym.localCheckpoint(eager=True)

@@ -85,7 +85,7 @@ def degree_sketch(graph: Graph, direction: str = "both") -> DataFrame:
     d = F.col("degree").cast("double")
     return deg.agg(
         F.count_distinct("id").alias("n_vertices"),
-        F.lit(n_e).alias("n_edges"),
+        F.lit(n_e).cast("long").alias("n_edges"),
         F.round(F.avg("degree"), 6).alias("avg_degree"),
         F.round(F.percentile(d, F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile(d, F.lit(0.9)), 6).alias("p90"),
@@ -106,7 +106,7 @@ def degree_sketch_approx(graph: Graph, direction: str = "both") -> DataFrame:
     n_e = graph.num_edges()
     return deg.agg(
         F.approx_count_distinct("id").alias("n_vertices_approx"),
-        F.lit(n_e).alias("n_edges"),
+        F.lit(n_e).cast("long").alias("n_edges"),
         F.round(F.avg("degree"), 6).alias("avg_degree"),
         F.percentile_approx("degree", 0.5).alias("p50"),
         F.percentile_approx("degree", 0.9).alias("p90"),

@@ -155,5 +155,9 @@ def triangle_count_sampled(
                 "est_triangles"
             ),
         )
+        # pin the one-row result, then release the sampled edge cache —
+        # otherwise every call leaks a session-lifetime persist
+        .localCheckpoint(eager=True)
     )
+    samp.unpersist()
     return out

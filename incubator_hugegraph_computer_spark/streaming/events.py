@@ -136,7 +136,7 @@ def cohort_retention(
     joined = acts.join(first, "user_id").select(
         "user_id",
         "cohort_day",
-        F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
     )
     per_cell = joined.groupBy("cohort_day", "day_offset").agg(
         F.count_distinct("user_id").alias("n_users")

@@ -56,6 +56,11 @@ _SCALAR_PARENTS = re.compile(
 # cannot express — keep this list SHORT and name the bound.
 WAIVED = {
     "emb_cosine_topk": "broadcast query set: vec_id < QUERY_MAX (≤5 rows by contract)",
+    "emb_ivf_trained_topk": (
+        "broadcast sides are the trained k-means centroid frame "
+        "(createDataFrame of K=8 driver rows from fit_kmeans_centroids) and "
+        "the ≤QUERY_MAX query set — both parameter-sized by construction"
+    ),
 }
 
 # build-side roots that bound the broadcast frame at the plan level
@@ -63,9 +68,6 @@ _BOUNDED_BUILD = re.compile(
     r"TakeOrderedAndProject\(limit=|CollectLimit|GlobalLimit|LocalTableScan"
     r"|Range \(\d|Generate explode\(org\.apache\.spark\.sql\.catalyst\.expressions\.Unsafe"
     r"|HashAggregate\(keys=\[\]"
-    # createDataFrame of driver-resident rows (trained centroids etc.) —
-    # bounded by driver memory by construction
-    r"|Scan ExistingRDD"
 )
 
 

@@ -19,6 +19,7 @@ import duckdb
 
 import __spark_entry__ as entrymod
 from incubator_hugegraph_computer_spark.session import get_spark
+from tools.check_types import canon_duck, canon_spark
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -67,6 +68,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = {f.name: canon_spark(f.dataType.simpleString()) for f in sdf.schema.fields}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL {name}: spark error {type(ex).__name__}: {ex}")
@@ -85,8 +87,27 @@ def main():
             failed.append(name)
             continue
         ok_cols = sorted(scols) == sorted(ocols)
+        # the driver's hasher sees dtypes (DuckDB HUGEINT vs Spark bigint
+        # broke 2 rounds of hashes) — so the local gate must compare them too
+        otypes = {}
+        try:
+            otypes = {
+                r[0]: canon_duck(r[1])
+                for r in con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            }
+        except Exception:
+            pass
+        type_mismatch = [
+            f"{c}: spark={stypes.get(c)} oracle={otypes.get(c)}"
+            for c in scols
+            if c in otypes and stypes.get(c) != otypes.get(c)
+        ]
         s_set, o_set = rows_to_set(scols, srows), rows_to_set(ocols, orows)
         ok_vals = s_set == o_set
+        if type_mismatch:
+            failed.append(name)
+            print(f"FAIL {name}: dtype mismatch {type_mismatch}")
+            continue
         if ok_cols and ok_vals:
             print(f"PASS {name}: rows={len(srows)} ({spark_sec:.1f}s)")
         else:
