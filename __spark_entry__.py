@@ -791,6 +791,63 @@ def _q_wcc_strid(spark, sf_dir):
     return out
 
 
+def _uuid_fmt(hexcol):
+    """32-char lower hex -> canonical dashed UUID string (8-4-4-4-12)."""
+    return F.concat_ws(
+        "-",
+        F.substring(hexcol, 1, 8),
+        F.substring(hexcol, 9, 4),
+        F.substring(hexcol, 13, 4),
+        F.substring(hexcol, 17, 4),
+        F.substring(hexcol, 21, 12),
+    )
+
+
+def _q_wcc_uuid(spark, sf_dir):
+    """UUID-id WCC end-to-end through the reference's UUID BytesId order
+    (IdType.java:22-27; BytesId.of(UUID) = 16 big-endian bytes =
+    dash-stripped canonical hex, BytesId.java:79-92). Vertex ids become
+    deterministic UUIDs (md5 of the decimal id, dashed 8-4-4-4-12),
+    dense longs are minted in serialized-byte order via
+    mint_uuid_ordered_ids, WCC runs on the minted ids, and the component
+    representative maps back — comp_uid must be the byte-order-minimum
+    member, which (fixed dash positions) equals the lexical minimum of
+    the lowercase dashed string, and that's what the oracle recomputes."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+    from incubator_hugegraph_computer_spark.sources.extractor import (
+        mint_uuid_ordered_ids,
+    )
+
+    g = orders_graph(spark, sf_dir)
+    sv = g.vertices.select(
+        F.col("id").alias("orig"),
+        _uuid_fmt(F.md5(F.col("id").cast("string"))).alias("uid"),
+    )
+    minted = mint_uuid_ordered_ids(sv.select("uid"), col="uid").withColumnRenamed(
+        "id", "mid"
+    )
+    mapping = sv.join(minted, "uid").persist()  # (orig, uid, mid)
+    msrc = mapping.select(F.col("orig").alias("src"), F.col("mid").alias("msrc"))
+    mdst = mapping.select(F.col("orig").alias("dst"), F.col("mid").alias("mdst"))
+    medges = (
+        g.edges.join(msrc, "src")
+        .join(mdst, "dst")
+        .select(F.col("msrc").alias("src"), F.col("mdst").alias("dst"))
+    )
+    mg = Graph(mapping.select(F.col("mid").alias("id")), medges)
+    comp = wcc(mg, count_messages=False)
+    back = mapping.select(F.col("mid").alias("comp"), F.col("uid").alias("comp_uid"))
+    out = (
+        comp.join(mapping.select(F.col("mid").alias("id"), "uid"), "id")
+        .join(back, "comp")
+        .select("uid", "comp_uid")
+        .localCheckpoint(eager=True)  # V slim rows; frees mapping's cache
+    )
+    mapping.unpersist()
+    return out
+
+
 def _q_docs_tokens(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.text import (
         document_fingerprint,
@@ -1572,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_winnowing": _q_winnowing,
         "graph_coreness": _q_coreness,
         "graph_wcc_strid": _q_wcc_strid,
+        "graph_wcc_uuid": _q_wcc_uuid,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -2507,6 +2565,31 @@ comp AS (
     GROUP BY cc.id
 )
 SELECT sv.sid, substr(comp.k, 4) AS comp_sid
+FROM comp JOIN sv ON sv.id = comp.id
+"""
+
+    # comp_uid must be the UUID-serialization-minimum member: all UUIDs
+    # serialize to 16 bytes (BytesId.java:79-92) so BytesUtil.compare's
+    # length rule never fires and byte order == lexical order of the
+    # lowercase dashed string (dash positions are fixed) — plain MIN
+    o["graph_wcc_uuid"] = f"""
+WITH RECURSIVE {_G},
+sv AS (SELECT id,
+              substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+              substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+              substr(h, 21, 12) AS uid
+       FROM (SELECT id, md5(CAST(id AS VARCHAR)) AS h FROM v)),
+cc(id, anc) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT s.dst, cc.anc FROM cc JOIN sym s ON s.src = cc.id
+),
+comp AS (
+    SELECT cc.id, MIN(a.uid) AS comp_uid
+    FROM cc JOIN sv a ON a.id = cc.anc
+    GROUP BY cc.id
+)
+SELECT sv.uid, comp.comp_uid
 FROM comp JOIN sv ON sv.id = comp.id
 """
 

@@ -143,6 +143,30 @@ def mint_bytesid_ordered_ids(values: DataFrame, col: str = "sid") -> DataFrame:
     return dense_ids_by_sort(base, ["_len", col]).drop("_len")
 
 
+def mint_uuid_ordered_ids(values: DataFrame, col: str = "uid") -> DataFrame:
+    """(uid, id) — dense long ids whose numeric order equals the
+    reference's **UUID** BytesId order (``IdType.java:22-27`` lists
+    LONG/UTF8/UUID; ``BytesId.of(UUID)`` serializes
+    ``writeLong(mostSignificantBits); writeLong(leastSignificantBits)``
+    — ``BytesId.java:79-92`` — i.e. exactly the 16 bytes of the
+    canonical hex with dashes removed, big-endian). All UUIDs serialize
+    to the same length (16), so ``BytesUtil.compare``'s length-first
+    rule (``BytesUtil.java:61-73``) never fires and the order reduces to
+    plain unsigned byte order == lexical order of the lowercase 32-char
+    hex (ASCII '0'-'9' < 'a'-'f', and UTF8String comparison is unsigned
+    bytewise). Simpler than the UTF8 path: no length prefix needed.
+
+    Accepts canonical dashed UUID strings in any case; ordering uses the
+    normalized lower-hex form. Same parallel dense-id minting as
+    :func:`build_catalog` (no single-task stage)."""
+    base = (
+        values.select(col)
+        .distinct()
+        .withColumn("_hex", F.lower(F.regexp_replace(F.col(col), "-", "")))
+    )
+    return dense_ids_by_sort(base, ["_hex", col]).drop("_hex")
+
+
 def extract_edges(
     files: DataFrame,
     catalog: DataFrame | None = None,

@@ -159,3 +159,24 @@ def test_bytesid_order_multibyte(spark):
     df = spark.createDataFrame([(s,) for s in sids], "sid string")
     minted = {r["sid"]: r["id"] for r in mint_bytesid_ordered_ids(df).collect()}
     assert minted == {s: i for i, s in enumerate(expected)}
+
+
+def test_mint_uuid_ordered_ids(spark):
+    """The dedicated UUID mint path (mint_uuid_ordered_ids) orders by
+    the 16-byte BytesId serialization — writeLong(msb)||writeLong(lsb),
+    BytesId.java:79-92 — i.e. uuid.bytes, and normalizes case (the
+    serialized form has no case)."""
+    import uuid as uuidlib
+
+    from incubator_hugegraph_computer_spark.sources.extractor import (
+        mint_uuid_ordered_ids,
+    )
+
+    rng_uuids = [uuidlib.UUID(int=(i * 0x9E3779B97F4A7C15) % (1 << 128)) for i in range(64)]
+    # mixed-case canonical strings: ordering must follow the BYTES, not
+    # the raw string (uppercase hex would sort before lowercase)
+    strs = [str(u).upper() if i % 3 == 0 else str(u) for i, u in enumerate(rng_uuids)]
+    df = spark.createDataFrame([(s,) for s in strs], "uid string")
+    minted = {r["uid"]: r["id"] for r in mint_uuid_ordered_ids(df).collect()}
+    want = {s: i for i, s in enumerate(sorted(strs, key=lambda s: uuidlib.UUID(s).bytes))}
+    assert minted == want
