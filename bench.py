@@ -9,10 +9,19 @@ Two workloads:
    (edges-processed/sec, supersteps/min) lands in "derived".
 2. The oracle-gated queries over $SPARK_GRAFT_SF_DIR (default
    /root/testdata/sf0.1): fixed-iteration PageRank on the orders graph,
-   minhash dedup over documents, cosine top-k over embeddings.
+   minhash dedup over documents, cosine top-k over embeddings, plus the
+   heaviest round-2 families (louvain, k-truss, sequence packing).
+
+Timing protocol (round 3): the whole timed list runs TWICE back-to-back
+(interleaved passes) and each query reports the per-query MIN of the two
+passes — a single mid-run host burst on this shared box can poison any
+one reading by 3-4x (BENCH.md host-drift notes; r02's pagerank_10 read
+14.2/21.7/58.7s on identical code), and best-of-2 localizes a burst to
+one pass instead of the artifact. Both raw readings are kept in
+"queries_raw", and host capacity probes bracket the run.
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_FILES (corpus size, default 200000).
+BENCH_FILES (corpus size, default 200000), BENCH_PASSES (default 2).
 """
 
 from __future__ import annotations
@@ -56,22 +65,10 @@ def host_probe(threads: tuple[int, ...] = (8, 32)) -> dict:
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_files = int(os.environ.get("BENCH_FILES", "200000"))
-    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
-    sf = float(m.group(1)) if m else 0.1
-
-    probe = host_probe()
-
-    spark = get_spark(
-        app_name="hgc-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
-        extra_confs={"spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g")},
-    )
-
+def run_pass(spark, sf_dir: str, n_files: int, timings: dict[str, float],
+             derived: dict[str, float]) -> None:
+    """One full pass over the timed list. Appends each query's wall time
+    to timings[name] (a list across passes)."""
     from incubator_hugegraph_computer_spark.graph import Graph
     from incubator_hugegraph_computer_spark.operators.lpa import lpa
     from incubator_hugegraph_computer_spark.operators.pagerank import pagerank
@@ -80,13 +77,10 @@ def main() -> None:
     from incubator_hugegraph_computer_spark.sources.extractor import extract_edges
     from incubator_hugegraph_computer_spark.sources.repo_files import generate_repo_files
 
-    queries: dict[str, float] = {}
-    derived: dict[str, float] = {}
-
     def timed(name: str, fn):
         t0 = time.monotonic()
         out = fn()
-        queries[name] = round(time.monotonic() - t0, 3)
+        timings.setdefault(name, []).append(round(time.monotonic() - t0, 3))
         return out
 
     # ---- workload 1: native pipeline ---------------------------------
@@ -119,8 +113,6 @@ def main() -> None:
             g, max_supersteps=pr_steps, l1_threshold=0.0, method="stride", stride=2
         ).count(),
     )
-    derived["pagerank_edges_per_sec"] = round(n_edges * pr_steps / queries["pagerank_10"], 1)
-    derived["pagerank_supersteps_per_min"] = round(60.0 * pr_steps / queries["pagerank_10"], 2)
 
     # method is regime-dependent (BENCH.md): stride=4 wins the pinned
     # low-core scaling protocol (0.968 eff, faster at both core counts
@@ -132,13 +124,17 @@ def main() -> None:
         "wcc",
         lambda: wcc(g, max_supersteps=30, count_messages=False).count(),
     )
-    derived["wcc_edges_per_sec"] = round(2 * n_edges / queries["wcc"], 1)  # symmetrized
 
     # stride=2: two LPA rounds per action — consistent ~15% win in
     # interleaved local[32] trials (6.8/7.4/6.5s vs base 7.6/7.9/9.7s);
     # full fusion (stride=5) measured heavy tails (23.7/10.4/30.5s)
     timed("lpa_5", lambda: lpa(g, max_supersteps=5, method="stride", stride=2).count())
     timed("triangle_count", lambda: triangle_count(g).count())
+
+    # release this pass's caches so pass 2 starts from the same state
+    # and the two passes don't stack executor memory
+    g.unpersist()
+    files.unpersist()
 
     # ---- workload 2: sf-dir queries ----------------------------------
     import __spark_entry__ as entrymod
@@ -149,26 +145,63 @@ def main() -> None:
         "graph_wcc",
         "graph_triangle_count",
         "graph_betweenness",
+        "graph_louvain",
+        "graph_ktruss",
         "docs_minhash_dedup",
         "docs_ngram_dedup",
         "docs_chunks",
+        "docs_pack",
         "emb_cosine_topk",
         "events_asof",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_files = int(os.environ.get("BENCH_FILES", "200000"))
+    n_passes = int(os.environ.get("BENCH_PASSES", "2"))
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    probe = host_probe()
+
+    spark = get_spark(
+        app_name="hgc-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_confs={"spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g")},
+    )
+
+    timings: dict[str, list[float]] = {}
+    derived: dict[str, float] = {}
+    for _ in range(max(1, n_passes)):
+        run_pass(spark, sf_dir, n_files, timings, derived)
+    probe_end = host_probe()
+
+    queries = {name: min(vals) for name, vals in timings.items()}
+
+    n_edges = derived.get("graph_edges", 0)
+    pr_steps = 10
+    derived["pagerank_edges_per_sec"] = round(n_edges * pr_steps / queries["pagerank_10"], 1)
+    derived["pagerank_supersteps_per_min"] = round(60.0 * pr_steps / queries["pagerank_10"], 2)
+    derived["wcc_edges_per_sec"] = round(2 * n_edges / queries["wcc"], 1)  # symmetrized
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "total bench wall time (native pipeline + sf queries)",
+                "metric": "total bench wall time (native pipeline + sf queries), best-of-%d interleaved passes" % max(1, n_passes),
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "queries_raw": timings,
                 "sf": sf,
                 "derived": derived,
                 "cpus": cpus,
                 "host_probe": probe,
+                "host_probe_end": probe_end,
             }
         )
     )
