@@ -483,6 +483,50 @@ def _q_rings_filtered(spark, sf_dir):
     return r.groupBy("start").agg(F.count(F.lit(1)).alias("n_rings"))
 
 
+# the reference's rings.property_filter JSON verbatim
+# (RingsDetectionWithFilter.java:35, FilterDescribe.java): '*' items
+# apply everywhere; the $message item is spread-only (compute0's
+# first hop keeps only $message-free items, SpreadFilter.java:56-59)
+RINGS_DSL_FILTER = {
+    "vertex_filter": [{"label": "*", "property_filter": "$element.age < 90"}],
+    "edge_filter": [
+        {"label": "*", "property_filter": "$element.weight > 1"},
+        {"label": "knows",
+         "property_filter": "$message.weight <= $element.weight"},
+    ],
+}
+
+
+def _q_rings_filter_dsl(spark, sf_dir):
+    """Rings driven by the reference's JSON property-filter config,
+    compiled from MVEL strings to Columns (functions/filter_dsl.py).
+    The orders graph gets deterministic SQL-replayable properties:
+    vertex age = id % 97, edge weight = the shared (src+dst)%5+1 rule,
+    labels person/item by id parity and 'knows' on every edge. The
+    nondecreasing-weight $message constraint exercises the frontier's
+    carried walk-edge property."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.rings import rings_with_filter
+
+    g = orders_graph(spark, sf_dir)
+    verts = g.vertices.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, F.lit("person")).otherwise(F.lit("item")).alias("label"),
+        F.create_map(F.lit("age"), (F.col("id") % 97).cast("double")).alias("properties"),
+    )
+    edges = g.edges.select(
+        "src",
+        "dst",
+        F.lit("knows").alias("label"),
+        F.create_map(
+            F.lit("weight"), ((F.col("src") + F.col("dst")) % 5 + 1).cast("double")
+        ).alias("properties"),
+    )
+    r = rings_with_filter(Graph(verts, edges, prepartitioned=True), RINGS_DSL_FILTER,
+                          max_length=RINGS_LEN)
+    return r.groupBy("start").agg(F.count(F.lit(1)).alias("n_rings"))
+
+
 def _q_depth_sketch(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth
     from incubator_hugegraph_computer_spark.operators.stats import value_sketch
@@ -1590,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_depth": _q_depth,
         "graph_counts": _q_counts,
         "graph_rings_filtered": _q_rings_filtered,
+        "graph_rings_filter_dsl": _q_rings_filter_dsl,
         "graph_cycle_detection": _q_cycle_detection,
         "graph_depth_sketch": _q_depth_sketch,
         "graph_slpa": _q_slpa,
@@ -2837,6 +2882,30 @@ p(start, cur, path) AS (
 )
 SELECT p.start, COUNT(*) AS n_rings
 FROM p JOIN ef ON ef.src = p.cur AND ef.dst = p.start
+GROUP BY p.start
+"""
+
+    # DSL-config variant: vertex filter age(id%97)<90 gates every path
+    # vertex; first hop passes only the $message-free '*' item (w > 1);
+    # later hops AND the closing edge add the nondecreasing-weight
+    # spread constraint, with $message = the previous edge's weight
+    o["graph_rings_filter_dsl"] = f"""
+WITH RECURSIVE {_G},
+vf AS (SELECT id FROM v WHERE (id % 97) < 90),
+ew AS (SELECT e.src, e.dst, CAST((e.src + e.dst) % 5 + 1 AS DOUBLE) AS w
+       FROM e JOIN vf a ON a.id = e.src JOIN vf b ON b.id = e.dst
+       WHERE e.src <> e.dst),
+p(start, cur, path, pw) AS (
+    SELECT src, dst, [src, dst], w FROM ew WHERE dst > src AND w > 1
+    UNION ALL
+    SELECT p.start, ew.dst, list_append(p.path, ew.dst), ew.w
+    FROM p JOIN ew ON ew.src = p.cur
+    WHERE ew.dst > p.start AND NOT list_contains(p.path, ew.dst)
+      AND len(p.path) < {RINGS_LEN} AND ew.w > 1 AND p.pw <= ew.w
+)
+SELECT p.start, COUNT(*) AS n_rings
+FROM p JOIN ew ON ew.src = p.cur AND ew.dst = p.start
+WHERE ew.w > 1 AND p.pw <= ew.w
 GROUP BY p.start
 """
 

@@ -175,6 +175,114 @@ def _boolean_cycles(
     )
 
 
+def rings_with_filter(
+    graph: Graph,
+    describe: str | dict,
+    max_length: int = 6,
+) -> DataFrame:
+    """(start, path array<long>) — rings detection driven by the
+    reference's JSON filter config (``rings.property_filter``,
+    ``rings/filter/RingsDetectionWithFilter.java:35-120``), compiled to
+    Column predicates by :mod:`..functions.filter_dsl`.
+
+    Semantics mapped 1:1 from the reference:
+
+    - ``vertex_filter`` gates compute0 anchors AND every message-receiving
+      vertex (``:57,:76``) — here: the vertex set restricts both edge
+      endpoints, so no path enters or leaves a filtered-out vertex;
+    - the first hop out of the anchor uses the **no-message** edge filter
+      (compute0 sends before any message exists, ``SpreadFilter.java:56-59``);
+    - every later hop (including the ring-closing edge — the closer is
+      sent from compute, ``:105-112``) uses the spread filter with
+      ``$message`` bound to the previously-walked edge's properties
+      (``message.walkEdgeProp``), which the frontier carries as ``m_*``
+      columns — only the properties the expressions actually read.
+
+    The reference propagates walks from every anchor but records a ring
+    only at its minimum vertex (``:82-96``); since the filters read only
+    the walk itself, pruning to min-anchored walks (``dst > start``) is
+    output-lossless and turns the k× redundant search into 1×.
+
+    Vertices/edges may carry a ``properties`` map column (property-graph
+    ingest) or plain top-level property columns; ``label`` columns are
+    optional unless the config targets a concrete label."""
+    from incubator_hugegraph_computer_spark.functions.filter_dsl import SpreadFilterSpec
+
+    spec = SpreadFilterSpec(describe)
+
+    vcols = graph.vertices.columns
+    v_res = (
+        (lambda p: F.col("properties")[p]) if "properties" in vcols else (lambda p: F.col(p))
+    )
+    v_label = F.col("label") if "label" in vcols else None
+    verts = graph.vertices.where(spec.vertex_filter(v_res, v_label)).select("id")
+
+    # project ONLY the scalar props the expressions read — prunes a
+    # properties map down to columns (maps also break .distinct())
+    ecols = graph.edges.columns
+    msg_props = spec.message_props()
+    need = sorted(set(spec.edge_element_props()) | set(msg_props))
+    proj = [F.col("src"), F.col("dst")]
+    if "label" in ecols:
+        proj.append(F.col("label").alias("elabel"))
+    if "properties" in ecols:
+        proj.extend(F.col("properties")[p].alias(f"e_{p}") for p in need)
+    else:
+        proj.extend(F.col(p).alias(f"e_{p}") for p in need)
+    e_res = lambda p: F.col(f"e_{p}")  # noqa: E731
+    e_label = F.col("elabel") if "label" in ecols else None
+
+    edges = (
+        graph.edges.where(F.col("src") != F.col("dst"))
+        .select(*proj)
+        .distinct()  # EdgeFrequency.SINGLE-style dedup, like rings()
+        .join(verts.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .persist()
+    )
+
+    first_pred = spec.edge_filter(e_res, e_label)
+    spread_pred = spec.edge_spread_filter(e_res, lambda p: F.col(f"m_{p}"), e_label)
+    carry = [e_res(p).alias(f"m_{p}") for p in msg_props]
+
+    frontier = (
+        edges.where(first_pred & (F.col("dst") > F.col("src")))
+        .select(
+            F.col("src").alias("start"),
+            F.col("dst").alias("current"),
+            F.array("src", "dst").alias("path"),
+            *carry,
+        )
+        .localCheckpoint(eager=True)
+        .persist()
+    )
+    # self-loops are dropped, so the smallest ring has 2 vertices
+    found = [frontier.select("start", "path").where(F.lit(False))]
+    for _ in range(2, max_length + 1):
+        ext = frontier.join(edges, frontier.current == edges.src).where(spread_pred)
+        closed = ext.where(F.col("dst") == F.col("start")).select("start", "path")
+        found.append(closed.localCheckpoint(eager=True))
+        nxt = ext.where(
+            (F.col("dst") > F.col("start")) & ~F.array_contains(F.col("path"), F.col("dst"))
+        ).select(
+            "start",
+            F.col("dst").alias("current"),
+            F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+            *carry,
+        ).localCheckpoint(eager=True)
+        frontier.unpersist()
+        if nxt.isEmpty():
+            frontier = nxt
+            break
+        frontier = nxt.persist()
+    frontier.unpersist()
+    edges.unpersist()
+    out = found[0]
+    for f in found[1:]:
+        out = out.unionAll(f)
+    return out
+
+
 def cycle_detection(
     graph: Graph,
     min_length: int = 1,
