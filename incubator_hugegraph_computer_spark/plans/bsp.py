@@ -199,6 +199,8 @@ class BspEngine:
         count_messages: bool = True,
         track_shuffle: bool | None = None,
         checkpoint_messages: bool = False,
+        checkpoint_table: str | None = None,
+        checkpoint_provider: str = "parquet",
     ):
         self.graph = graph
         self.max_supersteps = max_supersteps
@@ -217,8 +219,18 @@ class BspEngine:
         # no-messages half of the termination rule. Programs that halt
         # via aggregators/active-count alone can disable it.
         self.count_messages = count_messages
+        # checkpoint_table switches the state backend to a catalog table
+        # (Iceberg when such a catalog is configured; see
+        # plans/checkpoint.py) — markers/metrics still live under
+        # checkpoint_dir, so the dir is required either way.
         self.ckpt = (
-            CheckpointManager(checkpoint_dir, run_id or uuid.uuid4().hex, checkpoint_every)
+            CheckpointManager(
+                checkpoint_dir,
+                run_id or uuid.uuid4().hex,
+                checkpoint_every,
+                state_table=checkpoint_table,
+                table_provider=checkpoint_provider,
+            )
             if checkpoint_dir
             else None
         )

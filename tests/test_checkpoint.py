@@ -3,6 +3,8 @@ after superstep k, resume with the same run_id, final output must equal
 an uninterrupted run's. Mirrors the reference snapshot semantics
 (SnapshotManager.java:143-205)."""
 
+import pytest
+
 from tests.conftest import PRWCC_EDGES, PRWCC_VERTEX_IDS, make_graph
 
 from incubator_hugegraph_computer_spark.operators.pagerank import pagerank
@@ -14,15 +16,41 @@ def _rank_dict(df):
     return {r["id"]: round(r["rank"], 12) for r in df.collect()}
 
 
-def test_pagerank_resume_equivalence(spark, tmp_path):
+# Both state backends share the marker commit protocol: "dir" is
+# parquet-with-directory-partitioning; "table" goes through the
+# DataFrameWriterV2 catalog path (Iceberg when such a catalog is
+# configured — the session catalog's parquet tables in this sandbox).
+@pytest.mark.parametrize("backend", ["dir", "table"])
+def test_pagerank_resume_equivalence(spark, tmp_path, backend):
+    import uuid
+
+    # unique per run: the in-memory catalog forgets tables between
+    # sessions but their managed locations persist in spark-warehouse
+    table_kw = (
+        {"checkpoint_table": f"ckpt_state_{uuid.uuid4().hex[:10]}"}
+        if backend == "table"
+        else {}
+    )
     g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
     full = _rank_dict(
         pagerank(g, checkpoint_dir=str(tmp_path / "full"), run_id="full", max_supersteps=8)
     )
     # interrupted run: budget of 3 supersteps, then resume to completion
-    pagerank(g, checkpoint_dir=str(tmp_path / "resumed"), run_id="r1", max_supersteps=3)
-    ck = CheckpointManager(str(tmp_path / "resumed"), "r1")
+    pagerank(
+        g, checkpoint_dir=str(tmp_path / "resumed"), run_id="r1", max_supersteps=3, **table_kw
+    )
+    ck = CheckpointManager(
+        str(tmp_path / "resumed"), "r1", state_table=table_kw.get("checkpoint_table")
+    )
     assert ck.latest_complete() == 3
+    if backend == "table":
+        # the table really holds the state, partitioned by (run_id, step)
+        tbl = spark.table(table_kw["checkpoint_table"])
+        assert {"run_id", "superstep", "partition_id"} <= set(tbl.columns)
+        assert tbl.where("run_id = 'r1' AND superstep = 3").count() == len(PRWCC_VERTEX_IDS)
+        # lineage rows came from the table path (rows exact, bytes n/a)
+        lineage = ck.metrics()[-1]["partitions"]
+        assert sum(p["rows"] for p in lineage) == len(PRWCC_VERTEX_IDS)
     resumed = _rank_dict(
         pagerank(
             g,
@@ -30,6 +58,7 @@ def test_pagerank_resume_equivalence(spark, tmp_path):
             run_id="r1",
             max_supersteps=8,
             resume=True,
+            **table_kw,
         )
     )
     assert resumed == full
