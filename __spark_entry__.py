@@ -88,6 +88,11 @@ LP_TOPK = 50
 # (max sym degree ≈ 25) so gate semantics are effectively uncapped;
 # binds at sf0.1+ where the %1024 buckets exceed it. Oracle replays it.
 LP_DEG_CAP = 64
+# SimRank decay 0.75 = 3/4, exactly representable in binary — per-term
+# products stay clean so only summation-order ULP noise remains under
+# the 6-decimal round (same class as pagerank's, never observed to flip).
+SIMRANK_C = 0.75
+SIMRANK_K = 2
 TOP_TERMS_K = 20
 EIG_ITERS = 5
 KTRUSS_K = 4
@@ -631,6 +636,25 @@ def _q_motifs(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.motifs import motif_census
 
     return motif_census(orders_graph(spark, sf_dir))
+
+
+def _q_simrank(spark, sf_dir):
+    """Truncated SimRank (k=2, C=0.75, exact sparse iteration) — the
+    recursive structural-similarity companion to graph_jaccard; only
+    non-zero pairs a < b are emitted (diagonal is implicit 1)."""
+    from incubator_hugegraph_computer_spark.operators.simrank import simrank
+
+    r = simrank(orders_graph(spark, sf_dir), k=SIMRANK_K, c=SIMRANK_C)
+    # SimRank scores are small-denominator rationals (C·common/(da·db)),
+    # so many land EXACTLY on the 6-decimal half-way boundary where
+    # Spark's HALF_UP BigDecimal round and DuckDB's raw-double round
+    # disagree (observed: 0.75/2400 → 0.000313 vs 0.000312). The 1e-9
+    # nudge moves every boundary value decisively above the half-way
+    # point on both engines; float summation noise (~1e-16) cannot cross
+    # the nudge. Declared semantics, replayed in the oracle.
+    return r.select(
+        "a", "b", F.round(F.col("score") + F.lit(1e-9), 6).alias("score")
+    )
 
 
 def _q_ego2(spark, sf_dir):
@@ -1654,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": _q_ktruss,
         "graph_reciprocity": _q_reciprocity,
         "graph_salsa": _q_salsa,
+        "graph_simrank": _q_simrank,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -2925,6 +2950,38 @@ SELECT (SELECT COUNT(*) FROM v) AS n_vertices, (SELECT COUNT(*) FROM e) AS n_edg
 """
 
     o["graph_betweenness"] = _betweenness_sql(BETW_SRC_MAX, BETW_DEPTH)
+
+    # Truncated SimRank, k=2 unrolled: s1 from the identity base case is
+    # C*|I(a)∩I(b)|/(|I(a)||I(b)|); s2 adds the off-diagonal propagation
+    # (each ordered (i,j) term surfaces once from the i<j pair rows via
+    # the two join-role assignments — operators/simrank.py plan notes).
+    o["graph_simrank"] = f"""
+WITH {_G},
+ie AS MATERIALIZED (SELECT DISTINCT dst AS vv, src AS n FROM e),
+ideg AS (SELECT vv, COUNT(*) AS d FROM ie GROUP BY 1),
+s1 AS MATERIALIZED (
+  SELECT l.vv AS a, r.vv AS b, COUNT(*) AS common
+  FROM ie l JOIN ie r ON l.n = r.n AND l.vv < r.vv
+  GROUP BY 1, 2
+),
+s1s AS (
+  SELECT s1.a, s1.b, {SIMRANK_C} * s1.common / (da.d * db.d) AS score
+  FROM s1 JOIN ideg da ON da.vv = s1.a JOIN ideg db ON db.vv = s1.b
+),
+crossc AS (
+  SELECT LEAST(ea.dst, eb.dst) AS a, GREATEST(ea.dst, eb.dst) AS b,
+         SUM(s.score) AS contrib
+  FROM s1s s JOIN e ea ON ea.src = s.a JOIN e eb ON eb.src = s.b
+  WHERE ea.dst <> eb.dst
+  GROUP BY 1, 2
+)
+SELECT COALESCE(c.a, d.a) AS a, COALESCE(c.b, d.b) AS b,
+       ROUND({SIMRANK_C} * (COALESCE(c.contrib, 0) + COALESCE(d.common, 0))
+             / (da.d * db.d) + 1e-9, 6) AS score
+FROM crossc c FULL JOIN s1 d ON c.a = d.a AND c.b = d.b
+JOIN ideg da ON da.vv = COALESCE(c.a, d.a)
+JOIN ideg db ON db.vv = COALESCE(c.b, d.b)
+"""
 
     o["graph_hits"] = _hits_sql(HITS_ITERS)
     o["graph_katz"] = _katz_sql(KATZ_ALPHA, KATZ_ITERS)
