@@ -140,7 +140,18 @@ def louvain(
     """(id, community) — community = representative supervertex id
     (min id within community at each contraction, applied recursively).
     ``weight_col`` selects the weighted variant (louvain_weighted.go)."""
-    adj = _initial_adjacency(graph, weight_col).persist()
+    # Hash-partition the adjacency on j and KEEP that layout in the
+    # cache: the move phase joins adj⋈comm on j once per inner step, and
+    # a cached relation advertises its partitioning, so only the V-row
+    # community frame shuffles each step — the E-row side stays put
+    # (the dominant per-step shuffle at scale). Contraction joins on i
+    # once per LEVEL and pays one reshuffle; inner steps run max_inner
+    # times per level, so j wins.
+    adj = (
+        _initial_adjacency(graph, weight_col)
+        .repartition(graph.num_partitions, "j")
+        .persist()
+    )
     two_m = adj.agg(F.sum("w")).first()[0] or 0.0
     if two_m == 0:
         return graph.vertices.select("id", F.col("id").alias("community"))
@@ -172,6 +183,7 @@ def louvain(
             .join(cjj, "j")
             .groupBy(F.col("new_i").alias("i"), F.col("new_j").alias("j"))
             .agg(F.sum("w").alias("w"))
+            .repartition(graph.num_partitions, "j")
             .localCheckpoint(eager=True)
         )
         adj.unpersist()
