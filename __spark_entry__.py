@@ -93,6 +93,7 @@ LP_DEG_CAP = 64
 # the 6-decimal round (same class as pagerank's, never observed to flip).
 SIMRANK_C = 0.75
 SIMRANK_K = 2
+N2V_DIM = 16
 TOP_TERMS_K = 20
 EIG_ITERS = 5
 KTRUSS_K = 4
@@ -654,6 +655,27 @@ def _q_simrank(spark, sf_dir):
     # the nudge. Declared semantics, replayed in the oracle.
     return r.select(
         "a", "b", F.round(F.col("score") + F.lit(1e-9), 6).alias("score")
+    )
+
+
+def _q_node2vec_embed(spark, sf_dir):
+    """node2vec end-to-end: seeded p/q walks -> Spark ML Word2Vec
+    skip-gram -> per-vertex embedding. Training is not SQL-replayable,
+    so the ORACLE gates the pipeline's deterministic shape — every
+    vertex with out-degree > 0 starts a walk, enters the vocabulary,
+    and gets a dim-sized vector — while the embedding VALUES are gated
+    by tests/test_embeddings.py (seeded determinism + coverage)."""
+    from incubator_hugegraph_computer_spark.operators.embeddings import (
+        node2vec_embeddings,
+    )
+
+    g = orders_graph(spark, sf_dir)
+    emb = node2vec_embeddings(
+        g, dim=N2V_DIM, walk_length=6, walks_per_node=1, inout_factor=2.0, seed=42
+    )
+    starts = g.edges.select(F.col("src").alias("id")).distinct()
+    return emb.join(starts, "id").select(
+        "id", F.size("embedding").alias("dim")
     )
 
 
@@ -1679,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_reciprocity": _q_reciprocity,
         "graph_salsa": _q_salsa,
         "graph_simrank": _q_simrank,
+        "graph_node2vec_embed": _q_node2vec_embed,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -2981,6 +3004,14 @@ SELECT COALESCE(c.a, d.a) AS a, COALESCE(c.b, d.b) AS b,
 FROM crossc c FULL JOIN s1 d ON c.a = d.a AND c.b = d.b
 JOIN ideg da ON da.vv = COALESCE(c.a, d.a)
 JOIN ideg db ON db.vv = COALESCE(c.b, d.b)
+"""
+
+    # node2vec+Word2Vec: the oracle replays the deterministic SHAPE of
+    # the pipeline (every walking vertex gets one dim-sized vector);
+    # trained values are pytest-gated (_q_node2vec_embed docstring).
+    o["graph_node2vec_embed"] = f"""
+WITH {_G}
+SELECT DISTINCT src AS id, CAST({N2V_DIM} AS INT) AS dim FROM e
 """
 
     o["graph_hits"] = _hits_sql(HITS_ITERS)
