@@ -43,6 +43,14 @@ TOPK = 10
 RINGS_LEN = 4
 BETW_SRC_MAX = 30
 BETW_DEPTH = 14
+# md5-coin pivot sample for the scaled Brandes estimator: first-2-hex
+# threshold "0a" ≈ 3.9% of vertices, replayed bit-identically by DuckDB
+BETW_SAMPLE_HEX = "0a"
+BETW_SAMPLE_SEED = 7
+DENSEST_EPS = 0.1
+DENSEST_ROUNDS = 8
+SMOOTH_ROUNDS = 3
+SMOOTH_ALPHA = 0.5
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
 RW_LEN = 5
@@ -1653,6 +1661,54 @@ def _q_events_anomaly(spark, sf_dir):
     )
 
 
+def _q_betweenness_sampled(spark, sf_dir):
+    """Scaled Brandes pivot estimator (BetweennessCentrality.java:41,
+    70-74 samples sources at random and reports the scaled sum): pivots
+    drawn by an md5 coin the oracle replays bit-identically, estimate =
+    (|V| / |pivots|) · Σ_pivots dependency."""
+    from incubator_hugegraph_computer_spark.operators.betweenness import betweenness
+
+    g = orders_graph(spark, sf_dir)
+    coin = F.md5(
+        F.concat_ws(":", F.col("id").cast("string"), F.lit(str(BETW_SAMPLE_SEED)))
+    )
+    srcs = g.vertices.where(coin < F.lit(BETW_SAMPLE_HEX)).select("id")
+    b = betweenness(g, sources=srcs, max_depth=BETW_DEPTH)
+    scale = (
+        g.vertices.agg(F.count(F.lit(1)).cast("double").alias("nv"))
+        .crossJoin(srcs.agg(F.count(F.lit(1)).alias("np")))  # one-row × one-row
+    )
+    return b.crossJoin(F.broadcast(scale)).select(
+        "id",
+        F.round(F.col("betweenness") * F.col("nv") / F.col("np"), 6).alias(
+            "betweenness_est"
+        ),
+    )
+
+
+def _q_densest(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.densest import densest_subgraph
+
+    return densest_subgraph(
+        orders_graph(spark, sf_dir), eps=DENSEST_EPS, max_rounds=DENSEST_ROUNDS
+    )
+
+
+def _q_feature_smooth(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.smoothing import smooth_feature
+
+    g = orders_graph(spark, sf_dir)
+    feats = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").cast("long").alias("id"),
+            F.col("c_acctbal").cast("double").alias("x"),
+        )
+    )
+    s = smooth_feature(g, feats, rounds=SMOOTH_ROUNDS, alpha=SMOOTH_ALPHA)
+    return s.select("id", F.round("x", 6).alias("x"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -1702,6 +1758,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_salsa": _q_salsa,
         "graph_simrank": _q_simrank,
         "graph_node2vec_embed": _q_node2vec_embed,
+        "graph_betweenness_sampled": _q_betweenness_sampled,
+        "graph_densest": _q_densest,
+        "graph_feature_smooth": _q_feature_smooth,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -2471,15 +2530,20 @@ SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM bitsum
 """
 
 
-def _betweenness_sql(src_max: int, depth: int) -> str:
+def _betweenness_sql(
+    src_max: int, depth: int, pred: str | None = None, scaled: bool = False
+) -> str:
     """Exact Brandes (directed, endpoints excluded) from sources
-    id<=src_max, unrolled to ``depth`` BFS layers — same truncation rule
-    as the Spark operator's max_depth."""
+    id<=src_max (or ``pred``), unrolled to ``depth`` BFS layers — same
+    truncation rule as the Spark operator's max_depth. ``scaled``
+    emits the pivot estimator (|V|/|pivots|)·Σ delta as
+    ``betweenness_est``."""
+    src_pred = pred if pred is not None else f"id <= {src_max}"
     parts = [
         f"WITH {_G},",
         "e2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),",
         f"l0 AS MATERIALIZED (SELECT id AS source, id AS v, 1.0 AS sigma "
-        f"FROM v WHERE id <= {src_max}),",
+        f"FROM v WHERE {src_pred}),",
         "vis0 AS MATERIALIZED (SELECT source, v FROM l0),",
     ]
     for k in range(1, depth + 1):
@@ -2513,6 +2577,15 @@ def _betweenness_sql(src_max: int, depth: int) -> str:
     )
     parts.append(f"alld AS ({unions}),")
     parts.append("bc AS (SELECT v AS id, SUM(delta) AS b FROM alld GROUP BY 1)")
+    if scaled:
+        # same IEEE op order as the Spark query: (b * nv) / np
+        return (
+            "\n".join(parts)
+            + "\nSELECT v.id, ROUND(COALESCE(bc.b, 0.0)"
+            " * (SELECT CAST(COUNT(*) AS DOUBLE) FROM v)"
+            " / (SELECT COUNT(*) FROM l0), 6) AS betweenness_est "
+            "FROM v LEFT JOIN bc USING(id)"
+        )
     return (
         "\n".join(parts)
         + "\nSELECT v.id, ROUND(COALESCE(bc.b, 0.0), 6) AS betweenness "
@@ -2536,6 +2609,78 @@ proj AS (SELECT f.vec_id, w.plane, SUM(CAST(f.x AS DOUBLE) * w.w) AS p
 bk AS (SELECT vec_id,
        CAST(SUM(CASE WHEN p > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
        FROM proj GROUP BY vec_id)"""
+
+
+def _densest_sql(eps: float, rounds: int) -> str:
+    """Bahmani greedy peel unrolled to ``rounds`` density evaluations
+    (sets s0..s{rounds-1}); emits the best-density prefix, earliest
+    round on ties — operators/densest.py's exact rule, same IEEE op
+    order ((m2/2.0)/n; deg > 2.0*(1.0+eps)*density)."""
+    parts = [
+        f"WITH {_G},",
+        "s0 AS MATERIALIZED (SELECT id FROM v),",
+        "pe0 AS MATERIALIZED (SELECT src, dst FROM sym),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"rho{r} AS (SELECT CASE WHEN n > 0 THEN (m2 / 2.0) / n ELSE 0.0 END"
+            f" AS density FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM s{r})"
+            f" CROSS JOIN (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM pe{r})),"
+        )
+        if r == rounds - 1:
+            break
+        parts.append(
+            f"dg{r} AS (SELECT src AS id, COUNT(*) AS dg FROM pe{r} GROUP BY 1),"
+        )
+        parts.append(
+            f"s{r+1} AS MATERIALIZED (SELECT s.id FROM s{r} s"
+            f" LEFT JOIN dg{r} d USING(id) CROSS JOIN rho{r} r"
+            f" WHERE COALESCE(d.dg, 0) > 2.0 * (1.0 + {eps!r}) * r.density),"
+        )
+        parts.append(
+            f"pe{r+1} AS MATERIALIZED (SELECT p.src, p.dst FROM pe{r} p"
+            f" JOIN s{r+1} a ON a.id = p.src JOIN s{r+1} b ON b.id = p.dst),"
+        )
+    dens_union = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, density FROM rho{r}" for r in range(rounds)
+    )
+    sets_union = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, id FROM s{r}" for r in range(rounds)
+    )
+    parts.append(f"dens AS ({dens_union}),")
+    parts.append(
+        "best AS (SELECT rnd, density FROM dens ORDER BY density DESC, rnd ASC LIMIT 1),"
+    )
+    parts.append(f"alls AS ({sets_union})")
+    return (
+        "\n".join(parts)
+        + "\nSELECT a.id, ROUND(b.density, 6) AS density FROM alls a JOIN best b USING(rnd)"
+    )
+
+
+def _smooth_sql(rounds: int, alpha: float) -> str:
+    """Unrolled neighbor-mean smoothing over sym — operators/
+    smoothing.py's x_{r+1} = (1-α)x_r + α·mean(neighbors), isolated
+    vertices keep their value; feature = customer.c_acctbal (0.0 where
+    the vertex is not a custkey)."""
+    parts = [
+        f"WITH {_G},",
+        "feat AS (SELECT c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS x0 FROM customer),",
+        "x0 AS MATERIALIZED (SELECT v.id, COALESCE(f.x0, 0.0) AS x"
+        " FROM v LEFT JOIN feat f USING(id)),",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"n{r+1} AS (SELECT s.dst AS id, AVG(x.x) AS nm FROM sym s"
+            f" JOIN x{r} x ON x.id = s.src GROUP BY 1),"
+        )
+        parts.append(
+            f"x{r+1} AS MATERIALIZED (SELECT p.id, CASE WHEN n.nm IS NULL THEN p.x"
+            f" ELSE {1.0 - alpha!r} * p.x + {alpha!r} * n.nm END AS x"
+            f" FROM x{r} p LEFT JOIN n{r+1} n USING(id)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + f"\nSELECT id, ROUND(x, 6) AS x FROM x{rounds}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2973,6 +3118,20 @@ SELECT (SELECT COUNT(*) FROM v) AS n_vertices, (SELECT COUNT(*) FROM e) AS n_edg
 """
 
     o["graph_betweenness"] = _betweenness_sql(BETW_SRC_MAX, BETW_DEPTH)
+
+    o["graph_betweenness_sampled"] = _betweenness_sql(
+        0,
+        BETW_DEPTH,
+        pred=(
+            f"md5(CAST(id AS VARCHAR) || ':' || '{BETW_SAMPLE_SEED}')"
+            f" < '{BETW_SAMPLE_HEX}'"
+        ),
+        scaled=True,
+    )
+
+    o["graph_densest"] = _densest_sql(DENSEST_EPS, DENSEST_ROUNDS)
+
+    o["graph_feature_smooth"] = _smooth_sql(SMOOTH_ROUNDS, SMOOTH_ALPHA)
 
     # Truncated SimRank, k=2 unrolled: s1 from the identity base case is
     # C*|I(a)∩I(b)|/(|I(a)||I(b)|); s2 adds the off-diagonal propagation

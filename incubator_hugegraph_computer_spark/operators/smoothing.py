@@ -1,0 +1,64 @@
+"""Feature smoothing — k rounds of neighbor-mean propagation.
+
+GNN-preprocessing crossover of the BSP message pass: the same
+join-aggregate superstep the reference drives for PageRank
+(``computer-algorithm/.../rank/pagerank/PageRank.java:95-130``) applied
+to a numeric vertex feature instead of rank mass,
+
+    x_{r+1}(v) = (1-α)·x_r(v) + α·mean_{u∈N(v)} x_r(u)
+
+over the symmetrized adjacency; vertices with no neighbors keep their
+value. This is "SGC/SIGN-style" feature pre-smoothing — at 10^12 edges
+it runs as k shuffle-on-src join-aggregates over the one-time
+hash-partitioned adjacency, identical plan shape (and cost) to k
+PageRank supersteps; features stay columnar the whole way (a feature
+VECTOR smooths the same way with per-dimension aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+
+
+def smooth_feature(
+    graph: Graph,
+    features: DataFrame,
+    rounds: int = 3,
+    alpha: float = 0.5,
+    feature_col: str = "x",
+) -> DataFrame:
+    """(id, x) after ``rounds`` neighbor-mean mixing steps.
+
+    ``features``: (id, <feature_col> double) — one row per graph
+    vertex (missing vertices enter at 0.0).
+    """
+    sym = graph.symmetrized().edges  # distinct, self-loop-free, by src
+    state = (
+        graph.vertices.select("id")
+        .join(features.select("id", F.col(feature_col).alias("x")), "id", "left")
+        .select("id", F.coalesce("x", F.lit(0.0)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max(0, rounds)):
+        # message pass: each neighbor contributes its value; groupBy dst
+        # is the map-side-combined mean (sum+count partials)
+        nbr = (
+            sym.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.avg("x").alias("nbr_mean"))
+        )
+        state = (
+            state.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("nbr_mean").isNull(), F.col("x")
+                ).otherwise(
+                    F.lit(1.0 - alpha) * F.col("x") + F.lit(alpha) * F.col("nbr_mean")
+                ).alias("x"),
+            )
+            .localCheckpoint(eager=True)  # truncate the k-round lineage
+        )
+    return state
