@@ -1686,6 +1686,27 @@ def _q_betweenness_sampled(spark, sf_dir):
     )
 
 
+def _q_attr_assortativity(spark, sf_dir):
+    """Newman categorical homophily over nation labels: custkey
+    vertices carry their customer's nation, non-customer vertices a
+    deterministic id%25 pseudo-nation."""
+    from incubator_hugegraph_computer_spark.operators.link_prediction import (
+        attribute_assortativity,
+    )
+
+    g = orders_graph(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+    )
+    attrs = (
+        g.vertices.select("id")
+        .join(cust, "id", "left")
+        .select("id", F.coalesce("nk", F.col("id") % 25).alias("attr"))
+    )
+    return attribute_assortativity(g, attrs)
+
+
 def _q_densest(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.densest import densest_subgraph
 
@@ -1761,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_betweenness_sampled": _q_betweenness_sampled,
         "graph_densest": _q_densest,
         "graph_feature_smooth": _q_feature_smooth,
+        "graph_attr_assortativity": _q_attr_assortativity,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -3130,6 +3152,26 @@ SELECT (SELECT COUNT(*) FROM v) AS n_vertices, (SELECT COUNT(*) FROM e) AS n_edg
     )
 
     o["graph_densest"] = _densest_sql(DENSEST_EPS, DENSEST_ROUNDS)
+
+    # same IEEE op order as attribute_assortativity:
+    # (diag/m - sab/m²) / (1 - sab/m²)
+    o["graph_attr_assortativity"] = f"""
+WITH {_G},
+attrs AS (SELECT v.id, COALESCE(c.c_nationkey, v.id % 25) AS attr
+          FROM v LEFT JOIN customer c ON c.c_custkey = v.id),
+tagged AS MATERIALIZED (
+  SELECT sa.attr AS asrc, da.attr AS adst
+  FROM sym JOIN attrs sa ON sa.id = sym.src JOIN attrs da ON da.id = sym.dst),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+               SUM(CASE WHEN asrc = adst THEN 1 ELSE 0 END) AS diag_cnt
+        FROM tagged),
+cs AS (SELECT asrc AS attr, COUNT(*) AS cs FROM tagged GROUP BY 1),
+cd AS (SELECT adst AS attr, COUNT(*) AS cd FROM tagged GROUP BY 1),
+sab AS (SELECT SUM(cs.cs * cd.cd) AS sabn FROM cs JOIN cd USING(attr))
+SELECT ROUND(((diag_cnt / m) - (sabn / (m * m)))
+             / (1.0 - (sabn / (m * m))), 6) AS attr_assortativity
+FROM tot CROSS JOIN sab
+"""
 
     o["graph_feature_smooth"] = _smooth_sql(SMOOTH_ROUNDS, SMOOTH_ALPHA)
 

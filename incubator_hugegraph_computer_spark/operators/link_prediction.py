@@ -92,6 +92,49 @@ def reciprocity(graph: Graph) -> DataFrame:
     )
 
 
+def attribute_assortativity(graph: Graph, attrs: DataFrame) -> DataFrame:
+    """One-row (attr_assortativity,) — Newman's categorical mixing
+    coefficient (PRE 67, 026126 (2003) eq. 2):
+
+        r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i)
+
+    over the symmetrized edge list, where e_ij is the fraction of edges
+    from attribute i to attribute j and a_i/b_i its marginals. r=1 is
+    perfect homophily, 0 random mixing, negative disassortative. The
+    homophily companion to ``degree_assortativity``.
+
+    ``attrs``: (id, attr) — one categorical label per vertex.
+
+    Plan: tag edges with both endpoint attributes (two hash joins
+    against the V-row attribute table), then three map-side-combined
+    aggregates (per-attr src counts, per-attr dst counts, diagonal
+    count) composed through one-row scalar crossJoins — no window, no
+    all-pairs; scale cost is the two edge⋈attr joins."""
+    sym = graph.symmetrized().edges
+    a = attrs.select("id", "attr")
+    tagged = (
+        sym.join(a.select(F.col("id").alias("src"), F.col("attr").alias("asrc")), "src")
+        .join(a.select(F.col("id").alias("dst"), F.col("attr").alias("adst")), "dst")
+        .select("asrc", "adst")
+    )
+    totals = tagged.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum((F.col("asrc") == F.col("adst")).cast("long")).alias("diag_cnt"),
+    )
+    cs = tagged.groupBy(F.col("asrc").alias("attr")).agg(F.count(F.lit(1)).alias("cs"))
+    cd = tagged.groupBy(F.col("adst").alias("attr")).agg(F.count(F.lit(1)).alias("cd"))
+    sab = (
+        cs.join(cd, "attr")  # a missing side contributes a zero product
+        .agg(F.sum(F.col("cs") * F.col("cd")).alias("sabn"))
+    )
+    s = F.col("sabn") / (F.col("m") * F.col("m"))
+    return totals.crossJoin(sab).select(  # one-row × one-row
+        F.round(((F.col("diag_cnt") / F.col("m")) - s) / (F.lit(1.0) - s), 6).alias(
+            "attr_assortativity"
+        )
+    )
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """One-row (assortativity,) — Pearson correlation of endpoint
     degrees over the undirected edge list (Newson 2002 r). Positive on

@@ -110,6 +110,51 @@ def test_smoothing_matches_numpy_iteration(spark):
         assert out[v] == pytest.approx(ref[v], abs=1e-9)
 
 
+def _newman_r(edge_list, attr):
+    """Literal Newman eq. 2 over the symmetrized directed edge list."""
+    sym = {(a, b) for a, b in edge_list if a != b} | {
+        (b, a) for a, b in edge_list if a != b
+    }
+    m = len(sym)
+    diag = sum(1 for a, b in sym if attr[a] == attr[b]) / m
+    from collections import Counter
+
+    cs, cd = Counter(attr[a] for a, _ in sym), Counter(attr[b] for _, b in sym)
+    sab = sum(cs[i] * cd[i] for i in cs) / (m * m)
+    return (diag - sab) / (1 - sab)
+
+
+def test_attr_assortativity_two_camps(spark):
+    """Two 3-cliques joined by one edge, camp labels: strongly
+    assortative; python Newman reference parity."""
+    from incubator_hugegraph_computer_spark.operators.link_prediction import (
+        attribute_assortativity,
+    )
+
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    attr = {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1}
+    g = make_graph(spark, edges, vertex_ids=range(6))
+    attrs = spark.createDataFrame(sorted(attr.items()), "id long, attr long")
+    out = attribute_assortativity(g, attrs).collect()[0].attr_assortativity
+    assert out == pytest.approx(_newman_r(edges, attr), abs=1e-6)
+    assert out > 0.5  # homophilous by construction
+
+
+def test_attr_assortativity_random_labels_near_zero(spark):
+    from incubator_hugegraph_computer_spark.operators.link_prediction import (
+        attribute_assortativity,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 30
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, (150, 2)) if a != b})
+    attr = {v: int(rng.randint(0, 2)) for v in range(n)}
+    g = make_graph(spark, edges, vertex_ids=range(n))
+    attrs = spark.createDataFrame(sorted(attr.items()), "id long, attr long")
+    out = attribute_assortativity(g, attrs).collect()[0].attr_assortativity
+    assert out == pytest.approx(_newman_r(edges, attr), abs=1e-6)
+
+
 def test_smoothing_missing_features_default_zero(spark):
     g = make_graph(spark, PATH, vertex_ids=range(3))
     feats = spark.createDataFrame([(0, 4.0)], "id long, x double")
