@@ -73,6 +73,12 @@ MIS_SEED = 42
 DOULION_HEX = "29"
 DOULION_SEED = 42
 SEEDED_ROUNDS = 5  # seeded-LPA rounds (oracle unrolls them)
+RICH_CLUB_MAX_K = 16
+# SCAN (eps, mu): probed at both gate SFs — sf0.001 gives 476 cores /
+# 1 cluster / 548 border, sf0.01 gives 779 cores / 18 clusters / 310
+# border, so every label class (cluster/hub/outlier) is exercised
+SCAN_EPS = 0.15
+SCAN_MU = 3
 SEEDED_MAX = 40  # seeds: id <= SEEDED_MAX, label = id % SEEDED_CLASSES
 SEEDED_CLASSES = 4
 LANDMARK_MAX = 8  # landmark set: id <= LANDMARK_MAX
@@ -1707,6 +1713,35 @@ def _q_attr_assortativity(spark, sf_dir):
     return attribute_assortativity(g, attrs)
 
 
+def _q_embeddedness(spark, sf_dir):
+    """Per-edge common-neighbor count; 0-rows are the local bridges."""
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        edge_embeddedness,
+    )
+
+    return edge_embeddedness(orders_graph(spark, sf_dir))
+
+
+def _q_rich_club(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.structure import rich_club
+
+    return rich_club(orders_graph(spark, sf_dir), max_k=RICH_CLUB_MAX_K)
+
+
+def _q_bowtie(spark, sf_dir):
+    """Broder bow-tie map (CORE/IN/OUT/TUBE/TENDRIL_*/DISCONNECTED)."""
+    from incubator_hugegraph_computer_spark.operators.structure import bowtie
+
+    return bowtie(orders_graph(spark, sf_dir))
+
+
+def _q_scan(spark, sf_dir):
+    """SCAN structural clustering: cluster id / -1 hub / -2 outlier."""
+    from incubator_hugegraph_computer_spark.operators.scan import scan
+
+    return scan(orders_graph(spark, sf_dir), eps=SCAN_EPS, mu=SCAN_MU)
+
+
 def _q_densest(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.densest import densest_subgraph
 
@@ -1783,6 +1818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_densest": _q_densest,
         "graph_feature_smooth": _q_feature_smooth,
         "graph_attr_assortativity": _q_attr_assortativity,
+        "graph_embeddedness": _q_embeddedness,
+        "graph_rich_club": _q_rich_club,
+        "graph_bowtie": _q_bowtie,
+        "graph_scan": _q_scan,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -3171,6 +3210,122 @@ sab AS (SELECT SUM(cs.cs * cd.cd) AS sabn FROM cs JOIN cd USING(attr))
 SELECT ROUND(((diag_cnt / m) - (sabn / (m * m)))
              / (1.0 - (sabn / (m * m))), 6) AS attr_assortativity
 FROM tot CROSS JOIN sab
+"""
+
+    # common-neighbor count per canonical undirected edge (= triangles
+    # through the edge); 0-rows are the local bridges
+    o["graph_embeddedness"] = f"""
+WITH {_G},
+u AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+cn AS (SELECT u.a, u.b, COUNT(*) AS c
+       FROM u JOIN sym s1 ON s1.src = u.a
+       JOIN sym s2 ON s2.src = u.b AND s2.dst = s1.dst
+       GROUP BY 1, 2)
+SELECT u.a, u.b, CAST(COALESCE(cn.c, 0) AS BIGINT) AS embeddedness
+FROM u LEFT JOIN cn USING(a, b)
+"""
+
+    # rich-club profile phi(k) = 2 E_k / (N_k (N_k - 1)) over deg > k
+    o["graph_rich_club"] = f"""
+WITH {_G},
+u AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+ids AS (SELECT a AS id FROM u UNION ALL SELECT b FROM u),
+deg AS (SELECT id, COUNT(*) AS d FROM ids GROUP BY 1),
+ks AS (SELECT unnest(generate_series(1, {RICH_CLUB_MAX_K})) AS k),
+nk AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+ek AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_edges
+       FROM ks JOIN (SELECT LEAST(da.d, db.d) AS mdeg
+                     FROM u JOIN deg da ON da.id = u.a
+                     JOIN deg db ON db.id = u.b) m
+       ON m.mdeg > ks.k GROUP BY 1)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       CASE WHEN COALESCE(nk.n_nodes, 0) >= 2
+            THEN ROUND(2.0 * COALESCE(ek.n_edges, 0)
+                       / (nk.n_nodes * (nk.n_nodes - 1)), 6) END AS phi
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+"""
+
+    # Broder bow-tie over the full reachability closure: CORE = largest
+    # SCC (tie → min scc id); IN reaches it, OUT is reached from it;
+    # the residue splits by reachability from IN / to OUT (a residue
+    # path cannot pass through CORE, or the vertex would be IN/OUT)
+    o["graph_bowtie"] = f"""
+WITH RECURSIVE {_G},
+r(a, b) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+),
+comp AS (SELECT x.a AS id, MIN(x.b) AS scc
+         FROM r x JOIN r y ON y.a = x.b AND y.b = x.a GROUP BY x.a),
+corep AS (SELECT scc FROM comp GROUP BY scc ORDER BY COUNT(*) DESC, scc ASC LIMIT 1),
+core AS MATERIALIZED (SELECT id FROM comp WHERE scc = (SELECT scc FROM corep)),
+fwd AS (SELECT DISTINCT r.b AS id FROM r JOIN core c ON c.id = r.a),
+bwd AS (SELECT DISTINCT r.a AS id FROM r JOIN core c ON c.id = r.b),
+inn AS MATERIALIZED (SELECT b.id FROM bwd b
+     WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.id = b.id)),
+outt AS MATERIALIZED (SELECT f.id FROM fwd f
+      WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.id = f.id)),
+fromin AS (SELECT DISTINCT r.b AS id FROM r JOIN inn i ON i.id = r.a),
+toout AS (SELECT DISTINCT r.a AS id FROM r JOIN outt o ON o.id = r.b)
+SELECT v.id,
+  CASE WHEN EXISTS(SELECT 1 FROM core c WHERE c.id = v.id) THEN 'CORE'
+       WHEN EXISTS(SELECT 1 FROM inn c WHERE c.id = v.id) THEN 'IN'
+       WHEN EXISTS(SELECT 1 FROM outt c WHERE c.id = v.id) THEN 'OUT'
+       WHEN EXISTS(SELECT 1 FROM fromin c WHERE c.id = v.id)
+            AND EXISTS(SELECT 1 FROM toout c WHERE c.id = v.id) THEN 'TUBE'
+       WHEN EXISTS(SELECT 1 FROM fromin c WHERE c.id = v.id) THEN 'TENDRIL_IN'
+       WHEN EXISTS(SELECT 1 FROM toout c WHERE c.id = v.id) THEN 'TENDRIL_OUT'
+       ELSE 'DISCONNECTED' END AS region
+FROM v
+"""
+
+    # SCAN: closed-neighborhood cosine sigma = (cn+2)/sqrt((da+1)(db+1))
+    # — same IEEE op order as operators/scan.py; clusters = min-core-id
+    # components of the core eps-subgraph; border joins min cluster;
+    # hubs (-1) see >= 2 clusters among plain neighbors, else outlier (-2)
+    o["graph_scan"] = f"""
+WITH RECURSIVE {_G},
+u AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+cn AS (SELECT u.a, u.b, COUNT(*) AS c
+       FROM u JOIN sym s1 ON s1.src = u.a
+       JOIN sym s2 ON s2.src = u.b AND s2.dst = s1.dst
+       GROUP BY 1, 2),
+sig AS (SELECT u.a, u.b,
+               (COALESCE(cn.c, 0) + 2) / sqrt((da.d + 1.0) * (db.d + 1.0)) AS s
+        FROM u LEFT JOIN cn USING(a, b)
+        JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b),
+epse AS MATERIALIZED (SELECT a, b FROM sig WHERE s >= {SCAN_EPS}),
+epssym AS (SELECT a AS src, b AS dst FROM epse UNION ALL SELECT b, a FROM epse),
+ecnt AS (SELECT src AS id, COUNT(*) + 1 AS n FROM epssym GROUP BY 1),
+cores AS MATERIALIZED (SELECT id FROM ecnt WHERE n >= {SCAN_MU}),
+ce AS (SELECT s.src, s.dst FROM epssym s
+       JOIN cores c1 ON c1.id = s.src JOIN cores c2 ON c2.id = s.dst),
+cc(id, anc) AS (
+    SELECT id, id FROM cores
+    UNION
+    SELECT ce.dst, cc.anc FROM cc JOIN ce ON ce.src = cc.id
+),
+clus AS MATERIALIZED (SELECT id, MIN(anc) AS label FROM cc GROUP BY id),
+border AS (SELECT s.dst AS id, MIN(cl.label) AS label
+           FROM epssym s JOIN cores c ON c.id = s.src JOIN clus cl ON cl.id = s.src
+           WHERE NOT EXISTS (SELECT 1 FROM cores k WHERE k.id = s.dst)
+           GROUP BY 1),
+members AS MATERIALIZED (SELECT * FROM clus UNION ALL SELECT * FROM border),
+rest AS (SELECT v.id FROM v
+         WHERE NOT EXISTS (SELECT 1 FROM members m WHERE m.id = v.id)),
+restl AS (SELECT s.src AS id, COUNT(DISTINCT m.label) AS nc
+          FROM sym s JOIN members m ON m.id = s.dst
+          WHERE NOT EXISTS (SELECT 1 FROM members mm WHERE mm.id = s.src)
+          GROUP BY 1)
+SELECT id, CAST(label AS BIGINT) AS label FROM members
+UNION ALL
+SELECT r.id, CAST(CASE WHEN COALESCE(rl.nc, 0) >= 2 THEN -1 ELSE -2 END AS BIGINT) AS label
+FROM rest r LEFT JOIN restl rl ON rl.id = r.id
 """
 
     o["graph_feature_smooth"] = _smooth_sql(SMOOTH_ROUNDS, SMOOTH_ALPHA)

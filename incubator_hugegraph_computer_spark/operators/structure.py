@@ -1,0 +1,202 @@
+"""Macro-structure analytics over the link graph: per-edge
+embeddedness (local bridges), the rich-club profile, and the Broder
+bow-tie decomposition of a directed web graph.
+
+These extend the reference's statistics family (``vermeer/algorithms/
+degree.go`` / ``...counts``-style whole-graph reports) with the
+standard web-graph structure reports — the reference has no direct
+counterpart (SURVEY.md §2.10 beyond-reference additions). All three
+are join-aggregate compositions: no Python UDFs, no collected row
+sets (the only collects are one-row scalars).
+
+Scale notes (100 TB):
+
+- ``edge_embeddedness`` reuses the degree-oriented triangle kernel
+  (``ktruss._support``) — wedge fan-out is bounded by orienting each
+  edge low-degree→high-degree, the same trick that keeps triangle
+  counting feasible on power-law graphs.
+- ``rich_club`` reduces the graph to two bounded histograms (degree →
+  node count, per-edge min-degree → edge count) with map-side partial
+  aggregation, then evaluates every k against the histograms — one
+  pass over the edges regardless of how many thresholds are reported.
+- ``bowtie`` runs a constant number of frontier BFS sweeps (4) plus
+  one SCC call; every sweep is the standard join-dedup-anti-join
+  frontier loop whose per-round shuffle is proportional to the
+  frontier, not the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.operators.ktruss import _support
+from incubator_hugegraph_computer_spark.operators.scc import scc
+from incubator_hugegraph_computer_spark.operators.triangle_count import undirected_edges
+
+
+# ------------------------------------------------------------------ edges
+def edge_embeddedness(graph: Graph) -> DataFrame:
+    """(a, b, embeddedness) — every canonical undirected edge with the
+    number of common neighbors of its endpoints (= triangles through
+    the edge). Rows with ``embeddedness = 0`` are the graph's *local
+    bridges* (Granovetter): deleting one raises the endpoint distance
+    above 2."""
+    und = undirected_edges(graph.edges)
+    sup = _support(und)  # only edges inside >=1 triangle appear
+    return (
+        und.join(sup, ["a", "b"], "left")
+        .select("a", "b", F.coalesce("sup", F.lit(0)).alias("embeddedness"))
+    )
+
+
+def local_bridges(graph: Graph) -> DataFrame:
+    """(a, b) — canonical undirected edges whose endpoints share no
+    common neighbor."""
+    emb = edge_embeddedness(graph)
+    return emb.where(F.col("embeddedness") == 0).select("a", "b")
+
+
+# ------------------------------------------------------------------ rich club
+def rich_club(graph: Graph, max_k: int = 16) -> DataFrame:
+    """(k, n_nodes, n_edges, phi) for k = 1..max_k over the simple
+    undirected graph: the rich-club coefficient
+    ``phi(k) = 2 * E_k / (N_k * (N_k - 1))`` where N_k = vertices of
+    undirected degree > k and E_k = undirected edges between them
+    (Zhou & Mondragon 2004). phi is NULL when N_k < 2.
+
+    A single edge pass: an edge survives threshold k iff
+    ``min(deg_a, deg_b) > k``, so both counts come from histograms."""
+    spark = graph.spark
+    und = undirected_edges(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # bounded histograms: distinct degree values, not vertices/edges
+    nhist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nc"))
+    ehist = (
+        und.join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
+        .select(F.least("da", "db").alias("mdeg"))
+        .groupBy("mdeg")
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    ks = spark.range(1, max_k + 1).select(F.col("id").alias("k"))
+    nk = (
+        ks.join(F.broadcast(nhist), nhist.deg > ks.k)
+        .groupBy("k")
+        .agg(F.sum("nc").alias("n_nodes"))
+    )
+    ek = (
+        ks.join(F.broadcast(ehist), ehist.mdeg > ks.k)
+        .groupBy("k")
+        .agg(F.sum("ec").alias("n_edges"))
+    )
+    return (
+        ks.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.when(
+                F.coalesce("n_nodes", F.lit(0)) >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_edges", F.lit(0))
+                    / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+# ------------------------------------------------------------------ bow-tie
+def _reach(seeds: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id) — every vertex reachable from the seed set along ``edges``
+    (seeds included). Frontier BFS; each round's state is
+    localCheckpoint-truncated so long chains don't grow the plan."""
+    members = seeds.select("id").distinct().localCheckpoint(eager=True)
+    frontier = members
+    while True:
+        nxt = (
+            frontier.withColumnRenamed("id", "src")
+            .join(edges, "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(members, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        members = members.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return members
+
+
+def bowtie(graph: Graph, scc_labels: DataFrame | None = None) -> DataFrame:
+    """(id, region) — the Broder et al. (WWW 2000) bow-tie map of a
+    directed graph: ``CORE`` = largest SCC (ties broken toward the
+    smaller scc id), ``IN`` reaches CORE, ``OUT`` is reachable from
+    CORE, ``TUBE`` lies on an IN→OUT path that bypasses CORE,
+    ``TENDRIL_IN`` hangs off IN, ``TENDRIL_OUT`` feeds OUT, and
+    ``DISCONNECTED`` is the rest.
+
+    Pass precomputed ``scc_labels`` (id, scc) to skip the SCC phase.
+    """
+    comp = scc_labels if scc_labels is not None else scc(graph)
+    comp = comp.persist()
+    core_row = (
+        comp.groupBy("scc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("scc"))
+        .first()
+    )
+    core_id = core_row["scc"]
+    core = comp.where(F.col("scc") == F.lit(core_id)).select("id").persist()
+
+    edges = (
+        graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).persist()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+    fwd_core = _reach(core, edges)  # CORE ∪ OUT
+    bwd_core = _reach(core, rev)  # CORE ∪ IN
+    out_set = fwd_core.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    in_set = bwd_core.join(core, "id", "left_anti").localCheckpoint(eager=True)
+    # anything in the residue reachable from IN / reaching OUT cannot
+    # pass through CORE (it would then be in OUT/IN already), so the
+    # plain closures classify TUBE/TENDRIL correctly
+    from_in = _reach(in_set, edges)
+    to_out = _reach(out_set, rev)
+
+    flag = lambda df, name: df.select("id", F.lit(True).alias(name))  # noqa: E731
+    labeled = (
+        graph.vertices.select("id")
+        .join(flag(core, "f_core"), "id", "left")
+        .join(flag(in_set, "f_in"), "id", "left")
+        .join(flag(out_set, "f_out"), "id", "left")
+        .join(flag(from_in, "f_fi"), "id", "left")
+        .join(flag(to_out, "f_to"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("f_core"), "CORE")
+            .when(F.col("f_in"), "IN")
+            .when(F.col("f_out"), "OUT")
+            .when(F.col("f_fi") & F.col("f_to"), "TUBE")
+            .when(F.col("f_fi"), "TENDRIL_IN")
+            .when(F.col("f_to"), "TENDRIL_OUT")
+            .otherwise("DISCONNECTED")
+            .alias("region"),
+        )
+    )
+    out = labeled.localCheckpoint(eager=True)
+    comp.unpersist()
+    core.unpersist()
+    edges.unpersist()
+    return out
