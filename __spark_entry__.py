@@ -79,6 +79,10 @@ RICH_CLUB_MAX_K = 16
 # border, so every label class (cluster/hub/outlier) is exercised
 SCAN_EPS = 0.15
 SCAN_MU = 3
+QUOTIENT_MOD = 64  # host-quotient grouping rule: grp = id % 64
+# parity-BFS depth cap replayed by the oracle (measured root
+# eccentricity is 6 at sf0.001 / 4 at sf0.01 — 60 is declared slack)
+BIPARTITE_DEPTH = 60
 SEEDED_MAX = 40  # seeds: id <= SEEDED_MAX, label = id % SEEDED_CLASSES
 SEEDED_CLASSES = 4
 LANDMARK_MAX = 8  # landmark set: id <= LANDMARK_MAX
@@ -1742,6 +1746,27 @@ def _q_scan(spark, sf_dir):
     return scan(orders_graph(spark, sf_dir), eps=SCAN_EPS, mu=SCAN_MU)
 
 
+def _q_quotient(spark, sf_dir):
+    """Host-graph aggregation: collapse vertices onto id % 64 groups."""
+    from incubator_hugegraph_computer_spark.operators.quotient import quotient_graph
+
+    g = orders_graph(spark, sf_dir)
+    mapping = g.vertices.select("id", (F.col("id") % QUOTIENT_MOD).alias("grp"))
+    return quotient_graph(g, mapping)
+
+
+def _q_bipartite(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.bipartite import bipartite_check
+
+    return bipartite_check(orders_graph(spark, sf_dir), max_depth=BIPARTITE_DEPTH)
+
+
+def _q_k4(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.cliques import k4_count
+
+    return k4_count(orders_graph(spark, sf_dir))
+
+
 def _q_densest(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.densest import densest_subgraph
 
@@ -1822,6 +1847,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rich_club": _q_rich_club,
         "graph_bowtie": _q_bowtie,
         "graph_scan": _q_scan,
+        "graph_host_quotient": _q_quotient,
+        "graph_bipartite": _q_bipartite,
+        "graph_k4": _q_k4,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -3326,6 +3354,66 @@ SELECT id, CAST(label AS BIGINT) AS label FROM members
 UNION ALL
 SELECT r.id, CAST(CASE WHEN COALESCE(rl.nc, 0) >= 2 THEN -1 ELSE -2 END AS BIGINT) AS label
 FROM rest r LEFT JOIN restl rl ON rl.id = r.id
+"""
+
+    # host-quotient multigraph: ordered group pairs with edge
+    # multiplicity and distinct-source counts
+    o["graph_host_quotient"] = f"""
+WITH {_G},
+m AS (SELECT id, id % {QUOTIENT_MOD} AS grp FROM v)
+SELECT ms.grp AS gsrc, md.grp AS gdst,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT e.src) AS BIGINT) AS n_src_vertices
+FROM e JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst
+GROUP BY 1, 2
+"""
+
+    # per-component two-colorability: BFS parity from each component's
+    # min-id root; a monochromatic symmetric edge = odd cycle. The
+    # multi-source recursion cannot leak across components (they are
+    # disconnected by definition)
+    o["graph_bipartite"] = f"""
+WITH RECURSIVE {_G},
+cc(id, anc) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT s.dst, cc.anc FROM cc JOIN sym s ON s.src = cc.id
+),
+comp AS MATERIALIZED (SELECT id, MIN(anc) AS comp FROM cc GROUP BY id),
+roots AS (SELECT DISTINCT comp AS id FROM comp),
+r(id, d) AS (
+    SELECT id, 0 FROM roots
+    UNION
+    SELECT s.dst, r.d + 1 FROM r JOIN sym s ON s.src = r.id
+    WHERE r.d < {BIPARTITE_DEPTH}
+),
+dist AS MATERIALIZED (SELECT id, MIN(d) AS d FROM r GROUP BY id),
+odd AS (SELECT DISTINCT c.comp
+        FROM sym s JOIN dist p ON p.id = s.src JOIN dist q ON q.id = s.dst
+        JOIN comp c ON c.id = s.src
+        WHERE (p.d % 2) = (q.d % 2))
+SELECT c.comp, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       NOT EXISTS (SELECT 1 FROM odd o WHERE o.comp = c.comp) AS is_bipartite
+FROM comp c GROUP BY c.comp
+"""
+
+    # per-vertex 4-clique membership: enumerate a<b<c<d with all six
+    # canonical edges present (each K4 exactly once), census the corners
+    o["graph_k4"] = f"""
+WITH {_G},
+u AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+q AS (SELECT ab.a AS w, ab.b AS x, ac.b AS y, ad.b AS z
+      FROM u ab
+      JOIN u ac ON ac.a = ab.a AND ac.b > ab.b
+      JOIN u ad ON ad.a = ab.a AND ad.b > ac.b
+      JOIN u bc ON bc.a = ab.b AND bc.b = ac.b
+      JOIN u bd ON bd.a = ab.b AND bd.b = ad.b
+      JOIN u cd ON cd.a = ac.b AND cd.b = ad.b),
+corners AS (SELECT w AS id FROM q UNION ALL SELECT x FROM q
+            UNION ALL SELECT y FROM q UNION ALL SELECT z FROM q),
+cnt AS (SELECT id, COUNT(*) AS k4 FROM corners GROUP BY 1)
+SELECT v.id, CAST(COALESCE(cnt.k4, 0) AS BIGINT) AS k4
+FROM v LEFT JOIN cnt USING(id)
 """
 
     o["graph_feature_smooth"] = _smooth_sql(SMOOTH_ROUNDS, SMOOTH_ALPHA)

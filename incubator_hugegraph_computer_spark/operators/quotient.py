@@ -1,0 +1,44 @@
+"""Quotient (host) graph aggregation.
+
+The canonical 100 TB web-graph reduction: collapse the page graph onto
+a coarser partition (page → host, file → repo, function → module) and
+keep per-group-pair edge multiplicities. The reference has no
+counterpart (SURVEY.md §2.10); at the target scale this is THE
+operation that turns a 10^12-edge page graph into a graph that fits a
+single workstation.
+
+Plan shape: two hash joins edge→mapping (Catalyst broadcasts the
+mapping when it is small; at web scale the mapping co-partitions with
+the edges on the id key) followed by one map-side-combined
+count aggregate — a single shuffle on (gsrc, gdst).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+
+
+def quotient_graph(graph: Graph, mapping: DataFrame) -> DataFrame:
+    """(gsrc, gdst, n_edges, n_src_vertices) — the multigraph quotient
+    of the directed edge set under ``mapping (id, grp)``: one row per
+    ordered group pair with at least one crossing edge (intra-group
+    loops included), ``n_edges`` = crossing-edge multiplicity and
+    ``n_src_vertices`` = distinct source vertices behind those edges.
+
+    Vertices absent from ``mapping`` fall into group NULL and are
+    dropped (inner joins) — pass a total mapping to keep everything.
+    """
+    m_src = mapping.select(F.col("id").alias("src"), F.col("grp").alias("gsrc"))
+    m_dst = mapping.select(F.col("id").alias("dst"), F.col("grp").alias("gdst"))
+    return (
+        graph.edges.select("src", "dst")
+        .join(m_src, "src")
+        .join(m_dst, "dst")
+        .groupBy("gsrc", "gdst")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("src").alias("n_src_vertices"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Quotient aggregation, bipartiteness check, K4 counting."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_graph
+
+
+# ------------------------------------------------------------ quotient
+def test_quotient_hand_fixture(spark):
+    from incubator_hugegraph_computer_spark.operators.quotient import quotient_graph
+    from pyspark.sql import functions as F
+
+    # groups: even/odd. edges 0→1, 0→3, 2→1 cross (0,1); 1→3 intra (1,1);
+    # 2→4 intra (0,0)
+    g = make_graph(spark, [(0, 1), (0, 3), (2, 1), (1, 3), (2, 4)])
+    mapping = g.vertices.select("id", (F.col("id") % 2).alias("grp"))
+    out = {
+        (r.gsrc, r.gdst): (r.n_edges, r.n_src_vertices)
+        for r in quotient_graph(g, mapping).collect()
+    }
+    assert out == {(0, 1): (3, 2), (1, 1): (1, 1), (0, 0): (1, 1)}
+
+
+def test_quotient_preserves_edge_total(spark):
+    from incubator_hugegraph_computer_spark.operators.quotient import quotient_graph
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(5)
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, 40, (150, 2)) if a != b})
+    g = make_graph(spark, edges)
+    mapping = g.vertices.select("id", (F.col("id") % 7).alias("grp"))
+    rows = quotient_graph(g, mapping).collect()
+    assert sum(r.n_edges for r in rows) == len(edges)
+
+
+# ------------------------------------------------------------ bipartite
+def _py_bipartite(edges, vertices):
+    """Reference 2-coloring check per component."""
+    adj = {v: set() for v in vertices}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    color, result = {}, {}
+    for v in sorted(vertices):
+        if v in color:
+            continue
+        comp, ok, queue = [v], True, [v]
+        color[v] = 0
+        while queue:
+            u = queue.pop()
+            for w in adj[u]:
+                if w not in color:
+                    color[w] = color[u] ^ 1
+                    comp.append(w)
+                    queue.append(w)
+                elif color[w] == color[u]:
+                    ok = False
+        result[min(comp)] = (len(comp), ok)
+    return result
+
+
+def test_bipartite_even_odd_components(spark):
+    from incubator_hugegraph_computer_spark.operators.bipartite import bipartite_check
+
+    # comp 0: 4-cycle (bipartite); comp 10: triangle (odd); comp 20:
+    # single edge (bipartite); vertex 30 isolated (trivially bipartite)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12), (12, 10), (20, 21)]
+    g = make_graph(spark, edges, vertex_ids=[0, 1, 2, 3, 10, 11, 12, 20, 21, 30])
+    out = {r.comp: (r.n_vertices, r.is_bipartite) for r in bipartite_check(g).collect()}
+    assert out == {0: (4, True), 10: (3, False), 20: (2, True), 30: (1, True)}
+
+
+def test_bipartite_matches_bruteforce(spark):
+    from incubator_hugegraph_computer_spark.operators.bipartite import bipartite_check
+
+    rng = np.random.RandomState(9)
+    n = 40
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, (60, 2)) if a != b})
+    verts = range(n)
+    g = make_graph(spark, edges, vertex_ids=verts)
+    expected = _py_bipartite(edges, set(verts))
+    out = {r.comp: (r.n_vertices, r.is_bipartite) for r in bipartite_check(g).collect()}
+    assert out == expected
+
+
+# ------------------------------------------------------------ K4
+def test_k4_on_k5(spark):
+    from incubator_hugegraph_computer_spark.operators.cliques import k4_count
+
+    edges = list(itertools.combinations(range(5), 2))
+    g = make_graph(spark, edges)
+    out = {r.id: r.k4 for r in k4_count(g).collect()}
+    assert out == {v: 4 for v in range(5)}  # C(4,3) per vertex of K5
+
+
+def test_k4_matches_bruteforce(spark):
+    from incubator_hugegraph_computer_spark.operators.cliques import k4_count
+
+    rng = np.random.RandomState(13)
+    n = 18
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, (110, 2)) if a != b})
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    expected = {v: 0 for v in range(n)}
+    present = set()
+    for a, b in und:
+        present.add(a)
+        present.add(b)
+    for quad in itertools.combinations(sorted(present), 4):
+        if all(
+            (min(p, q), max(p, q)) in und for p, q in itertools.combinations(quad, 2)
+        ):
+            for v in quad:
+                expected[v] += 1
+    g = make_graph(spark, edges, vertex_ids=range(n))
+    out = {r.id: r.k4 for r in k4_count(g).collect()}
+    assert out == expected
