@@ -40,9 +40,16 @@ def build_parser() -> argparse.ArgumentParser:
             "triangle_count", "degree", "kcore", "scc", "clustering_coefficient",
             "rings", "random_walk", "betweenness", "closeness", "louvain",
             "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
-            "cycle_detection", "mis",
+            "cycle_detection", "mis", "scan", "bowtie", "k4", "bipartite",
+            "embeddedness", "rich_club", "host_quotient",
         ],
     )
+    p.add_argument("--scan-eps", type=float, default=0.15,
+                   help="scan: structural-similarity threshold")
+    p.add_argument("--scan-mu", type=int, default=3,
+                   help="scan: min eps-neighborhood size for a core")
+    p.add_argument("--quotient-mod", type=int, default=64,
+                   help="host_quotient: group rule grp = id %% MOD")
     p.add_argument("--source", type=int, default=0,
                    help="source vertex id for sssp/sssp_paths/ppr/depth/jaccard")
     p.add_argument("--targets", default="*",
@@ -270,6 +277,19 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.mis import (
         maximal_independent_set as _mis,
     )
+    from incubator_hugegraph_computer_spark.operators.scan import scan as _scan
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        bowtie as _bowtie,
+        edge_embeddedness as _embeddedness,
+        rich_club as _rich_club,
+    )
+    from incubator_hugegraph_computer_spark.operators.cliques import k4_count as _k4
+    from incubator_hugegraph_computer_spark.operators.bipartite import (
+        bipartite_check as _bipartite,
+    )
+    from incubator_hugegraph_computer_spark.operators.quotient import (
+        quotient_graph as _quotient,
+    )
 
     t1 = time.monotonic()
     algos = {
@@ -319,10 +339,22 @@ def run(args: argparse.Namespace) -> dict:
         "slpa": lambda: _slpa(graph).withColumnRenamed("label", "community"),
         "depth": lambda: _bfs_depth(graph, source=args.source, **step_kwargs),
         "jaccard": lambda: _jaccard(graph, source=args.source),
+        "scan": lambda: _scan(graph, eps=args.scan_eps, mu=args.scan_mu),
+        "bowtie": lambda: _bowtie(graph),
+        "k4": lambda: _k4(graph),
+        "bipartite": lambda: _bipartite(graph),
+        "embeddedness": lambda: _embeddedness(graph),
+        "rich_club": lambda: _rich_club(graph),
+        "host_quotient": lambda: _quotient(
+            graph,
+            graph.vertices.select("id", (F.col("id") % args.quotient_mod).alias("grp")),
+        ),
     }
     result = algos[args.algorithm]()
-    # join back the human-readable vertex dimension for output
-    out = result.join(vertices, "id")
+    # join back the human-readable vertex dimension for output;
+    # edge-/group-/threshold-keyed reports (embeddedness, rich_club,
+    # host_quotient, bipartite) have no per-vertex id column
+    out = result.join(vertices, "id") if "id" in result.columns else result
     # ComputerOutput.filter hook (FileGraphPartition.java:258)
     flt = F.expr(args.output_filter) if args.output_filter else None
     if args.output_format == "hdfs_text":

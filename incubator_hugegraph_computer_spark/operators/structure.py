@@ -85,13 +85,15 @@ def rich_club(graph: Graph, max_k: int = 16) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ec"))
     )
     ks = spark.range(1, max_k + 1).select(F.col("id").alias("k"))
+    # non-equi threshold joins: broadcast the literal k frame (the
+    # plan-bounded side) so the BNLJ build is provably max_k rows
     nk = (
-        ks.join(F.broadcast(nhist), nhist.deg > ks.k)
+        nhist.join(F.broadcast(ks), nhist.deg > ks.k)
         .groupBy("k")
         .agg(F.sum("nc").alias("n_nodes"))
     )
     ek = (
-        ks.join(F.broadcast(ehist), ehist.mdeg > ks.k)
+        ehist.join(F.broadcast(ks), ehist.mdeg > ks.k)
         .groupBy("k")
         .agg(F.sum("ec").alias("n_edges"))
     )
