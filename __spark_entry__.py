@@ -80,6 +80,8 @@ RICH_CLUB_MAX_K = 16
 SCAN_EPS = 0.15
 SCAN_MU = 3
 QUOTIENT_MOD = 64  # host-quotient grouping rule: grp = id % 64
+TRUST_SEED_MAX = 50  # trusted seed set: every vertex with id <= 50
+TRUST_ITERS = 10
 # parity-BFS depth cap replayed by the oracle (measured root
 # eccentricity is 6 at sf0.001 / 4 at sf0.01 — 60 is declared slack)
 BIPARTITE_DEPTH = 60
@@ -1767,6 +1769,35 @@ def _q_k4(spark, sf_dir):
     return k4_count(orders_graph(spark, sf_dir))
 
 
+def _trust_seeds(g):
+    return [r.id for r in g.vertices.where(F.col("id") <= TRUST_SEED_MAX).collect()]
+
+
+def _q_trustrank(spark, sf_dir):
+    """Gyöngyi TrustRank from the id<=50 trusted seed set."""
+    from incubator_hugegraph_computer_spark.operators.trustrank import trustrank
+
+    g = orders_graph(spark, sf_dir)
+    tr = trustrank(
+        g, _trust_seeds(g), max_iterations=TRUST_ITERS, tol=0.0, count_messages=False
+    )
+    return tr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_spam_mass(spark, sf_dir):
+    """Relative spam mass: PageRank fraction unexplained by trust flow."""
+    from incubator_hugegraph_computer_spark.operators.trustrank import spam_mass
+
+    g = orders_graph(spark, sf_dir)
+    sm = spam_mass(g, _trust_seeds(g), max_iterations=TRUST_ITERS, count_messages=False)
+    return sm.select(
+        "id",
+        F.round("pagerank", 6).alias("pagerank"),
+        F.round("trust", 6).alias("trust"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+    )
+
+
 def _q_densest(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.densest import densest_subgraph
 
@@ -1850,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_quotient": _q_quotient,
         "graph_bipartite": _q_bipartite,
         "graph_k4": _q_k4,
+        "graph_trustrank": _q_trustrank,
+        "graph_spam_mass": _q_spam_mass,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -2772,6 +2805,39 @@ def _smooth_sql(rounds: int, alpha: float) -> str:
     return "\n".join(parts) + f"\nSELECT id, ROUND(x, 6) AS x FROM x{rounds}"
 
 
+def _trustrank_ctes(iters: int, seed_max: int, damping: float = 0.85,
+                    prefix: str = "t") -> list[str]:
+    """Unrolled TrustRank recurrence (seed-set PPR): teleport + dangling
+    mass return uniformly to the id<=seed_max seed set. CTE names are
+    ``prefix``-scoped so the unroll composes with a PageRank unroll in
+    one statement (spam mass)."""
+    parts = [
+        f"{prefix}ns AS (SELECT COUNT(*) AS n FROM v WHERE id <= {seed_max}),",
+        f"{prefix}sv AS MATERIALIZED (SELECT id, CASE WHEN id <= {seed_max} "
+        f"THEN 1.0/(SELECT n FROM {prefix}ns) ELSE 0.0 END AS s FROM v),",
+        f"{prefix}deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        f"{prefix}p0 AS MATERIALIZED (SELECT id, s AS rank FROM {prefix}sv),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"{prefix}p{k-1}"
+        parts.append(
+            f"{prefix}m{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank/d.outdeg) AS s "
+            f"FROM {p} p JOIN {prefix}deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1),"
+        )
+        parts.append(
+            f"{prefix}dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm "
+            f"FROM {p} p LEFT JOIN {prefix}deg d ON d.id=p.id WHERE d.id IS NULL),"
+        )
+        parts.append(
+            f"{prefix}p{k} AS MATERIALIZED (SELECT v.id, "
+            f"(1.0-{damping})*sv.s + {damping}*(COALESCE(m.s,0.0) + "
+            f"(SELECT dm FROM {prefix}dang{k})*sv.s) AS rank "
+            f"FROM v JOIN {prefix}sv sv ON sv.id=v.id "
+            f"LEFT JOIN {prefix}m{k} m ON m.id=v.id),"
+        )
+    return parts
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -3354,6 +3420,51 @@ SELECT id, CAST(label AS BIGINT) AS label FROM members
 UNION ALL
 SELECT r.id, CAST(CASE WHEN COALESCE(rl.nc, 0) >= 2 THEN -1 ELSE -2 END AS BIGINT) AS label
 FROM rest r LEFT JOIN restl rl ON rl.id = r.id
+"""
+
+    # TrustRank: unrolled seed-set PPR (same recurrence the Spark side
+    # iterates; teleport/dangling mass to the id<=TRUST_SEED_MAX seeds)
+    _tr_parts = [f"WITH {_G},", *_trustrank_ctes(TRUST_ITERS, TRUST_SEED_MAX)]
+    _tr_parts[-1] = _tr_parts[-1].rstrip(",")
+    o["graph_trustrank"] = (
+        "\n".join(_tr_parts)
+        + f"\nSELECT id, ROUND(rank, 6) AS rank FROM tp{TRUST_ITERS}"
+    )
+
+    # spam mass: classic-PageRank unroll + TrustRank unroll composed in
+    # one statement (t-prefixed CTEs), normalized on matched scales
+    _sm_parts = [
+        f"WITH {_G},",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v),",
+    ]
+    for _k in range(1, TRUST_ITERS + 1):
+        _p = f"pr{_k-1}"
+        _sm_parts.append(
+            f"m{_k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank/d.outdeg) AS s "
+            f"FROM {_p} p JOIN deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1),"
+        )
+        _sm_parts.append(
+            f"dang{_k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm "
+            f"FROM {_p} p LEFT JOIN deg d ON d.id=p.id WHERE d.id IS NULL),"
+        )
+        _sm_parts.append(
+            f"pr{_k} AS MATERIALIZED (SELECT v.id, (1.0-0.85)/(SELECT n FROM nn) + "
+            f"0.85*(COALESCE(m.s,0.0) + (SELECT dm FROM dang{_k})/(SELECT n FROM nn)) AS rank "
+            f"FROM v LEFT JOIN m{_k} m ON m.id=v.id),"
+        )
+    _sm_parts += _trustrank_ctes(TRUST_ITERS, TRUST_SEED_MAX)
+    _sm_parts.append(
+        f"sums AS (SELECT SUM(p.rank) AS sp, SUM(t.rank) AS st "
+        f"FROM pr{TRUST_ITERS} p JOIN tp{TRUST_ITERS} t ON t.id = p.id)"
+    )
+    o["graph_spam_mass"] = "\n".join(_sm_parts) + f"""
+SELECT p.id, ROUND(p.rank, 6) AS pagerank, ROUND(t.rank, 6) AS trust,
+       ROUND(CASE WHEN p.rank > 0 THEN
+             (p.rank/(SELECT sp FROM sums) - t.rank/(SELECT st FROM sums))
+             / (p.rank/(SELECT sp FROM sums)) END, 6) AS spam_mass
+FROM pr{TRUST_ITERS} p JOIN tp{TRUST_ITERS} t ON t.id = p.id
 """
 
     # host-quotient multigraph: ordered group pairs with edge

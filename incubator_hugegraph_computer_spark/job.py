@@ -41,9 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
             "rings", "random_walk", "betweenness", "closeness", "louvain",
             "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
             "cycle_detection", "mis", "scan", "bowtie", "k4", "bipartite",
-            "embeddedness", "rich_club", "host_quotient",
+            "embeddedness", "rich_club", "host_quotient", "trustrank",
+            "spam_mass",
         ],
     )
+    p.add_argument("--trust-seeds", default="0",
+                   help="trustrank/spam_mass: comma-separated trusted vertex ids")
     p.add_argument("--scan-eps", type=float, default=0.15,
                    help="scan: structural-similarity threshold")
     p.add_argument("--scan-mu", type=int, default=3,
@@ -238,7 +241,8 @@ def run(args: argparse.Namespace) -> dict:
     if args.max_supersteps:
         if args.algorithm in ("pagerank", "wcc", "lpa", "lpa_sync"):
             iter_kwargs["max_supersteps"] = args.max_supersteps
-        elif args.algorithm in ("pagerank_classic", "pagerank_weighted"):
+        elif args.algorithm in ("pagerank_classic", "pagerank_weighted",
+                                "trustrank", "spam_mass"):
             iter_kwargs["max_iterations"] = args.max_supersteps
         elif args.algorithm in ("sssp", "sssp_paths"):
             step_kwargs["max_supersteps"] = args.max_supersteps
@@ -289,6 +293,10 @@ def run(args: argparse.Namespace) -> dict:
     )
     from incubator_hugegraph_computer_spark.operators.quotient import (
         quotient_graph as _quotient,
+    )
+    from incubator_hugegraph_computer_spark.operators.trustrank import (
+        spam_mass as _spam_mass,
+        trustrank as _trustrank,
     )
 
     t1 = time.monotonic()
@@ -348,6 +356,12 @@ def run(args: argparse.Namespace) -> dict:
         "host_quotient": lambda: _quotient(
             graph,
             graph.vertices.select("id", (F.col("id") % args.quotient_mod).alias("grp")),
+        ),
+        "trustrank": lambda: _trustrank(
+            graph, [int(s) for s in args.trust_seeds.split(",")], **iter_kwargs
+        ),
+        "spam_mass": lambda: _spam_mass(
+            graph, [int(s) for s in args.trust_seeds.split(",")], **iter_kwargs
         ),
     }
     result = algos[args.algorithm]()
