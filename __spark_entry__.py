@@ -82,6 +82,8 @@ SCAN_MU = 3
 QUOTIENT_MOD = 64  # host-quotient grouping rule: grp = id % 64
 TRUST_SEED_MAX = 50  # trusted seed set: every vertex with id <= 50
 TRUST_ITERS = 10
+POWERLAW_DMIN = 2  # Hill-MLE tail threshold (in-degree >= dmin)
+EFFDIAM_Q = 0.9  # effective-diameter quantile over the h<=3 ANF table
 # parity-BFS depth cap replayed by the oracle (measured root
 # eccentricity is 6 at sf0.001 / 4 at sf0.01 — 60 is declared slack)
 BIPARTITE_DEPTH = 60
@@ -1798,6 +1800,31 @@ def _q_spam_mass(spark, sf_dir):
     )
 
 
+def _q_powerlaw(spark, sf_dir):
+    """Clauset-Shalizi-Newman continuous-MLE power-law exponent of the
+    in-degree tail."""
+    from incubator_hugegraph_computer_spark.operators.stats import powerlaw_alpha
+
+    pa = powerlaw_alpha(orders_graph(spark, sf_dir), dmin=POWERLAW_DMIN, direction="in")
+    return pa.select("dmin", "n_tail", F.round("alpha", 6).alias("alpha"))
+
+
+def _q_eff_diameter(spark, sf_dir):
+    """Interpolation-free effective diameter (smallest h whose mean
+    ball reaches 90% of the h=3 mean) from the exact ANF table."""
+    from incubator_hugegraph_computer_spark.operators.neighborhood import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    nf = neighborhood_function(orders_graph(spark, sf_dir), max_h=NF_MAX_H, exact=True)
+    ed = effective_diameter(nf, max_h=NF_MAX_H, quantile=EFFDIAM_Q)
+    return ed.select(
+        F.col("eff_diameter").cast("long").alias("eff_diameter"),
+        F.round("avg_reach", 6).alias("avg_reach"),
+    )
+
+
 def _q_densest(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.densest import densest_subgraph
 
@@ -1883,6 +1910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_k4": _q_k4,
         "graph_trustrank": _q_trustrank,
         "graph_spam_mass": _q_spam_mass,
+        "graph_powerlaw": _q_powerlaw,
+        "graph_eff_diameter": _q_eff_diameter,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -3465,6 +3494,45 @@ SELECT p.id, ROUND(p.rank, 6) AS pagerank, ROUND(t.rank, 6) AS trust,
              (p.rank/(SELECT sp FROM sums) - t.rank/(SELECT st FROM sums))
              / (p.rank/(SELECT sp FROM sums)) END, 6) AS spam_mass
 FROM pr{TRUST_ITERS} p JOIN tp{TRUST_ITERS} t ON t.id = p.id
+"""
+
+    # Hill/MLE power-law exponent of the in-degree tail (CSN 2009)
+    o["graph_powerlaw"] = f"""
+WITH {_G},
+deg AS (SELECT dst AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+             SUM(ln(deg / {POWERLAW_DMIN - 0.5})) AS s
+      FROM deg WHERE deg >= {POWERLAW_DMIN})
+SELECT CAST({POWERLAW_DMIN} AS BIGINT) AS dmin, n_tail,
+       ROUND(1.0 + n_tail / s, 6) AS alpha
+FROM t
+"""
+
+    # effective diameter from the exact h<=3 ANF table (same ball
+    # construction as graph_neighborhood; integer-h 90% estimator)
+    o["graph_eff_diameter"] = f"""
+WITH {_G},
+r1 AS MATERIALIZED (SELECT DISTINCT src AS root, dst AS t FROM e),
+r2 AS MATERIALIZED (SELECT DISTINCT root, t FROM (
+    SELECT root, t FROM r1
+    UNION ALL SELECT r1.root, e.dst FROM r1 JOIN e ON e.src = r1.t)),
+r3 AS MATERIALIZED (SELECT DISTINCT root, t FROM (
+    SELECT root, t FROM r2
+    UNION ALL SELECT r2.root, e.dst FROM r2 JOIN e ON e.src = r2.t)),
+c1 AS (SELECT root, COUNT(*) AS n FROM r1 WHERE root <> t GROUP BY 1),
+c2 AS (SELECT root, COUNT(*) AS n FROM r2 WHERE root <> t GROUP BY 1),
+c3 AS (SELECT root, COUNT(*) AS n FROM r3 WHERE root <> t GROUP BY 1),
+nf AS (SELECT v.id, COALESCE(c1.n, 0) AS n1, COALESCE(c2.n, 0) AS n2,
+              COALESCE(c3.n, 0) AS n3
+       FROM v LEFT JOIN c1 ON c1.root = v.id
+              LEFT JOIN c2 ON c2.root = v.id
+              LEFT JOIN c3 ON c3.root = v.id),
+m AS (SELECT AVG(n1) AS m1, AVG(n2) AS m2, AVG(n3) AS m3 FROM nf)
+SELECT CAST(CASE WHEN m1 >= m3 * {EFFDIAM_Q} THEN 1
+                 WHEN m2 >= m3 * {EFFDIAM_Q} THEN 2
+                 ELSE 3 END AS BIGINT) AS eff_diameter,
+       ROUND(m3, 6) AS avg_reach
+FROM m
 """
 
     # host-quotient multigraph: ordered group pairs with edge

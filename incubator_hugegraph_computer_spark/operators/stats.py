@@ -143,3 +143,37 @@ def value_sketch(df: DataFrame, value_col: str) -> DataFrame:
         F.min(F.col(value_col)).alias("min"),
         F.max(F.col(value_col)).alias("max"),
     )
+
+
+def powerlaw_alpha(graph: Graph, dmin: int = 2, direction: str = "in") -> DataFrame:
+    """One-row (dmin, n_tail, alpha) — continuous-approximation Hill /
+    MLE estimate of the power-law exponent of the degree distribution
+    (Clauset, Shalizi & Newman 2009, eq. 3.7):
+
+        alpha = 1 + n / Σ ln(d_i / (dmin - 0.5))
+
+    over the n vertices with degree >= dmin. Web graphs are power-law
+    in in-degree, so that is the default tail. One map-side-combined
+    degree count + one scalar aggregate — a whole-graph report at any
+    scale (beyond-reference, SURVEY.md §2.10)."""
+    if direction == "in":
+        ids = graph.edges.select(F.col("dst").alias("id"))
+    elif direction == "out":
+        ids = graph.edges.select(F.col("src").alias("id"))
+    else:
+        ids = graph.edges.select(F.col("src").alias("id")).unionAll(
+            graph.edges.select(F.col("dst").alias("id"))
+        )
+    deg = ids.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.where(F.col("deg") >= dmin)
+        .agg(
+            F.count(F.lit(1)).alias("n_tail"),
+            F.sum(F.log(F.col("deg") / F.lit(dmin - 0.5))).alias("_s"),
+        )
+        .select(
+            F.lit(dmin).cast("long").alias("dmin"),
+            "n_tail",
+            (F.lit(1.0) + F.col("n_tail") / F.col("_s")).alias("alpha"),
+        )
+    )

@@ -387,3 +387,51 @@ def test_hitting_time_branching(spark):
     targets = spark.createDataFrame([(1,)], "id long")
     out = {r["id"]: r["hitting_time"] for r in hitting_time(g, targets, horizon=8).collect()}
     assert out[2] == 1.0 + (0.0 + 8.0) / 2.0
+
+
+def test_powerlaw_alpha_matches_numpy(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from incubator_hugegraph_computer_spark.operators.stats import powerlaw_alpha
+    from tests.conftest import make_graph
+
+    rng = np.random.RandomState(23)
+    n = 40
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, (250, 2)) if a != b})
+    g = make_graph(spark, edges)
+    indeg = {}
+    for _, b in edges:
+        indeg[b] = indeg.get(b, 0) + 1
+    dmin = 2
+    tail = [d for d in indeg.values() if d >= dmin]
+    alpha_ref = 1.0 + len(tail) / sum(np.log(d / (dmin - 0.5)) for d in tail)
+    row = powerlaw_alpha(g, dmin=dmin, direction="in").collect()[0]
+    assert row.n_tail == len(tail)
+    assert row.alpha == _pt.approx(alpha_ref, abs=1e-9)
+
+
+def test_powerlaw_alpha_exact_on_pure_powerlaw(spark):
+    """A synthetic tail with d_i = round(x^(-1/(a-1))) recovers a≈the
+    planted exponent within the small-sample bias of the MLE."""
+    import numpy as np
+    import pytest as _pt
+
+    from incubator_hugegraph_computer_spark.operators.stats import powerlaw_alpha
+    from tests.conftest import make_graph
+
+    # plant in-degrees by wiring d parallel sources into each sink
+    rng = np.random.RandomState(31)
+    planted = (rng.pareto(1.5, 60) + 1).astype(int) + 1  # alpha = 2.5
+    edges = []
+    src = 10_000
+    for sink, d in enumerate(planted):
+        for _ in range(int(d)):
+            edges.append((src, sink))
+            src += 1
+    g = make_graph(spark, edges)
+    row = powerlaw_alpha(g, dmin=2, direction="in").collect()[0]
+    alpha_ref = 1.0 + row.n_tail / sum(
+        np.log(d / 1.5) for d in planted if d >= 2
+    )
+    assert row.alpha == _pt.approx(alpha_ref, abs=1e-9)
