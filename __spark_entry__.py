@@ -83,6 +83,7 @@ QUOTIENT_MOD = 64  # host-quotient grouping rule: grp = id % 64
 TRUST_SEED_MAX = 50  # trusted seed set: every vertex with id <= 50
 TRUST_ITERS = 10
 POWERLAW_DMIN = 2  # Hill-MLE tail threshold (in-degree >= dmin)
+HOSTRANK_ITERS = 10
 EFFDIAM_Q = 0.9  # effective-diameter quantile over the h<=3 ANF table
 # parity-BFS depth cap replayed by the oracle (measured root
 # eccentricity is 6 at sf0.001 / 4 at sf0.01 — 60 is declared slack)
@@ -1800,6 +1801,16 @@ def _q_spam_mass(spark, sf_dir):
     )
 
 
+def _q_hostrank(spark, sf_dir):
+    """HostRank: weighted PageRank over the id%64 quotient graph."""
+    from incubator_hugegraph_computer_spark.operators.quotient import host_rank
+
+    g = orders_graph(spark, sf_dir)
+    mapping = g.vertices.select("id", (F.col("id") % QUOTIENT_MOD).alias("grp"))
+    hr = host_rank(g, mapping, max_iterations=HOSTRANK_ITERS, count_messages=False)
+    return hr.select("grp", F.round("rank", 6).alias("rank"))
+
+
 def _q_powerlaw(spark, sf_dir):
     """Clauset-Shalizi-Newman continuous-MLE power-law exponent of the
     in-degree tail."""
@@ -1912,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_spam_mass": _q_spam_mass,
         "graph_powerlaw": _q_powerlaw,
         "graph_eff_diameter": _q_eff_diameter,
+        "graph_hostrank": _q_hostrank,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -3495,6 +3507,44 @@ SELECT p.id, ROUND(p.rank, 6) AS pagerank, ROUND(t.rank, 6) AS trust,
              / (p.rank/(SELECT sp FROM sums)) END, 6) AS spam_mass
 FROM pr{TRUST_ITERS} p JOIN tp{TRUST_ITERS} t ON t.id = p.id
 """
+
+    # HostRank: the vermeer weighted-PageRank recurrence unrolled over
+    # the id%QUOTIENT_MOD quotient multigraph (contribution =
+    # rank/outdeg·w with outdeg a COUNT; dangling term unweighted)
+    _hr_parts = [
+        f"WITH {_G},",
+        f"hm AS (SELECT id, id % {QUOTIENT_MOD} AS grp FROM v),",
+        "qe AS MATERIALIZED (SELECT ms.grp AS src, md.grp AS dst, "
+        "CAST(COUNT(*) AS DOUBLE) AS w FROM e "
+        "JOIN hm ms ON ms.id = e.src JOIN hm md ON md.id = e.dst "
+        "WHERE ms.grp <> md.grp GROUP BY 1, 2),",
+        "hv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM qe "
+        "UNION ALL SELECT dst FROM qe)),",
+        "hdeg AS (SELECT src AS id, COUNT(*) AS outdeg FROM qe GROUP BY 1),",
+        "hnn AS (SELECT COUNT(*)::DOUBLE AS n FROM hv),",
+        "hp0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM hnn) AS rank FROM hv),",
+    ]
+    for _k in range(1, HOSTRANK_ITERS + 1):
+        _p = f"hp{_k-1}"
+        _hr_parts.append(
+            f"hmsg{_k} AS MATERIALIZED (SELECT qe.dst AS id, "
+            f"SUM(p.rank/d.outdeg*qe.w) AS s FROM {_p} p "
+            f"JOIN hdeg d ON d.id=p.id JOIN qe ON qe.src=p.id GROUP BY 1),"
+        )
+        _hr_parts.append(
+            f"hdang{_k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm "
+            f"FROM {_p} p LEFT JOIN hdeg d ON d.id=p.id WHERE d.id IS NULL),"
+        )
+        _hr_parts.append(
+            f"hp{_k} AS MATERIALIZED (SELECT hv.id, (1.0-0.85)/(SELECT n FROM hnn) + "
+            f"0.85*(COALESCE(m.s,0.0) + (SELECT dm FROM hdang{_k})/(SELECT n FROM hnn)) AS rank "
+            f"FROM hv LEFT JOIN hmsg{_k} m ON m.id=hv.id),"
+        )
+    _hr_parts[-1] = _hr_parts[-1].rstrip(",")
+    o["graph_hostrank"] = (
+        "\n".join(_hr_parts)
+        + f"\nSELECT id AS grp, ROUND(rank, 6) AS rank FROM hp{HOSTRANK_ITERS}"
+    )
 
     # Hill/MLE power-law exponent of the in-degree tail (CSN 2009)
     o["graph_powerlaw"] = f"""

@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
             "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
             "cycle_detection", "mis", "scan", "bowtie", "k4", "bipartite",
             "embeddedness", "rich_club", "host_quotient", "trustrank",
-            "spam_mass",
+            "spam_mass", "hostrank",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -242,7 +242,7 @@ def run(args: argparse.Namespace) -> dict:
         if args.algorithm in ("pagerank", "wcc", "lpa", "lpa_sync"):
             iter_kwargs["max_supersteps"] = args.max_supersteps
         elif args.algorithm in ("pagerank_classic", "pagerank_weighted",
-                                "trustrank", "spam_mass"):
+                                "trustrank", "spam_mass", "hostrank"):
             iter_kwargs["max_iterations"] = args.max_supersteps
         elif args.algorithm in ("sssp", "sssp_paths"):
             step_kwargs["max_supersteps"] = args.max_supersteps
@@ -292,6 +292,7 @@ def run(args: argparse.Namespace) -> dict:
         bipartite_check as _bipartite,
     )
     from incubator_hugegraph_computer_spark.operators.quotient import (
+        host_rank as _host_rank,
         quotient_graph as _quotient,
     )
     from incubator_hugegraph_computer_spark.operators.trustrank import (
@@ -362,6 +363,13 @@ def run(args: argparse.Namespace) -> dict:
         ),
         "spam_mass": lambda: _spam_mass(
             graph, [int(s) for s in args.trust_seeds.split(",")], **iter_kwargs
+        ),
+        # grp is a group id, not a vertex id — keep it so the
+        # vertex-dimension join is skipped
+        "hostrank": lambda: _host_rank(
+            graph,
+            graph.vertices.select("id", (F.col("id") % args.quotient_mod).alias("grp")),
+            **iter_kwargs,
         ),
     }
     result = algos[args.algorithm]()

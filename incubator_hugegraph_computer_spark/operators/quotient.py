@@ -42,3 +42,32 @@ def quotient_graph(graph: Graph, mapping: DataFrame) -> DataFrame:
             F.countDistinct("src").alias("n_src_vertices"),
         )
     )
+
+
+def host_rank(
+    graph: Graph,
+    mapping: DataFrame,
+    max_iterations: int = 10,
+    damping: float = 0.85,
+    **engine_kwargs,
+) -> DataFrame:
+    """(grp, rank) — HostRank: PageRank over the quotient multigraph
+    with crossing-edge multiplicities as weights (self-loops dropped).
+    The standard two-stage web ranking (aggregate 10^12 pages to ~10^8
+    hosts, rank hosts, propagate back): the expensive step is the ONE
+    quotient shuffle; the rank iterations then run on a graph 4-6
+    orders of magnitude smaller."""
+    from incubator_hugegraph_computer_spark.operators.pagerank import pagerank_weighted
+
+    q = quotient_graph(graph, mapping).where(F.col("gsrc") != F.col("gdst"))
+    hedges = q.select(
+        F.col("gsrc").alias("src"),
+        F.col("gdst").alias("dst"),
+        F.col("n_edges").cast("double").alias("weight"),
+    )
+    hg = Graph.from_edges(hedges)
+    pr = pagerank_weighted(
+        hg, "weight", damping=damping, max_iterations=max_iterations, tol=0.0,
+        **engine_kwargs,
+    )
+    return pr.select(F.col("id").alias("grp"), "rank")

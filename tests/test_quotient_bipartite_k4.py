@@ -118,3 +118,44 @@ def test_k4_matches_bruteforce(spark):
     g = make_graph(spark, edges, vertex_ids=range(n))
     out = {r.id: r.k4 for r in k4_count(g).collect()}
     assert out == expected
+
+
+def test_hostrank_matches_numpy(spark):
+    """host_rank == literal weighted-PageRank recurrence over the
+    quotient of a small graph."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.quotient import host_rank
+
+    rng = np.random.RandomState(29)
+    n = 30
+    edges = sorted({(int(a), int(b)) for a, b in rng.randint(0, n, (120, 2)) if a != b})
+    mod = 5
+    # python quotient
+    from collections import Counter
+
+    q = Counter(((a % mod), (b % mod)) for a, b in edges if a % mod != b % mod)
+    hosts = sorted({g for pair in q for g in pair})
+    out_pairs = {h: sorted(d for (s, d) in q if s == h) for h in hosts}
+    nh = len(hosts)
+    r = {h: 1.0 / nh for h in hosts}
+    d = 0.85
+    for _ in range(6):
+        msg = {h: 0.0 for h in hosts}
+        dang = sum(r[h] for h in hosts if not out_pairs[h])
+        for s in hosts:
+            if out_pairs[s]:
+                for t in out_pairs[s]:
+                    msg[t] += r[s] / len(out_pairs[s]) * q[(s, t)]
+        r = {h: (1 - d) / nh + d * (msg[h] + dang / nh) for h in hosts}
+
+    g = make_graph(spark, edges, vertex_ids=range(n))
+    mapping = g.vertices.select("id", (F.col("id") % mod).alias("grp"))
+    got = {
+        row.grp: row.rank
+        for row in host_rank(g, mapping, max_iterations=6).collect()
+    }
+    assert set(got) == set(hosts)
+    for h in hosts:
+        assert got[h] == _pt.approx(r[h], abs=1e-9)
