@@ -159,3 +159,58 @@ def test_hostrank_matches_numpy(spark):
     assert set(got) == set(hosts)
     for h in hosts:
         assert got[h] == _pt.approx(r[h], abs=1e-9)
+
+
+def test_quotient_stream_matches_batch(spark, tmp_path):
+    """Streamed incremental host-pair totals == one-shot quotient over
+    the union of all batches; replays of committed batches are no-ops."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.quotient import quotient_graph
+    from incubator_hugegraph_computer_spark.streaming.quotient import (
+        read_quotient,
+        run_quotient_stream,
+    )
+
+    edges = [(i, (i * 13 + 5) % 40) for i in range(120)]
+    edges = [(s, d) for s, d in edges if s != d]
+    src = tmp_path / "edges"
+    src.mkdir()
+    for chunk in range(3):
+        part = edges[chunk * 40 : (chunk + 1) * 40]
+        df = spark.createDataFrame(part, "src long, dst long").coalesce(1)
+        pdir = str(src / f"chunk{chunk}.parquet")
+        df.write.mode("overwrite").parquet(pdir + ".tmp")
+        fname = [f for f in os.listdir(pdir + ".tmp") if f.endswith(".parquet")][0]
+        dest = str(src / f"part-{chunk:05d}.parquet")
+        os.rename(os.path.join(pdir + ".tmp", fname), dest)
+        ts = time.time() + chunk
+        os.utime(dest, (ts, ts))
+
+    mod = 7
+    run_quotient_stream(
+        spark, str(src), str(tmp_path / "ck"), str(tmp_path / "hostq"), mod=mod
+    )
+    streamed = {
+        (r.gsrc, r.gdst): r.n_edges
+        for r in read_quotient(spark, str(tmp_path / "hostq")).collect()
+    }
+    g = make_graph(spark, edges)
+    mapping = g.vertices.select("id", (F.col("id") % mod).alias("grp"))
+    full = {
+        (r.gsrc, r.gdst): r.n_edges for r in quotient_graph(g, mapping).collect()
+    }
+    assert streamed == full
+
+    # replay safety: re-running the drained stream changes nothing
+    run_quotient_stream(
+        spark, str(src), str(tmp_path / "ck2"), str(tmp_path / "hostq"), mod=mod
+    )
+    again = {
+        (r.gsrc, r.gdst): r.n_edges
+        for r in read_quotient(spark, str(tmp_path / "hostq")).collect()
+    }
+    assert again == full
