@@ -84,6 +84,11 @@ TRUST_SEED_MAX = 50  # trusted seed set: every vertex with id <= 50
 TRUST_ITERS = 10
 POWERLAW_DMIN = 2  # Hill-MLE tail threshold (in-degree >= dmin)
 HOSTRANK_ITERS = 10
+# snapshot-diff rule: "old crawl" keeps o_orderkey%10 < 8, "new crawl"
+# keeps o_orderkey%10 >= 2 — overlapping subsets so both sides of the
+# delta are non-empty
+SNAP_OLD_MOD_LT = 8
+SNAP_NEW_MOD_GE = 2
 EFFDIAM_Q = 0.9  # effective-diameter quantile over the h<=3 ANF table
 # parity-BFS depth cap replayed by the oracle (measured root
 # eccentricity is 6 at sf0.001 / 4 at sf0.01 — 60 is declared slack)
@@ -1811,6 +1816,40 @@ def _q_hostrank(spark, sf_dir):
     return hr.select("grp", F.round("rank", 6).alias("rank"))
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Crawl-over-crawl edge delta per host pair (id%64 groups)."""
+    from incubator_hugegraph_computer_spark.operators.quotient import snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def edges_of(flt):
+        return (
+            orders.where(flt)
+            .select(
+                F.col("o_custkey").cast("long").alias("src"),
+                (F.col("o_orderkey") % DST_MOD).cast("long").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    old = edges_of(F.col("o_orderkey") % 10 < SNAP_OLD_MOD_LT)
+    new = edges_of(F.col("o_orderkey") % 10 >= SNAP_NEW_MOD_GE)
+    g = orders_graph(spark, sf_dir)
+    mapping = g.vertices.select("id", (F.col("id") % QUOTIENT_MOD).alias("grp"))
+    return snapshot_diff(old, new, mapping)
+
+
+def _q_comp_sizes(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.stats import (
+        component_size_distribution,
+    )
+
+    return component_size_distribution(
+        orders_graph(spark, sf_dir), count_messages=False
+    )
+
+
 def _q_powerlaw(spark, sf_dir):
     """Clauset-Shalizi-Newman continuous-MLE power-law exponent of the
     in-degree tail."""
@@ -1924,6 +1963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_powerlaw": _q_powerlaw,
         "graph_eff_diameter": _q_eff_diameter,
         "graph_hostrank": _q_hostrank,
+        "graph_snapshot_diff": _q_snapshot_diff,
+        "graph_comp_sizes": _q_comp_sizes,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
         "graph_diameter": _q_diameter,
@@ -3545,6 +3586,45 @@ FROM pr{TRUST_ITERS} p JOIN tp{TRUST_ITERS} t ON t.id = p.id
         "\n".join(_hr_parts)
         + f"\nSELECT id AS grp, ROUND(rank, 6) AS rank FROM hp{HOSTRANK_ITERS}"
     )
+
+    # crawl-over-crawl edge delta aggregated to id%64 host pairs;
+    # mapping covers only the FULL graph's vertices (inner joins drop
+    # endpoints outside it — none exist, both snapshots are subsets)
+    o["graph_snapshot_diff"] = f"""
+WITH {_G},
+olde AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, o_orderkey % {DST_MOD} AS dst
+      FROM orders WHERE o_custkey <> o_orderkey % {DST_MOD}
+        AND o_orderkey % 10 < {SNAP_OLD_MOD_LT}),
+newe AS MATERIALIZED (SELECT DISTINCT o_custkey AS src, o_orderkey % {DST_MOD} AS dst
+      FROM orders WHERE o_custkey <> o_orderkey % {DST_MOD}
+        AND o_orderkey % 10 >= {SNAP_NEW_MOD_GE}),
+m AS (SELECT id, id % {QUOTIENT_MOD} AS grp FROM v),
+added AS (SELECT n.src, n.dst FROM newe n
+          WHERE NOT EXISTS (SELECT 1 FROM olde o WHERE o.src=n.src AND o.dst=n.dst)),
+removed AS (SELECT o.src, o.dst FROM olde o
+            WHERE NOT EXISTS (SELECT 1 FROM newe n WHERE n.src=o.src AND n.dst=o.dst)),
+ga AS (SELECT ms.grp AS gsrc, md.grp AS gdst, CAST(COUNT(*) AS BIGINT) AS n_added
+       FROM added a JOIN m ms ON ms.id=a.src JOIN m md ON md.id=a.dst GROUP BY 1,2),
+gr AS (SELECT ms.grp AS gsrc, md.grp AS gdst, CAST(COUNT(*) AS BIGINT) AS n_removed
+       FROM removed r JOIN m ms ON ms.id=r.src JOIN m md ON md.id=r.dst GROUP BY 1,2)
+SELECT COALESCE(ga.gsrc, gr.gsrc) AS gsrc, COALESCE(ga.gdst, gr.gdst) AS gdst,
+       CAST(COALESCE(ga.n_added, 0) AS BIGINT) AS n_added,
+       CAST(COALESCE(gr.n_removed, 0) AS BIGINT) AS n_removed
+FROM ga FULL JOIN gr ON gr.gsrc = ga.gsrc AND gr.gdst = ga.gdst
+"""
+
+    # component-size histogram (giant-component census)
+    o["graph_comp_sizes"] = f"""
+WITH RECURSIVE {_G},
+cc(id, anc) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT s.dst, cc.anc FROM cc JOIN sym s ON s.src = cc.id
+),
+comp AS (SELECT id, MIN(anc) AS comp FROM cc GROUP BY id),
+sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS size FROM comp GROUP BY 1)
+SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components FROM sz GROUP BY 1
+"""
 
     # Hill/MLE power-law exponent of the in-degree tail (CSN 2009)
     o["graph_powerlaw"] = f"""

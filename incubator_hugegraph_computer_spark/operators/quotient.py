@@ -71,3 +71,40 @@ def host_rank(
         **engine_kwargs,
     )
     return pr.select(F.col("id").alias("grp"), "rank")
+
+
+def snapshot_diff(
+    edges_old: DataFrame, edges_new: DataFrame, mapping: DataFrame
+) -> DataFrame:
+    """(gsrc, gdst, n_added, n_removed) — crawl-over-crawl edge delta
+    aggregated to host-group pairs: per ordered group pair, how many
+    distinct edges appear only in the new snapshot and how many only in
+    the old. The per-batch report a continuously recrawled link graph
+    publishes; both sides reduce to anti-joins co-partitioned on
+    (src, dst) followed by one group-pair count — no full-graph state.
+    """
+    old = edges_old.select("src", "dst").distinct()
+    new = edges_new.select("src", "dst").distinct()
+    added = new.join(old, ["src", "dst"], "left_anti")
+    removed = old.join(new, ["src", "dst"], "left_anti")
+    m_src = mapping.select(F.col("id").alias("src"), F.col("grp").alias("gsrc"))
+    m_dst = mapping.select(F.col("id").alias("dst"), F.col("grp").alias("gdst"))
+
+    def _grp_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(m_src, "src")
+            .join(m_dst, "dst")
+            .groupBy("gsrc", "gdst")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return (
+        _grp_counts(added, "n_added")
+        .join(_grp_counts(removed, "n_removed"), ["gsrc", "gdst"], "full")
+        .select(
+            "gsrc",
+            "gdst",
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )

@@ -177,3 +177,18 @@ def powerlaw_alpha(graph: Graph, dmin: int = 2, direction: str = "in") -> DataFr
             (F.lit(1.0) + F.col("n_tail") / F.col("_s")).alias("alpha"),
         )
     )
+
+
+def component_size_distribution(graph: Graph, **wcc_kwargs) -> DataFrame:
+    """(size, n_components) — histogram of weakly-connected-component
+    sizes, the classic giant-component census of a crawl snapshot. One
+    WCC pass + two bounded map-side-combined aggregations."""
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+
+    comp = wcc(graph, **wcc_kwargs)
+    return (
+        comp.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )

@@ -214,3 +214,31 @@ def test_quotient_stream_matches_batch(spark, tmp_path):
         for r in read_quotient(spark, str(tmp_path / "hostq")).collect()
     }
     assert again == full
+
+
+def test_snapshot_diff_hand_fixture(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.quotient import snapshot_diff
+
+    old = spark.createDataFrame([(0, 1), (2, 3), (4, 5)], "src long, dst long")
+    new = spark.createDataFrame([(0, 1), (2, 3), (6, 7), (8, 1)], "src long, dst long")
+    ids = spark.range(0, 9).select("id", (F.col("id") % 2).alias("grp"))
+    out = {
+        (r.gsrc, r.gdst): (r.n_added, r.n_removed)
+        for r in snapshot_diff(old, new, ids).collect()
+    }
+    # added: (6,7)->(0,1), (8,1)->(0,1); removed: (4,5)->(0,1)
+    assert out == {(0, 1): (2, 1)}
+
+
+def test_comp_sizes_histogram(spark):
+    from incubator_hugegraph_computer_spark.operators.stats import (
+        component_size_distribution,
+    )
+
+    # components: {0,1,2} (size 3), {10,11} and {20,21} (two size 2), 30
+    edges = [(0, 1), (1, 2), (10, 11), (20, 21)]
+    g = make_graph(spark, edges, vertex_ids=[0, 1, 2, 10, 11, 20, 21, 30])
+    out = {r.size: r.n_components for r in component_size_distribution(g).collect()}
+    assert out == {3: 1, 2: 2, 1: 1}
