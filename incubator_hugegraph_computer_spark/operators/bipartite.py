@@ -52,6 +52,15 @@ def bipartite_check(graph: Graph, max_depth: int = 200) -> DataFrame:
             break
         labeled = labeled.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    else:
+        # an exhausted depth budget would leave vertices unlabeled and
+        # silently drop their edges from the odd-edge check — refuse
+        # rather than under-report odd cycles
+        if labeled.count() < comp.count():
+            raise RuntimeError(
+                f"bipartite_check: BFS did not label every vertex within "
+                f"max_depth={max_depth} — raise max_depth"
+            )
 
     odd = (
         sym.join(labeled.withColumnRenamed("id", "src").withColumnRenamed("parity", "p_src"), "src")

@@ -65,6 +65,10 @@ def host_rank(
         F.col("gdst").alias("dst"),
         F.col("n_edges").cast("double").alias("weight"),
     )
+    if hedges.isEmpty():
+        # every edge intra-group (e.g. mod=1): PageRank's 1/n seed
+        # would divide by zero on the empty vertex set
+        return graph.spark.createDataFrame([], "grp long, rank double")
     hg = Graph.from_edges(hedges)
     pr = pagerank_weighted(
         hg, "weight", damping=damping, max_iterations=max_iterations, tol=0.0,

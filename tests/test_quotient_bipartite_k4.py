@@ -242,3 +242,24 @@ def test_comp_sizes_histogram(spark):
     g = make_graph(spark, edges, vertex_ids=[0, 1, 2, 10, 11, 20, 21, 30])
     out = {r.size: r.n_components for r in component_size_distribution(g).collect()}
     assert out == {3: 1, 2: 2, 1: 1}
+
+
+def test_bipartite_refuses_exhausted_depth(spark):
+    import pytest as _pt
+
+    from incubator_hugegraph_computer_spark.operators.bipartite import bipartite_check
+
+    # a 6-chain needs 5 BFS rounds from vertex 0; max_depth=2 must refuse
+    g = make_graph(spark, [(i, i + 1) for i in range(5)])
+    with _pt.raises(RuntimeError, match="max_depth"):
+        bipartite_check(g, max_depth=2)
+
+
+def test_hostrank_empty_quotient_returns_empty(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.quotient import host_rank
+
+    g = make_graph(spark, [(0, 1), (1, 2)])
+    mapping = g.vertices.select("id", (F.col("id") % 1).alias("grp"))  # all grp 0
+    assert host_rank(g, mapping).count() == 0
