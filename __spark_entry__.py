@@ -89,6 +89,19 @@ HOSTRANK_ITERS = 10
 # delta are non-empty
 SNAP_OLD_MOD_LT = 8
 SNAP_NEW_MOD_GE = 2
+# crawl-delta PageRank: cold iterations on the old crawl, then the
+# delta lands and the warm-started continuation runs on the new edges
+PR_DELTA_BASE = 4
+PR_DELTA_CONT = 3
+# hub caps for the citation projections (a source citing everything /
+# a page cited by everyone carries no pairwise signal and quadratic
+# cost; declared semantics, replayed by the oracle). Non-binding at
+# gate SFs (max out-deg ~25, max in-deg ~15 at sf0.01); bind at sf1+.
+COCIT_CAP = 64  # co-citation: cap on the citing source's out-degree
+BIBC_CAP = 256  # bibliographic coupling: cap on the cited page's in-degree
+# superstep-counter trace budget (WCC converges in ~6 at gate SFs; the
+# termination rule ends the trace on both sides, so 10 is slack)
+WCC_METRICS_STEPS = 10
 EFFDIAM_Q = 0.9  # effective-diameter quantile over the h<=3 ANF table
 # parity-BFS depth cap replayed by the oracle (measured root
 # eccentricity is 6 at sf0.001 / 4 at sf0.01 — 60 is declared slack)
@@ -1840,6 +1853,84 @@ def _q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new, mapping)
 
 
+def _q_pagerank_delta(spark, sf_dir):
+    """Crawl-delta PageRank: PR_DELTA_BASE cold iterations on the old
+    crawl's edges, then the delta lands and PR_DELTA_CONT more
+    iterations run WARM-STARTED from the old ranks over the new edge
+    set (operators/pagerank.py ``initial_ranks``) — the re-rank-after-
+    ingest path a web deployment runs instead of cold-starting 10^12
+    files per crawl. Vertices the delta introduced start at 1/n_new.
+    Both phases are fixed-iteration (tol=0) so the oracle unrolls the
+    exact two-phase recurrence."""
+    from incubator_hugegraph_computer_spark.operators.pagerank import pagerank_classic
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def edges_of(flt):
+        return (
+            orders.where(flt)
+            .select(
+                F.col("o_custkey").cast("long").alias("src"),
+                (F.col("o_orderkey") % DST_MOD).cast("long").alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    old_g = Graph.from_edges(edges_of(F.col("o_orderkey") % 10 < SNAP_OLD_MOD_LT))
+    warm = pagerank_classic(
+        old_g, max_iterations=PR_DELTA_BASE, tol=0.0, count_messages=False
+    )
+    new_g = Graph.from_edges(edges_of(F.col("o_orderkey") % 10 >= SNAP_NEW_MOD_GE))
+    pr = pagerank_classic(
+        new_g,
+        max_iterations=PR_DELTA_CONT,
+        tol=0.0,
+        count_messages=False,
+        initial_ranks=warm,
+    )
+    return pr.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _q_superstep_metrics(spark, sf_dir):
+    """The per-superstep counters the checkpoint backend persists
+    (messages_sent = combined-inbox size, active_vertices — the
+    MasterService superstep-stat surface), traced over a WCC run and
+    exposed as an oracled query: the counters themselves are checked,
+    not just the converged labels."""
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc_superstep_metrics
+
+    return wcc_superstep_metrics(
+        orders_graph(spark, sf_dir), max_supersteps=WCC_METRICS_STEPS
+    )
+
+
+def _q_cocitation(spark, sf_dir):
+    """Co-citation strength (Small 1973): weight(a,b) = number of pages
+    citing BOTH a and b (common in-neighbors) — the bipartite projection
+    of the edge table grouped by the citing source
+    (operators/projection.py). Hub sources above COCIT_CAP out-degree
+    are dropped (declared cap, oracle replays it)."""
+    from incubator_hugegraph_computer_spark.operators.projection import project
+
+    g = orders_graph(spark, sf_dir)
+    return project(g.edges, "src", "dst", max_group_size=COCIT_CAP).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "weight"
+    )
+
+
+def _q_bibcoupling(spark, sf_dir):
+    """Bibliographic coupling (Kessler 1963): weight(a,b) = number of
+    pages BOTH a and b cite (common out-neighbors) — the same projection
+    grouped by the cited page; pages above BIBC_CAP in-degree dropped."""
+    from incubator_hugegraph_computer_spark.operators.projection import project
+
+    g = orders_graph(spark, sf_dir)
+    return project(g.edges, "dst", "src", max_group_size=BIBC_CAP).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "weight"
+    )
+
+
 def _q_comp_sizes(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.stats import (
         component_size_distribution,
@@ -1964,6 +2055,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eff_diameter": _q_eff_diameter,
         "graph_hostrank": _q_hostrank,
         "graph_snapshot_diff": _q_snapshot_diff,
+        "graph_pagerank_delta": _q_pagerank_delta,
+        "graph_superstep_metrics": _q_superstep_metrics,
+        "graph_cocitation": _q_cocitation,
+        "graph_bibcoupling": _q_bibcoupling,
         "graph_comp_sizes": _q_comp_sizes,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
@@ -2159,6 +2254,97 @@ def _pagerank_sql(iters: int, damping: float = 0.85, weighted: bool = False) -> 
 
 def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
     return _pagerank_sql(iters, damping, weighted=True)
+
+
+def _pagerank_delta_sql(base_iters: int, cont_iters: int, damping: float = 0.85) -> str:
+    """Two-phase unrolled classic-PR recurrence: ``base_iters`` cold
+    iterations over the old-crawl edge set, then ``cont_iters`` more
+    over the new edge set warm-started from the old ranks (delta-new
+    vertices seeded at 1/n_new) — exactly what _q_pagerank_delta runs."""
+    old_e = (
+        f"SELECT DISTINCT o_custkey AS src, o_orderkey % {DST_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {DST_MOD} AND o_orderkey % 10 < {SNAP_OLD_MOD_LT}"
+    )
+    new_e = (
+        f"SELECT DISTINCT o_custkey AS src, o_orderkey % {DST_MOD} AS dst FROM orders "
+        f"WHERE o_custkey <> o_orderkey % {DST_MOD} AND o_orderkey % 10 >= {SNAP_NEW_MOD_GE}"
+    )
+    parts = [
+        f"WITH oe AS MATERIALIZED ({old_e}),",
+        f"ne AS MATERIALIZED ({new_e}),",
+        "ov AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM oe UNION ALL SELECT dst FROM oe)),",
+        "nv AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM ne UNION ALL SELECT dst FROM ne)),",
+        "odeg AS (SELECT src AS id, COUNT(*) AS outdeg FROM oe GROUP BY 1),",
+        "ndeg AS (SELECT src AS id, COUNT(*) AS outdeg FROM ne GROUP BY 1),",
+        "onn AS (SELECT COUNT(*)::DOUBLE AS n FROM ov),",
+        "nnn AS (SELECT COUNT(*)::DOUBLE AS n FROM nv),",
+        "a0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM onn) AS rank FROM ov),",
+    ]
+    for k in range(1, base_iters + 1):
+        p = f"a{k-1}"
+        parts += [
+            f"am{k} AS MATERIALIZED (SELECT oe.dst AS id, SUM(p.rank/d.outdeg) AS s "
+            f"FROM {p} p JOIN odeg d ON d.id=p.id JOIN oe ON oe.src=p.id GROUP BY 1),",
+            f"ad{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
+            f"LEFT JOIN odeg d ON d.id=p.id WHERE d.id IS NULL),",
+            f"a{k} AS MATERIALIZED (SELECT ov.id, (1.0-{damping})/(SELECT n FROM onn) + "
+            f"{damping}*(COALESCE(m.s,0.0) + (SELECT dm FROM ad{k})/(SELECT n FROM onn)) AS rank "
+            f"FROM ov LEFT JOIN am{k} m ON m.id=ov.id),",
+        ]
+    parts.append(
+        f"b0 AS MATERIALIZED (SELECT nv.id, COALESCE(a.rank, 1.0/(SELECT n FROM nnn)) AS rank "
+        f"FROM nv LEFT JOIN a{base_iters} a ON a.id=nv.id),"
+    )
+    for k in range(1, cont_iters + 1):
+        p = f"b{k-1}"
+        parts += [
+            f"bm{k} AS MATERIALIZED (SELECT ne.dst AS id, SUM(p.rank/d.outdeg) AS s "
+            f"FROM {p} p JOIN ndeg d ON d.id=p.id JOIN ne ON ne.src=p.id GROUP BY 1),",
+            f"bd{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
+            f"LEFT JOIN ndeg d ON d.id=p.id WHERE d.id IS NULL),",
+            f"b{k} AS MATERIALIZED (SELECT nv.id, (1.0-{damping})/(SELECT n FROM nnn) + "
+            f"{damping}*(COALESCE(m.s,0.0) + (SELECT dm FROM bd{k})/(SELECT n FROM nnn)) AS rank "
+            f"FROM nv LEFT JOIN bm{k} m ON m.id=nv.id),",
+        ]
+    parts.append(f"fin AS (SELECT id, ROUND(rank,6) AS rank FROM b{cont_iters})")
+    return "\n".join(parts) + "\nSELECT id, rank FROM fin"
+
+
+def _superstep_metrics_sql(steps: int) -> str:
+    """Unrolled WCC counter trace: per step k, messages_sent = distinct
+    destinations messaged by the active frontier (the post-combine inbox
+    size BspEngine counts) and active_vertices = labels that shrank;
+    rows stop at the reference termination rule (first step with no
+    messages AND no active vertices is the last row — the NOT EXISTS
+    replays the engine's break-after-append)."""
+    parts = [
+        f"WITH {_G},",
+        "c0 AS MATERIALIZED (SELECT id, id AS comp, TRUE AS act FROM v),",
+    ]
+    for k in range(1, steps + 1):
+        p = f"c{k-1}"
+        parts += [
+            f"mm{k} AS MATERIALIZED (SELECT s.dst AS id, MIN(p.comp) AS msg FROM {p} p "
+            f"JOIN sym s ON s.src = p.id WHERE p.act GROUP BY 1),",
+            f"c{k} AS MATERIALIZED (SELECT p.id, "
+            f"LEAST(p.comp, COALESCE(m.msg, p.comp)) AS comp, "
+            f"LEAST(p.comp, COALESCE(m.msg, p.comp)) < p.comp AS act "
+            f"FROM {p} p LEFT JOIN mm{k} m ON m.id = p.id),",
+        ]
+    step_rows = " UNION ALL ".join(
+        f"SELECT {k} AS superstep, (SELECT COUNT(*) FROM mm{k}) AS messages_sent, "
+        f"(SELECT COUNT(*) FROM c{k} WHERE act) AS active_vertices"
+        for k in range(1, steps + 1)
+    )
+    parts.append(f"steps AS ({step_rows})")
+    return "\n".join(parts) + (
+        "\nSELECT CAST(s.superstep AS INTEGER) AS superstep, s.messages_sent, "
+        "s.active_vertices FROM steps s WHERE NOT EXISTS "
+        "(SELECT 1 FROM steps t WHERE t.superstep < s.superstep "
+        "AND t.active_vertices = 0 AND t.messages_sent = 0)"
+    )
 
 
 def _ppr_sql(iters: int, source: int, damping: float = 0.85) -> str:
@@ -3611,6 +3797,36 @@ SELECT COALESCE(ga.gsrc, gr.gsrc) AS gsrc, COALESCE(ga.gdst, gr.gdst) AS gdst,
        CAST(COALESCE(ga.n_added, 0) AS BIGINT) AS n_added,
        CAST(COALESCE(gr.n_removed, 0) AS BIGINT) AS n_removed
 FROM ga FULL JOIN gr ON gr.gsrc = ga.gsrc AND gr.gdst = ga.gdst
+"""
+
+    # crawl-delta PageRank: cold phase on the old crawl, warm-started
+    # continuation on the new edge set (two-phase unrolled recurrence)
+    o["graph_pagerank_delta"] = _pagerank_delta_sql(PR_DELTA_BASE, PR_DELTA_CONT)
+
+    # per-superstep BSP counters of a WCC run, terminated by the exact
+    # no-messages-and-no-active rule
+    o["graph_superstep_metrics"] = _superstep_metrics_sql(WCC_METRICS_STEPS)
+
+    # co-citation / bibliographic coupling: bipartite projections of
+    # the edge table (common in- / out-neighbor counts, hub-capped)
+    o["graph_cocitation"] = f"""
+WITH {_G},
+gi AS (SELECT DISTINCT src AS g, dst AS item FROM e),
+ok AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) <= {COCIT_CAP}),
+gik AS (SELECT gi.g, gi.item FROM gi JOIN ok USING(g))
+SELECT x.item AS a, y.item AS b, CAST(COUNT(*) AS BIGINT) AS weight
+FROM gik x JOIN gik y ON x.g = y.g AND x.item < y.item
+GROUP BY 1, 2
+"""
+
+    o["graph_bibcoupling"] = f"""
+WITH {_G},
+gi AS (SELECT DISTINCT dst AS g, src AS item FROM e),
+ok AS (SELECT g FROM gi GROUP BY g HAVING COUNT(*) <= {BIBC_CAP}),
+gik AS (SELECT gi.g, gi.item FROM gi JOIN ok USING(g))
+SELECT x.item AS a, y.item AS b, CAST(COUNT(*) AS BIGINT) AS weight
+FROM gik x JOIN gik y ON x.g = y.g AND x.item < y.item
+GROUP BY 1, 2
 """
 
     # component-size histogram (giant-component census)

@@ -366,14 +366,23 @@ def pagerank_classic(
     damping: float = DAMPING_DEFAULT,
     max_iterations: int = 50,
     tol: float = 1e-10,
+    initial_ranks: DataFrame | None = None,
     **engine_kwargs,
 ) -> DataFrame:
     """(id, rank) under the classic damping formulation. With ``tol=0``
     this runs exactly ``max_iterations`` supersteps — the deterministic
-    fixed-iteration mode the DuckDB oracle mirrors."""
+    fixed-iteration mode the DuckDB oracle mirrors.
+
+    ``initial_ranks``: optional (id, rank) warm-start seed — the
+    crawl-delta path: after an edge batch lands, continue from the
+    previous crawl's ranks instead of the uniform vector; vertices the
+    delta introduced (absent from the seed) start at 1/n of the NEW
+    vertex set."""
+    program = PageRankClassicProgram(damping, tol)
+    program.initial_ranks = initial_ranks
     return _run(
         graph,
-        PageRankClassicProgram(damping, tol),
+        program,
         max_supersteps=max_iterations,
         **engine_kwargs,
     )

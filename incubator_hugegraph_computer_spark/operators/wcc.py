@@ -196,6 +196,49 @@ def wcc(
     return result
 
 
+def wcc_superstep_metrics(
+    graph: Graph,
+    max_supersteps: int = 10,
+    presymmetrized: bool = False,
+) -> DataFrame:
+    """Per-superstep BSP counters for a WCC run — (superstep,
+    messages_sent, active_vertices), one row per executed superstep.
+
+    The reference persists exactly these counters with every superstep:
+    ``MasterService`` aggregates per-worker active-vertex / sent-message
+    counts into the superstep stat it logs and uses for the termination
+    rule (``computer-core/.../master/MasterService.java`` finishedIteration),
+    and ``FileGraphPartition`` tracks the per-partition message/vertex
+    counts that feed it. This surfaces the engine's equivalent
+    (``BspEngine`` ctx.stats — the same rows the checkpoint backend
+    writes to metrics.jsonl) as a queryable DataFrame, so the counters
+    themselves are oracle-checkable:
+
+    - ``messages_sent``  = combined-inbox size of the superstep (rows
+      after the min-combiner = distinct destinations messaged by the
+      frontier — the post-combine count the reference's shuffle emits)
+    - ``active_vertices`` = vertices whose component shrank this step
+
+    Rows stop exactly where the reference's termination rule fires: the
+    first superstep with no messages AND no active vertices is the last
+    row emitted. Deterministic given the graph, hence SQL-oracled.
+    """
+    g = graph if presymmetrized else graph.symmetrized().cache()
+    engine = BspEngine(g, max_supersteps=max_supersteps, count_messages=True)
+    state, ctx = engine.run(WccProgram())
+    rows = [
+        (k, int(m["messages_sent"]), int(m["active_vertices"]))
+        for k, m in enumerate(ctx.stats, start=1)
+    ]
+    out = g.spark.createDataFrame(
+        rows, "superstep int, messages_sent long, active_vertices long"
+    )
+    state.unpersist()
+    if not presymmetrized:
+        g.unpersist()
+    return out
+
+
 def wcc_incremental(
     prev_labels: DataFrame,
     new_edges: DataFrame,

@@ -351,3 +351,30 @@ def test_ego_size_radius_three(spark):
     g = make_graph(spark, [(1, 2), (2, 3), (3, 4)])
     got = {r["id"]: r["ego_size"] for r in ego_size(g, radius=3).collect()}
     assert got == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_cocitation_bibcoupling_fixture(spark):
+    """Co-citation = common in-neighbors, bibliographic coupling =
+    common out-neighbors — both as bipartite projections of the edge
+    table. Edges 1->3, 1->4, 2->3, 2->4, 5->3: pages 3,4 are co-cited
+    by {1,2}; sources pair as (1,2):{3,4}, (1,5):{3}, (2,5):{3}."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.projection import project
+
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4), (5, 3)], "src long, dst long"
+    )
+    cocit = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in project(edges, "src", "dst").collect()
+    }
+    assert cocit == {(3, 4): 2}
+    bibc = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in project(edges, "dst", "src").collect()
+    }
+    assert bibc == {(1, 2): 2, (1, 5): 1, (2, 5): 1}
+    # the hub cap drops the whole group, not just its excess pairs
+    capped = project(edges, "dst", "src", max_group_size=2).collect()
+    assert {(r["src"], r["dst"]): r["weight"] for r in capped} == {(1, 2): 1}

@@ -131,3 +131,92 @@ def test_pagerank_warm_start(spark, fixture_graph):
     skewed, _ = run(initial_ranks=skew)
     for r in skewed.collect():
         assert r["rank"] == pytest.approx(cold_ranks[r["id"]], abs=1e-6)
+
+
+def test_pagerank_classic_warm_start(spark, fixture_graph):
+    """pagerank_classic initial_ranks: a uniform seed reproduces the
+    cold start bit-identically (same recurrence, same plan), and a
+    converged seed stays at the fixed point under further iterations —
+    the crawl-delta re-rank path."""
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.pagerank import (
+        pagerank_classic,
+    )
+
+    cold = pagerank_classic(
+        fixture_graph, max_iterations=4, tol=0.0, count_messages=False
+    )
+    n = fixture_graph.num_vertices()
+    uniform = fixture_graph.vertices.select(
+        "id", F.lit(1.0 / n).alias("rank")
+    )
+    warm_uniform = pagerank_classic(
+        fixture_graph,
+        max_iterations=4,
+        tol=0.0,
+        count_messages=False,
+        initial_ranks=uniform,
+    )
+    a = {r["id"]: r["rank"] for r in cold.collect()}
+    b = {r["id"]: r["rank"] for r in warm_uniform.collect()}
+    assert a == b  # bit-identical: identical recurrence from the same seed
+
+    converged = pagerank_classic(
+        fixture_graph, max_iterations=60, tol=0.0, count_messages=False
+    )
+    cont = pagerank_classic(
+        fixture_graph,
+        max_iterations=5,
+        tol=0.0,
+        count_messages=False,
+        initial_ranks=converged,
+    )
+    # warm(60) + 5 more iterations IS cold(65): same recurrence, same
+    # operation order — bit-identical, the strongest resume guarantee
+    cold65 = pagerank_classic(
+        fixture_graph, max_iterations=65, tol=0.0, count_messages=False
+    )
+    want = {r["id"]: r["rank"] for r in cold65.collect()}
+    got = {r["id"]: r["rank"] for r in cont.collect()}
+    assert got == want
+    # and 60 iterations are already near the fixed point: 5 more move
+    # nothing beyond the residual decay scale
+    fx = {r["id"]: r["rank"] for r in converged.collect()}
+    for vid, rank in got.items():
+        assert rank == pytest.approx(fx[vid], abs=1e-4)
+
+
+def test_pagerank_classic_warm_start_new_vertices(spark):
+    """Vertices the delta introduced (absent from the seed) start at
+    1/n of the NEW vertex set: one fixed iteration from that seed is
+    reproduced exactly by the hand recurrence."""
+    from tests.conftest import make_graph
+
+    from incubator_hugegraph_computer_spark.operators.pagerank import (
+        pagerank_classic,
+    )
+
+    old = make_graph(spark, [(1, 2), (2, 3)])
+    seed = pagerank_classic(old, max_iterations=3, tol=0.0, count_messages=False)
+    seed_map = {r["id"]: r["rank"] for r in seed.collect()}
+
+    new = make_graph(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_classic(
+            new, max_iterations=1, tol=0.0, count_messages=False, initial_ranks=seed
+        ).collect()
+    }
+
+    n = 4.0
+    r0 = {v: seed_map.get(v, 1.0 / n) for v in (1, 2, 3, 4)}
+    dang = r0[4] / n  # only vertex 4 is dangling in the new graph
+    want = {
+        1: (1 - 0.85) / n + 0.85 * (0.0 + dang),
+        2: (1 - 0.85) / n + 0.85 * (r0[1] + dang),
+        3: (1 - 0.85) / n + 0.85 * (r0[2] + dang),
+        4: (1 - 0.85) / n + 0.85 * (r0[3] + dang),
+    }
+    for v, w in want.items():
+        assert got[v] == pytest.approx(w, abs=1e-12)

@@ -180,3 +180,44 @@ def test_mint_uuid_ordered_ids(spark):
     minted = {r["uid"]: r["id"] for r in mint_uuid_ordered_ids(df).collect()}
     want = {s: i for i, s in enumerate(sorted(strs, key=lambda s: uuidlib.UUID(s).bytes))}
     assert minted == want
+
+
+def test_wcc_superstep_metrics_path_trace(spark):
+    """Hand-derived counter trace on the path 1-2-3-4: messages_sent is
+    the post-combine inbox size (distinct destinations messaged by the
+    frontier), active_vertices the labels that shrank, and the trace
+    ends exactly at the reference termination rule (first step with no
+    messages AND no active vertices is the last row)."""
+    from tests.conftest import make_graph
+
+    from incubator_hugegraph_computer_spark.operators.wcc import (
+        wcc_superstep_metrics,
+    )
+
+    g = make_graph(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = sorted(
+        (r["superstep"], r["messages_sent"], r["active_vertices"])
+        for r in wcc_superstep_metrics(g, max_supersteps=10).collect()
+    )
+    # step1: frontier={1,2,3,4} -> inbox dsts {1,2,3,4}; comps [1,1,2,3]
+    # step2: frontier={2,3,4}   -> dsts {1,2,3,4};       comps [1,1,1,2]
+    # step3: frontier={3,4}     -> dsts {2,3,4};         comps [1,1,1,1]
+    # step4: frontier={4}       -> dsts {3};             nothing shrinks
+    # step5: frontier empty     -> 0 messages, 0 active  -> terminate
+    assert rows == [(1, 4, 3), (2, 4, 2), (3, 3, 1), (4, 1, 0), (5, 0, 0)]
+
+
+def test_wcc_superstep_metrics_budget_cap(spark):
+    """max_supersteps caps the trace before convergence: a 9-vertex path
+    needs 9 propagation steps, so a budget of 3 yields exactly 3 rows,
+    all with a non-empty frontier."""
+    from tests.conftest import make_graph
+
+    from incubator_hugegraph_computer_spark.operators.wcc import (
+        wcc_superstep_metrics,
+    )
+
+    g = make_graph(spark, [(i, i + 1) for i in range(1, 9)])
+    rows = wcc_superstep_metrics(g, max_supersteps=3).collect()
+    assert len(rows) == 3
+    assert all(r["active_vertices"] > 0 for r in rows)
