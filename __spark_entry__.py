@@ -102,6 +102,7 @@ BIBC_CAP = 256  # bibliographic coupling: cap on the cited page's in-degree
 # superstep-counter trace budget (WCC converges in ~6 at gate SFs; the
 # termination rule ends the trace on both sides, so 10 is slack)
 WCC_METRICS_STEPS = 10
+PR_TRACE_ITERS = 5  # aggregator-trace budget (fixed iterations, tol=0)
 EFFDIAM_Q = 0.9  # effective-diameter quantile over the h<=3 ANF table
 # parity-BFS depth cap replayed by the oracle (measured root
 # eccentricity is 6 at sf0.001 / 4 at sf0.01 — 60 is declared slack)
@@ -1905,6 +1906,20 @@ def _q_superstep_metrics(spark, sf_dir):
     )
 
 
+def _q_pagerank_trace(spark, sf_dir):
+    """Per-superstep PageRank AGGREGATOR values (l1 residual, dangling
+    mass, cumulative rank — PageRank4Master's registered aggregators,
+    the same values the checkpoint writes to aggs.json), value-checked
+    against the unrolled recurrence."""
+    from incubator_hugegraph_computer_spark.operators.pagerank import (
+        pagerank_classic_trace,
+    )
+
+    return pagerank_classic_trace(
+        orders_graph(spark, sf_dir), iterations=PR_TRACE_ITERS
+    )
+
+
 def _q_cocitation(spark, sf_dir):
     """Co-citation strength (Small 1973): weight(a,b) = number of pages
     citing BOTH a and b (common in-neighbors) — the bipartite projection
@@ -2059,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_superstep_metrics": _q_superstep_metrics,
         "graph_cocitation": _q_cocitation,
         "graph_bibcoupling": _q_bibcoupling,
+        "graph_pagerank_trace": _q_pagerank_trace,
         "graph_comp_sizes": _q_comp_sizes,
         "graph_motifs": _q_motifs,
         "graph_ego2": _q_ego2,
@@ -2310,6 +2326,43 @@ def _pagerank_delta_sql(base_iters: int, cont_iters: int, damping: float = 0.85)
         ]
     parts.append(f"fin AS (SELECT id, ROUND(rank,6) AS rank FROM b{cont_iters})")
     return "\n".join(parts) + "\nSELECT id, rank FROM fin"
+
+
+def _pagerank_trace_sql(iters: int, damping: float = 0.85) -> str:
+    """Per-iteration aggregator values of the same unrolled classic-PR
+    recurrence _pagerank_sql builds: l1 = Σ|pr_k − pr_{k−1}|, dangling
+    mass, cumulative rank — computed on the post-update state, exactly
+    what BspEngine's aggregator pass reads."""
+    parts = [
+        f"WITH {_G},",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"pr{k-1}"
+        parts += [
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank/d.outdeg) AS s FROM {p} p "
+            f"JOIN deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1),",
+            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank),0) AS dm FROM {p} p "
+            f"LEFT JOIN deg d ON d.id=p.id WHERE d.id IS NULL),",
+            f"pr{k} AS MATERIALIZED (SELECT v.id, (1.0-{damping})/(SELECT n FROM nn) + "
+            f"{damping}*(COALESCE(m.s,0.0) + (SELECT dm FROM dang{k})/(SELECT n FROM nn)) AS rank "
+            f"FROM v LEFT JOIN m{k} m ON m.id=v.id),",
+        ]
+    step_rows = " UNION ALL ".join(
+        f"SELECT {k} AS superstep, "
+        f"(SELECT SUM(ABS(a.rank - b.rank)) FROM pr{k} a JOIN pr{k-1} b USING(id)) AS l1, "
+        f"(SELECT COALESCE(SUM(a.rank),0) FROM pr{k} a LEFT JOIN deg d ON d.id=a.id "
+        f"WHERE d.id IS NULL) AS dangling, "
+        f"(SELECT SUM(rank) FROM pr{k}) AS cum"
+        for k in range(1, iters + 1)
+    )
+    parts.append(f"steps AS ({step_rows})")
+    return "\n".join(parts) + (
+        "\nSELECT CAST(superstep AS INTEGER) AS superstep, ROUND(l1,6) AS l1, "
+        "ROUND(dangling,6) AS dangling, ROUND(cum,6) AS cum FROM steps"
+    )
 
 
 def _superstep_metrics_sql(steps: int) -> str:
@@ -3806,6 +3859,9 @@ FROM ga FULL JOIN gr ON gr.gsrc = ga.gsrc AND gr.gdst = ga.gdst
     # per-superstep BSP counters of a WCC run, terminated by the exact
     # no-messages-and-no-active rule
     o["graph_superstep_metrics"] = _superstep_metrics_sql(WCC_METRICS_STEPS)
+
+    # per-superstep PageRank aggregators (l1 / dangling mass / cum rank)
+    o["graph_pagerank_trace"] = _pagerank_trace_sql(PR_TRACE_ITERS)
 
     # co-citation / bibliographic coupling: bipartite projections of
     # the edge table (common in- / out-neighbor counts, hub-capped)

@@ -388,6 +388,47 @@ def pagerank_classic(
     )
 
 
+def pagerank_classic_trace(
+    graph: Graph,
+    damping: float = DAMPING_DEFAULT,
+    iterations: int = 5,
+) -> DataFrame:
+    """Per-superstep AGGREGATOR trace of a fixed-iteration classic-PR
+    run — (superstep, l1, dangling, cum), one row per iteration.
+
+    The reference's master registers exactly these values every
+    superstep (PageRank4Master.java: dangling mass, cumulative rank,
+    L1 diff drive the convergence rule and the run log); this surfaces
+    the engine's equivalents (BspEngine ctx.stats aggregator column —
+    the same values checkpointed in aggs.json) as an oracled query, so
+    the aggregators themselves are value-checked, not just the final
+    ranks. Floats rounded to 6 dp on both sides."""
+    program = PageRankClassicProgram(damping, tol=0.0)
+    engine = BspEngine(graph, max_supersteps=iterations, count_messages=False)
+    state, ctx = engine.run(program)
+    rows = [
+        (
+            k,
+            float(m["aggregators"]["l1"]),
+            float(m["aggregators"]["dangling"]),
+            float(m["aggregators"]["cum"]),
+        )
+        for k, m in enumerate(ctx.stats, start=1)
+    ]
+    out = graph.spark.createDataFrame(
+        rows, "superstep int, l1 double, dangling double, cum double"
+    ).select(
+        "superstep",
+        # round in Spark (HALF_UP, matching DuckDB ROUND) — python's
+        # round() is banker's and would mismatch on .xxxxxx5 boundaries
+        F.round("l1", 6).alias("l1"),
+        F.round("dangling", 6).alias("dangling"),
+        F.round("cum", 6).alias("cum"),
+    )
+    state.unpersist()
+    return out
+
+
 def pagerank_weighted(
     graph: Graph,
     weight_col: str = "weight",

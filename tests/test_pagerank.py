@@ -220,3 +220,43 @@ def test_pagerank_classic_warm_start_new_vertices(spark):
     }
     for v, w in want.items():
         assert got[v] == pytest.approx(w, abs=1e-12)
+
+
+def test_pagerank_classic_trace_numpy(spark, fixture_graph):
+    """The per-superstep aggregator trace (l1, dangling, cum) matches a
+    NumPy replay of the same recurrence, iteration by iteration."""
+    from incubator_hugegraph_computer_spark.operators.pagerank import (
+        pagerank_classic_trace,
+    )
+
+    iters = 4
+    got = {
+        r["superstep"]: (r["l1"], r["dangling"], r["cum"])
+        for r in pagerank_classic_trace(fixture_graph, iterations=iters).collect()
+    }
+    assert sorted(got) == list(range(1, iters + 1))
+
+    ids = sorted(PRWCC_VERTEX_IDS)
+    index = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out_deg = np.zeros(n)
+    for s, _ in PRWCC_EDGES:
+        out_deg[index[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for k in range(1, iters + 1):
+        contrib = np.divide(r, out_deg, out=np.zeros(n), where=out_deg > 0)
+        msg = np.zeros(n)
+        for s, d in PRWCC_EDGES:
+            msg[index[d]] += contrib[index[s]]
+        dangling = r[out_deg == 0].sum()
+        new = (1 - 0.85) / n + 0.85 * (msg + dangling / n)
+        l1, dang_after, cum = (
+            np.abs(new - r).sum(),
+            new[out_deg == 0].sum(),
+            new.sum(),
+        )
+        gl1, gdang, gcum = got[k]
+        assert gl1 == pytest.approx(l1, abs=2e-6)
+        assert gdang == pytest.approx(dang_after, abs=2e-6)
+        assert gcum == pytest.approx(cum, abs=2e-6)
+        r = new
