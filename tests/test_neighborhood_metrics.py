@@ -435,3 +435,59 @@ def test_powerlaw_alpha_exact_on_pure_powerlaw(spark):
         np.log(d / 1.5) for d in planted if d >= 2
     )
     assert row.alpha == _pt.approx(alpha_ref, abs=1e-9)
+
+
+def test_pagerank_stream_matches_batch(spark, tmp_path):
+    """Warm-start PageRank maintenance over an edge stream: after
+    draining, the maintained ranks equal a cold-start converged
+    pagerank_classic on the DISTINCT union of all batches (duplicate
+    edges across crawls must not inflate out-degrees)."""
+    import os
+    import time
+
+    from incubator_hugegraph_computer_spark.operators.pagerank import (
+        pagerank_classic,
+    )
+    from incubator_hugegraph_computer_spark.streaming.graph_ingest import (
+        read_ranks,
+        run_pagerank_stream,
+    )
+
+    edges = [(i % 25, (i * 13 + 5) % 25) for i in range(75)]
+    edges = [(s, d) for s, d in edges if s != d]
+    # chunk 2 re-delivers chunk 0's first ten edges: dedup semantics
+    chunks = [edges[0:25], edges[25:50], edges[50:] + edges[0:10]]
+    src = tmp_path / "edges"
+    src.mkdir()
+    for chunk, part in enumerate(chunks):
+        df = spark.createDataFrame(part, "src long, dst long").coalesce(1)
+        pdir = str(src / f"chunk{chunk}.parquet")
+        df.write.mode("overwrite").parquet(pdir + ".tmp")
+        fname = [f for f in os.listdir(pdir + ".tmp") if f.endswith(".parquet")][0]
+        dest = str(src / f"part-{chunk:05d}.parquet")
+        os.rename(os.path.join(pdir + ".tmp", fname), dest)
+        ts = time.time() + chunk
+        os.utime(dest, (ts, ts))
+
+    run_pagerank_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ck"),
+        str(tmp_path / "ranks"),
+        str(tmp_path / "acc_edges"),
+        tol=1e-10,
+        max_files_per_trigger=1,
+    )
+    streamed = {
+        r["id"]: r["rank"] for r in read_ranks(spark, str(tmp_path / "ranks")).collect()
+    }
+    dedup = sorted(set(edges))
+    cold = {
+        r["id"]: r["rank"]
+        for r in pagerank_classic(
+            make_graph(spark, dedup), max_iterations=200, tol=1e-10, count_messages=False
+        ).collect()
+    }
+    assert set(streamed) == set(cold)
+    for vid, rank in cold.items():
+        assert streamed[vid] == pytest.approx(rank, abs=1e-6)
