@@ -167,6 +167,7 @@ STRATA_RATES = {"en": 0.5, "zh": 0.2}
 STRATA_DEFAULT_RATE = 0.35
 SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 DECON_EVAL_RATE = 0.05  # fraction of docs playing the held-out eval set
+DSIR_TARGET_LANG = "en"  # DSIR target-domain sample: the en-language docs
 PACK_BUDGET = 512  # tokens per packed training sequence
 BM25_TERMS = ("spark", "join", "filter")  # the fixed topic query
 BM25_K1 = 1.2
@@ -1031,6 +1032,16 @@ def _q_docs_top_terms(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return top_terms(docs, k=TOP_TERMS_K)
+
+
+def _q_docs_dsir(spark, sf_dir):
+    """DSIR importance log-weights (Xie 2023): score every document by
+    ln p_target/p_raw under 256-bucket hashed-unigram LMs; target LM
+    trains on the en-language docs in the same scan."""
+    from incubator_hugegraph_computer_spark.functions.sampling import dsir_logweights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_logweights(docs, F.col("lang") == DSIR_TARGET_LANG)
 
 
 def _q_docs_unigram_logprob(spark, sf_dir):
@@ -2104,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": _q_docs_tfidf,
         "docs_top_terms": _q_docs_top_terms,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_dsir": _q_docs_dsir,
         "docs_bm25": _q_docs_bm25,
         "docs_domain_mix": _q_docs_domain_mix,
         "docs_redact_pii": _q_docs_redact_pii,
@@ -4229,6 +4241,25 @@ sc AS (SELECT dt.doc_id, SUM(dt.c) AS n_tokens,
 SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
        ROUND(sc.avg_logprob, 6) AS avg_logprob
 FROM documents d LEFT JOIN sc USING(doc_id)
+"""
+
+    # DSIR hashed-unigram importance log-weights (target LM = en docs,
+    # raw LM = whole corpus; 256 md5-prefix buckets, add-one smoothing)
+    o["docs_dsir"] = f"""
+WITH {_TOKS},
+t AS MATERIALIZED (SELECT doc_id, unnest(l) AS term FROM toks),
+tk AS MATERIALIZED (SELECT t.doc_id, substr(md5(t.term),1,2) AS bk,
+                           CASE WHEN d.lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS tg
+                    FROM t JOIN documents d USING(doc_id)),
+bs AS (SELECT bk, COUNT(*) AS cr, SUM(tg) AS ct FROM tk GROUP BY 1),
+tot AS (SELECT SUM(cr)::DOUBLE AS r, SUM(ct)::DOUBLE AS t FROM bs),
+lr AS (SELECT bk, ln((ct + 1.0)/((SELECT t FROM tot) + 256.0))
+                 - ln((cr + 1.0)/((SELECT r FROM tot) + 256.0)) AS lw FROM bs),
+dw AS (SELECT tk.doc_id, COUNT(*) AS n_tokens, SUM(lr.lw) AS w
+       FROM tk JOIN lr USING(bk) GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(dw.n_tokens, 0) AS BIGINT) AS n_tokens,
+       ROUND(COALESCE(dw.w, 0.0), 6) AS dsir_logweight
+FROM documents d LEFT JOIN dw USING(doc_id)
 """
 
     o["emb_near_dup"] = f"""

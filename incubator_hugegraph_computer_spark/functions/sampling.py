@@ -205,3 +205,65 @@ def quantile_buckets(
         .withColumn("bucket", bucket)
         .drop("__dom", "__q_lo", "__q_hi")
     )
+
+
+def dsir_logweights(
+    documents: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, dsir_logweight) — hashed-unigram importance
+    log-weight ln p_target(doc) − ln p_raw(doc) for Data Selection via
+    Importance Resampling (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by how target-domain-like its token distribution
+    is, then resample ∝ exp(weight) (the draw itself is the trivial
+    downstream md5 coin — this operator is the scoring pass).
+
+    Feature space = the first-2-hex-chars md5 bucket of each token (256
+    hashed-unigram buckets — DSIR's hashed n-gram trick, which bounds
+    LM state at any corpus size and is engine-independent for the
+    oracle). Both bucket LMs are add-one smoothed:
+
+        lr(b) = ln((ct_b+1)/(T+256)) − ln((cr_b+1)/(R+256))
+        dsir_logweight(doc) = Σ_{tok ∈ doc} lr(bucket(tok))
+
+    where ct/cr are target/raw bucket counts and T/R the token totals.
+    Token-less documents weigh 0.0 (empty product).
+
+    Scale shape: one token explode feeds ONE map-side-combined aggregate
+    over ≤256 bucket keys; the 256-row log-ratio table broadcast-joins
+    back onto the token stream into a per-doc keyed agg — no window, no
+    Python, shuffle bounded by distinct (doc, bucket) pairs. The target
+    LM trains on the SAME scan via a flag column (no second pass over
+    100 TB to read the target sample)."""
+    from incubator_hugegraph_computer_spark.functions.text import _tokens
+
+    buckets = 256.0
+    toks = documents.select(
+        "doc_id",
+        target_pred.cast("long").alias("_t"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    ).withColumn("bk", F.substring(F.md5(F.col("term")), 1, 2))
+    bs = toks.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum("_t").alias("ct")
+    )
+    tot = bs.agg(
+        F.sum("cr").cast("double").alias("_r"), F.sum("ct").cast("double").alias("_t")
+    )
+    lr = bs.crossJoin(F.broadcast(tot)).select(
+        "bk",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("_t") + F.lit(buckets)))
+            - F.log((F.col("cr") + 1.0) / (F.col("_r") + F.lit(buckets)))
+        ).alias("lw"),
+    )
+    dw = (
+        toks.join(F.broadcast(lr), "bk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lw").alias("w"))
+    )
+    return documents.select("doc_id").join(dw, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.round(F.coalesce("w", F.lit(0.0)), 6).alias("dsir_logweight"),
+    )

@@ -283,3 +283,55 @@ def test_props_stats_parses_json_and_nulls(spark):
     assert out["click"]["avg_k"] == 15.0
     assert out["click"]["avg_value"] == 3.0
     assert out["view"]["sum_k"] is None and out["view"]["n_events"] == 1
+
+
+def test_dsir_logweights_python_replay(spark):
+    """DSIR hashed-unigram importance weights match an exact Python
+    replay (md5 buckets, add-one smoothed bucket LMs), and documents
+    made of target-domain tokens outweigh off-domain ones."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        dsir_logweights,
+    )
+
+    rows = [
+        (1, "spark join filter spark", "en"),
+        (2, "banana apple banana", "zh"),
+        (3, "spark filter", "en"),
+        (4, "apple spark banana join", "zh"),
+        (5, "", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_logweight"])
+        for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+
+    def bucket(w):
+        return hashlib.md5(w.encode()).hexdigest()[:2]
+
+    cr, ct = {}, {}
+    for _, text, lang in rows:
+        for w in text.split():
+            b = bucket(w)
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    R, T = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: math.log((ct.get(b, 0) + 1) / (T + 256.0))
+        - math.log((cr[b] + 1) / (R + 256.0))
+        for b in cr
+    }
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        want = sum(lr[bucket(w)] for w in toks)
+        assert got[doc_id][0] == len(toks)
+        assert got[doc_id][1] == pytest.approx(want, abs=1e-6)
+    # en-token docs score above the zh-token ones
+    assert min(got[1][1], got[3][1]) > max(got[2][1], got[4][1])
+    assert got[5] == (0, 0.0)  # token-less doc: empty product
