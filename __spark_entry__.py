@@ -34,6 +34,7 @@ SSSP_SOURCE = 1
 PPR_SOURCE = 1
 PR_ITERS = 5
 PPR_ITERS = 5
+OPIC_ITERS = 5  # OPIC cash-distribution steps (fixed, oracle-unrolled)
 LPA_SYNC_ITERS = 3
 LPA_ROUNDS = 10
 KCORE_K = 3
@@ -1931,6 +1932,18 @@ def _q_pagerank_trace(spark, sf_dir):
     )
 
 
+def _q_opic(spark, sf_dir):
+    """OPIC crawl-time importance (Abiteboul et al., WWW'03): the
+    cash/history estimate after OPIC_ITERS synchronous distribution
+    steps — the importance measure a crawler maintains online, vs
+    PageRank's offline fixpoint. Same audited message-pass plan class
+    as pagerank (operators/opic.py)."""
+    from incubator_hugegraph_computer_spark.operators.opic import opic
+
+    r = opic(orders_graph(spark, sf_dir), iterations=OPIC_ITERS)
+    return r.select("id", F.round("opic", 6).alias("opic"))
+
+
 def _q_cocitation(spark, sf_dir):
     """Co-citation strength (Small 1973): weight(a,b) = number of pages
     citing BOTH a and b (common in-neighbors) — the bipartite projection
@@ -2082,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hostrank": _q_hostrank,
         "graph_snapshot_diff": _q_snapshot_diff,
         "graph_pagerank_delta": _q_pagerank_delta,
+        "graph_opic": _q_opic,
         "graph_superstep_metrics": _q_superstep_metrics,
         "graph_cocitation": _q_cocitation,
         "graph_bibcoupling": _q_bibcoupling,
@@ -2282,6 +2296,38 @@ def _pagerank_sql(iters: int, damping: float = 0.85, weighted: bool = False) -> 
 
 def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
     return _pagerank_sql(iters, damping, weighted=True)
+
+
+def _opic_sql(iters: int) -> str:
+    """Unrolled OPIC cash/history recurrence (operators/opic.py):
+    H_k = H_{k-1} + C_{k-1}; C_k = Σ_in C_{k-1}/outdeg + dangling/n;
+    importance = (H_T + C_T)/(T+1)."""
+    parts = [
+        f"WITH {_G},",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM v),",
+        "s0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS cash, 0.0 AS hist FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k-1}"
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.cash/d.outdeg) AS s FROM {p} p "
+            f"JOIN deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1),"
+        )
+        parts.append(
+            f"dang{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.cash),0) AS dm FROM {p} p "
+            f"LEFT JOIN deg d ON d.id=p.id WHERE d.id IS NULL),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT v.id, "
+            f"COALESCE(m.s,0.0) + (SELECT dm FROM dang{k})/(SELECT n FROM nn) AS cash, "
+            f"p.hist + p.cash AS hist "
+            f"FROM v LEFT JOIN m{k} m ON m.id=v.id JOIN {p} p ON p.id=v.id),"
+        )
+    parts.append(
+        f"fin AS (SELECT id, ROUND((hist+cash)/{float(iters + 1)}, 6) AS opic FROM s{iters})"
+    )
+    return "\n".join(parts) + "\nSELECT id, opic FROM fin"
 
 
 def _pagerank_delta_sql(base_iters: int, cont_iters: int, damping: float = 0.85) -> str:
@@ -3867,6 +3913,7 @@ FROM ga FULL JOIN gr ON gr.gsrc = ga.gsrc AND gr.gdst = ga.gdst
     # crawl-delta PageRank: cold phase on the old crawl, warm-started
     # continuation on the new edge set (two-phase unrolled recurrence)
     o["graph_pagerank_delta"] = _pagerank_delta_sql(PR_DELTA_BASE, PR_DELTA_CONT)
+    o["graph_opic"] = _opic_sql(OPIC_ITERS)
 
     # per-superstep BSP counters of a WCC run, terminated by the exact
     # no-messages-and-no-active rule

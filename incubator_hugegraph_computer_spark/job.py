@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
             "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
             "cycle_detection", "mis", "scan", "bowtie", "k4", "bipartite",
             "embeddedness", "rich_club", "host_quotient", "trustrank",
-            "spam_mass", "hostrank",
+            "spam_mass", "hostrank", "opic",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -250,6 +250,8 @@ def run(args: argparse.Namespace) -> dict:
             step_kwargs["max_iterations"] = args.max_supersteps
         elif args.algorithm == "depth":
             step_kwargs["max_depth"] = args.max_supersteps
+        elif args.algorithm == "opic":
+            iter_kwargs["iterations"] = args.max_supersteps
         else:
             # refusing beats silently truncating the user's bound
             raise SystemExit(
@@ -299,6 +301,7 @@ def run(args: argparse.Namespace) -> dict:
         spam_mass as _spam_mass,
         trustrank as _trustrank,
     )
+    from incubator_hugegraph_computer_spark.operators.opic import opic as _opic
 
     t1 = time.monotonic()
     algos = {
@@ -371,6 +374,7 @@ def run(args: argparse.Namespace) -> dict:
             graph.vertices.select("id", (F.col("id") % args.quotient_mod).alias("grp")),
             **iter_kwargs,
         ),
+        "opic": lambda: _opic(graph, **iter_kwargs),
     }
     result = algos[args.algorithm]()
     # join back the human-readable vertex dimension for output;
