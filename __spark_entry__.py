@@ -35,6 +35,10 @@ PPR_SOURCE = 1
 PR_ITERS = 5
 PPR_ITERS = 5
 OPIC_ITERS = 5  # OPIC cash-distribution steps (fixed, oracle-unrolled)
+CRAWL_DELAY_MS = 500  # politeness gap between fetches of the same host
+# per-host frontier budget — BINDS at gate scale (~23 pages/host at
+# sf0.01 under the %64 host rule), so the cap semantics are exercised
+CRAWL_BUDGET = 16
 LPA_SYNC_ITERS = 3
 LPA_ROUNDS = 10
 KCORE_K = 3
@@ -1944,6 +1948,22 @@ def _q_opic(spark, sf_dir):
     return r.select("id", F.round("opic", 6).alias("opic"))
 
 
+def _q_crawl_schedule(spark, sf_dir):
+    """Politeness-aware crawl schedule: per-host (id%64) fetch slots in
+    in-degree-priority order, CRAWL_DELAY_MS apart, capped at
+    CRAWL_BUDGET pages per host (operators/crawl.py). One shuffle on
+    the host key; windows bounded by per-host page count."""
+    from incubator_hugegraph_computer_spark.operators.crawl import crawl_schedule
+
+    r = crawl_schedule(
+        orders_graph(spark, sf_dir),
+        host_mod=QUOTIENT_MOD,
+        delay_ms=CRAWL_DELAY_MS,
+        budget=CRAWL_BUDGET,
+    )
+    return r.select("id", "host", F.col("slot").cast("long").alias("slot"), "fetch_ms")
+
+
 def _q_cocitation(spark, sf_dir):
     """Co-citation strength (Small 1973): weight(a,b) = number of pages
     citing BOTH a and b (common in-neighbors) — the bipartite projection
@@ -2096,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_snapshot_diff": _q_snapshot_diff,
         "graph_pagerank_delta": _q_pagerank_delta,
         "graph_opic": _q_opic,
+        "graph_crawl_schedule": _q_crawl_schedule,
         "graph_superstep_metrics": _q_superstep_metrics,
         "graph_cocitation": _q_cocitation,
         "graph_bibcoupling": _q_bibcoupling,
@@ -3914,6 +3935,19 @@ FROM ga FULL JOIN gr ON gr.gsrc = ga.gsrc AND gr.gdst = ga.gdst
     # continuation on the new edge set (two-phase unrolled recurrence)
     o["graph_pagerank_delta"] = _pagerank_delta_sql(PR_DELTA_BASE, PR_DELTA_CONT)
     o["graph_opic"] = _opic_sql(OPIC_ITERS)
+    # politeness schedule: per-host (id%QUOTIENT_MOD) in-degree-priority
+    # slots, delay_ms apart, capped at CRAWL_BUDGET (operators/crawl.py)
+    o["graph_crawl_schedule"] = f"""
+WITH {_G},
+ind AS (SELECT dst AS id, COUNT(*)::DOUBLE AS pr FROM e GROUP BY 1),
+r AS (SELECT v.id, v.id % {QUOTIENT_MOD} AS host, COALESCE(ind.pr, 0.0) AS pr
+      FROM v LEFT JOIN ind ON ind.id = v.id),
+s AS (SELECT id, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY pr DESC, id ASC) - 1 AS slot
+      FROM r)
+SELECT id, host, slot, CAST(slot * {CRAWL_DELAY_MS} AS BIGINT) AS fetch_ms
+FROM s WHERE slot < {CRAWL_BUDGET}
+"""
 
     # per-superstep BSP counters of a WCC run, terminated by the exact
     # no-messages-and-no-active rule

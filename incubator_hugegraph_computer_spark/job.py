@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
             "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
             "cycle_detection", "mis", "scan", "bowtie", "k4", "bipartite",
             "embeddedness", "rich_club", "host_quotient", "trustrank",
-            "spam_mass", "hostrank", "opic",
+            "spam_mass", "hostrank", "opic", "crawl_schedule",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -52,7 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan-mu", type=int, default=3,
                    help="scan: min eps-neighborhood size for a core")
     p.add_argument("--quotient-mod", type=int, default=64,
-                   help="host_quotient: group rule grp = id %% MOD")
+                   help="host_quotient/crawl_schedule: group rule grp = id %% MOD")
+    p.add_argument("--crawl-delay-ms", type=int, default=500,
+                   help="crawl_schedule: politeness gap per host")
+    p.add_argument("--crawl-budget", type=int, default=None,
+                   help="crawl_schedule: per-host frontier cap")
+    p.add_argument("--priority", default=None,
+                   help="crawl_schedule: parquet (id, priority) frame — e.g. a "
+                   "previous pagerank/opic output — instead of in-degree")
+    p.add_argument("--priority-col", default="priority",
+                   help="crawl_schedule: value column in --priority "
+                   "(e.g. 'rank' for a pagerank output, 'opic' for opic)")
     p.add_argument("--source", type=int, default=0,
                    help="source vertex id for sssp/sssp_paths/ppr/depth/jaccard")
     p.add_argument("--targets", default="*",
@@ -302,6 +312,9 @@ def run(args: argparse.Namespace) -> dict:
         trustrank as _trustrank,
     )
     from incubator_hugegraph_computer_spark.operators.opic import opic as _opic
+    from incubator_hugegraph_computer_spark.operators.crawl import (
+        crawl_schedule as _crawl_schedule,
+    )
 
     t1 = time.monotonic()
     algos = {
@@ -375,6 +388,17 @@ def run(args: argparse.Namespace) -> dict:
             **iter_kwargs,
         ),
         "opic": lambda: _opic(graph, **iter_kwargs),
+        "crawl_schedule": lambda: _crawl_schedule(
+            graph,
+            host_mod=args.quotient_mod,
+            delay_ms=args.crawl_delay_ms,
+            budget=args.crawl_budget,
+            priority=(
+                spark.read.parquet(args.priority)
+                .select("id", F.col(args.priority_col).alias("priority"))
+                if args.priority else None
+            ),
+        ),
     }
     result = algos[args.algorithm]()
     # join back the human-readable vertex dimension for output;

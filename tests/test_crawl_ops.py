@@ -40,6 +40,42 @@ def test_opic_matches_numpy(spark):
         assert got[v] == pytest.approx(exp[index[v]], abs=1e-12)
 
 
+def test_crawl_schedule_orders_hosts_by_priority(spark):
+    from incubator_hugegraph_computer_spark.operators.crawl import crawl_schedule
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    rows = crawl_schedule(g, host_mod=2, delay_ms=100).collect()
+    by_id = {r["id"]: r for r in rows}
+    assert set(by_id) == set(PRWCC_VERTEX_IDS)
+    # in-degree priority, ties by id ASC, independently per host (id%2)
+    indeg = {}
+    for _, d in PRWCC_EDGES:
+        indeg[d] = indeg.get(d, 0) + 1
+    for host in (0, 1):
+        ids = [v for v in PRWCC_VERTEX_IDS if v % 2 == host]
+        expect = sorted(ids, key=lambda v: (-indeg.get(v, 0), v))
+        got = sorted(ids, key=lambda v: by_id[v]["slot"])
+        assert got == expect
+        slots = sorted(by_id[v]["slot"] for v in ids)
+        assert slots == list(range(len(ids)))  # dense 0..k-1 per host
+    assert all(r["fetch_ms"] == r["slot"] * 100 for r in rows)
+
+
+def test_crawl_schedule_budget_and_custom_priority(spark):
+    from incubator_hugegraph_computer_spark.operators.crawl import crawl_schedule
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    # priority = -id: lowest ids rank LAST; budget 1 keeps only the
+    # highest-priority page of each host
+    prio = g.vertices.selectExpr("id", "CAST(-id AS DOUBLE) AS priority")
+    rows = crawl_schedule(g, host_mod=2, budget=1, priority=prio).collect()
+    assert len(rows) == 2
+    for r in rows:
+        ids = [v for v in PRWCC_VERTEX_IDS if v % 2 == r["host"]]
+        assert r["id"] == min(ids)  # -id DESC == id ASC
+        assert r["slot"] == 0
+
+
 def test_opic_is_a_probability_vector(spark):
     g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
     vals = [r["opic"] for r in opic(g, iterations=3).collect()]
