@@ -621,6 +621,17 @@ def _q_link_prediction(spark, sf_dir):
     return r.select("src", "dst", "cn", F.round("aa", 6).alias("aa"))
 
 
+def _q_knn_degree(spark, sf_dir):
+    """knn(k) degree-correlation curve — the function-valued companion
+    to the one-number assortativity coefficient."""
+    from incubator_hugegraph_computer_spark.operators.link_prediction import (
+        avg_neighbor_degree,
+    )
+
+    r = avg_neighbor_degree(orders_graph(spark, sf_dir))
+    return r.select("k", F.round("knn", 6).alias("knn"))
+
+
 def _q_assortativity(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.link_prediction import (
         degree_assortativity,
@@ -2091,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_katz": _q_katz,
         "graph_link_prediction": _q_link_prediction,
         "graph_assortativity": _q_assortativity,
+        "graph_knn_degree": _q_knn_degree,
         "graph_eigenvector": _q_eigenvector,
         "graph_ktruss": _q_ktruss,
         "graph_reciprocity": _q_reciprocity,
@@ -4300,6 +4312,17 @@ WITH {_G},
 deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1)
 SELECT ROUND(corr(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE)), 6) AS assortativity
 FROM sym JOIN deg ds ON ds.id = sym.src JOIN deg dd ON dd.id = sym.dst
+"""
+
+    # knn(k) degree-correlation curve (operators/link_prediction.py
+    # avg_neighbor_degree): avg over degree-k nodes of mean neighbor degree
+    o["graph_knn_degree"] = f"""
+WITH {_G},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+pn AS (SELECT sym.src AS id, AVG(CAST(dd.d AS DOUBLE)) AS annd
+       FROM sym JOIN deg dd ON dd.id = sym.dst GROUP BY 1)
+SELECT deg.d AS k, ROUND(AVG(pn.annd), 6) AS knn
+FROM pn JOIN deg ON deg.id = pn.id GROUP BY 1
 """
 
     o["docs_top_terms"] = f"""

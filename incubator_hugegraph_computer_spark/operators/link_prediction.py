@@ -135,6 +135,29 @@ def attribute_assortativity(graph: Graph, attrs: DataFrame) -> DataFrame:
     )
 
 
+def avg_neighbor_degree(graph: Graph) -> DataFrame:
+    """(k, knn) — the degree-correlation curve knn(k) (Pastor-Satorras
+    et al. 2001): for each degree k, the average over degree-k nodes of
+    their mean neighbor degree, on the undirected edge list. The
+    function-valued companion to ``degree_assortativity``'s one-number
+    summary: decreasing knn(k) = disassortative (web graphs), increasing
+    = assortative (social). Two map-side-combined aggregations + one
+    edge⋈degree join; output is at most max-degree rows."""
+    sym = graph.symmetrized().edges
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("d").alias("d_dst"))
+    per_node = (
+        sym.join(dd, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.avg("d_dst").alias("annd"))
+    )
+    return (
+        per_node.join(deg, "id")
+        .groupBy(F.col("d").alias("k"))
+        .agg(F.avg("annd").alias("knn"))
+    )
+
+
 def degree_assortativity(graph: Graph) -> DataFrame:
     """One-row (assortativity,) — Pearson correlation of endpoint
     degrees over the undirected edge list (Newson 2002 r). Positive on

@@ -121,6 +121,29 @@ def test_degree_assortativity_matches_numpy(spark):
     assert got == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-9)
 
 
+def test_avg_neighbor_degree_matches_brute_force(spark):
+    from incubator_hugegraph_computer_spark.operators.link_prediction import (
+        avg_neighbor_degree,
+    )
+
+    g = make_graph(spark, PRWCC_EDGES, PRWCC_VERTEX_IDS)
+    got = {r["k"]: r["knn"] for r in avg_neighbor_degree(g).collect()}
+    sym = {(s, d) for s, d in PRWCC_EDGES if s != d}
+    sym |= {(d, s) for s, d in sym}
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    annd = {v: sum(deg[u] for u in ns) / len(ns) for v, ns in nbrs.items()}
+    expect = {}
+    for v, k in deg.items():
+        expect.setdefault(k, []).append(annd[v])
+    expect = {k: sum(vs) / len(vs) for k, vs in expect.items()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-9)
+
+
 def test_top_terms_counts_and_order(spark):
     docs = spark.createDataFrame(
         [
