@@ -174,6 +174,9 @@ SPLIT_WEIGHTS = (0.8, 0.1, 0.1)
 DECON_EVAL_RATE = 0.05  # fraction of docs playing the held-out eval set
 DSIR_TARGET_LANG = "en"  # DSIR target-domain sample: the en-language docs
 PACK_BUDGET = 512  # tokens per packed training sequence
+# bigram-LM interpolation weight — dyadic (3/4) so each per-pair
+# probability is computed bit-identically by both engines
+BIGRAM_LAMBDA = 0.75
 BM25_TERMS = ("spark", "join", "filter")  # the fixed topic query
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -1068,6 +1071,17 @@ def _q_docs_unigram_logprob(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     r = unigram_logprob(docs)
     return r.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+def _q_docs_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM mean log-prob per document — one rung up
+    the perplexity-proxy ladder from the unigram filter (catches
+    shuffled word salad that unigram frequencies score as fluent)."""
+    from incubator_hugegraph_computer_spark.functions.text import bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = bigram_logprob(docs, lam=BIGRAM_LAMBDA)
+    return r.select("doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
 def _q_docs_bm25(spark, sf_dir):
@@ -2162,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf": _q_docs_tfidf,
         "docs_top_terms": _q_docs_top_terms,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_bigram_logprob": _q_docs_bigram_logprob,
         "docs_dsir": _q_docs_dsir,
         "docs_bm25": _q_docs_bm25,
         "docs_domain_mix": _q_docs_domain_mix,
@@ -4343,6 +4358,31 @@ sc AS (SELECT dt.doc_id, SUM(dt.c) AS n_tokens,
               AS avg_logprob
        FROM dt JOIN vocab USING(term) GROUP BY 1)
 SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       ROUND(sc.avg_logprob, 6) AS avg_logprob
+FROM documents d LEFT JOIN sc USING(doc_id)
+"""
+
+    # interpolated bigram LM (functions/text.py bigram_logprob):
+    # p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·tf(w2)/total, λ dyadic
+    o["docs_bigram_logprob"] = f"""
+WITH {_TOKS}, {_TOKPOS},
+big AS MATERIALIZED (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cb AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+cw AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM cb GROUP BY 1),
+t AS MATERIALIZED (SELECT doc_id, unnest(l) AS term FROM toks),
+uni AS (SELECT term, COUNT(*) AS tf FROM t GROUP BY 1),
+tot AS (SELECT COUNT(*)::DOUBLE AS total FROM t),
+sc AS (SELECT big.doc_id, COUNT(*) AS n_bigrams,
+              SUM(LN({BIGRAM_LAMBDA} * (cb.cb::DOUBLE / cw.cw::DOUBLE)
+                     + {1.0 - BIGRAM_LAMBDA} * (uni.tf::DOUBLE / (SELECT total FROM tot))))
+              / COUNT(*) AS avg_logprob
+       FROM big JOIN cb ON cb.w1 = big.w1 AND cb.w2 = big.w2
+                JOIN cw ON cw.w1 = big.w1
+                JOIN uni ON uni.term = big.w2
+       GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
        ROUND(sc.avg_logprob, 6) AS avg_logprob
 FROM documents d LEFT JOIN sc USING(doc_id)
 """

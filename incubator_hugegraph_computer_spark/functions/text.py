@@ -438,6 +438,70 @@ def unigram_logprob(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(
+    documents: DataFrame, lam: float = 0.75, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — per-document mean log
+    probability under a corpus-trained INTERPOLATED bigram LM:
+
+        p(w2 | w1) = λ · c(w1,w2)/c(w1·)  +  (1−λ) · tf(w2)/total
+        avg_logprob(doc) = (1/(|doc|−1)) Σ_adjacent ln p(w2|w1)
+
+    One rung up the perplexity-proxy ladder from ``unigram_logprob``:
+    the bigram term catches shuffled/templated word salad that unigram
+    frequencies score as fluent; the unigram interpolation floor keeps
+    every observed bigram finite without smoothing hyperparameters
+    beyond λ (0.75 — dyadic, so per-pair probabilities are computed
+    bit-identically by any engine). Documents with <2 tokens get NULL.
+
+    Scale shape: bigrams are built INSIDE the row with array ops (no
+    positional self-join, no window); corpus model = two map-side-
+    combined aggregates (bigram counts, bounded by distinct bigrams;
+    context counts derived from them); scoring joins the per-(doc,
+    bigram) counts to the model on the bigram key — one shuffle class —
+    with the corpus total riding in as a one-row broadcast.
+    """
+    arr = documents.select("doc_id", _tokens(F.col(text_col)).alias("l"))
+    # sequence(1, n) DESCENDS when n < 1 — the CASE guards short docs
+    big = arr.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(l)-1), "
+                "i -> struct(l[i-1] AS w1, l[i] AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    dbg = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cw = cb.groupBy("w1").agg(F.sum("cb").alias("cw"))
+    toks = documents.select("doc_id", F.explode(_tokens(F.col(text_col))).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = uni.agg(F.sum("tf").cast("double").alias("__total"))
+    p = F.lit(lam) * F.col("cb").cast("double") / F.col("cw").cast("double") + F.lit(
+        1.0 - lam
+    ) * F.col("tf").cast("double") / F.col("__total")
+    scored = (
+        dbg.join(cb, ["w1", "w2"])
+        .join(cw, "w1")
+        .join(uni.select(F.col("term").alias("w2"), "tf"), "w2")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            (F.sum(F.col("c").cast("double") * F.log(p)) / F.sum("c").cast("double")).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+    return documents.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+        "avg_logprob",
+    )
+
+
 def top_terms(documents: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """(term, tf, df) — the k globally heaviest terms by total
     occurrences (tf), with document frequency alongside. The corpus

@@ -281,6 +281,32 @@ def test_unigram_logprob_hand_values(spark):
     assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] is None
 
 
+def test_bigram_logprob_hand_values(spark):
+    from incubator_hugegraph_computer_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a c"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    import math as m
+
+    # bigrams: doc1 (a,b) (b,a) (a,b); doc2 (b,a) (a,c); doc3/4 none
+    # cb: (a,b)=2 (b,a)=2 (a,c)=1 ; cw: a·=3 b·=2
+    # unigrams: a=3 b=3 c=1 x=1, total=8
+    lam = 0.75
+
+    def p(cb, cw, tf):
+        return lam * cb / cw + (1 - lam) * tf / 8
+
+    exp1 = (2 * m.log(p(2, 3, 3)) + m.log(p(2, 2, 3))) / 3
+    exp2 = (m.log(p(2, 2, 3)) + m.log(p(1, 3, 1))) / 2
+    rows = {r["doc_id"]: r for r in bigram_logprob(docs, lam=lam).collect()}
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["avg_logprob"] == pytest.approx(exp1)
+    assert rows[2]["n_bigrams"] == 2 and rows[2]["avg_logprob"] == pytest.approx(exp2)
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["avg_logprob"] is None
+    assert rows[4]["n_bigrams"] == 0 and rows[4]["avg_logprob"] is None
+
+
 def _salsa_numpy(ids, edges, iters):
     edges = sorted(set(edges))
     index = {v: i for i, v in enumerate(ids)}
