@@ -32,6 +32,10 @@ from incubator_hugegraph_computer_spark.sources.tpch_graph import (
 
 SSSP_SOURCE = 1
 PPR_SOURCE = 1
+# ACL sweep-cut prefix budget: the conductance curve is reported for the
+# top-64 degree-normalized PPR positions (parameter-sized — the sweep
+# frame broadcasts and its windows are 64-row)
+SWEEP_MAX = 64
 PR_ITERS = 5
 PPR_ITERS = 5
 OPIC_ITERS = 5  # OPIC cash-distribution steps (fixed, oracle-unrolled)
@@ -166,6 +170,12 @@ SESSION_GAP_MIN = 30
 SPAN_N = 5
 KMEANS_K = 8
 KMEANS_ITERS = 2
+# product quantization: EMB_DIM=64 → 4 subspaces of 16 dims, one K=8
+# codebook each (m·log2 k = 12 bits/vector vs 2048 — the compressed
+# ANN scan path); queries = vec_id < 3, same broadcast-small contract
+# as emb_cosine_topk
+PQ_M = 4
+PQ_QUERY_MAX = 3
 # mixture rebalancing: downsample the dominant language, keep a middle
 # default; the split bands are the classic 80/10/10.
 STRATA_RATES = {"en": 0.5, "zh": 0.2}
@@ -350,6 +360,20 @@ def _q_sssp_weighted_path(spark, sf_dir):
         "id",
         F.round("dist", 6).alias("dist"),
         F.concat_ws("->", F.col("path")).alias("path_str"),
+    )
+
+
+def _q_ppr_sweep(spark, sf_dir):
+    """ACL local-clustering sweep: conductance curve over the
+    degree-normalized PPR ordering around PPR_SOURCE."""
+    from incubator_hugegraph_computer_spark.operators.ppr import ppr_sweep
+
+    return ppr_sweep(
+        orders_graph(spark, sf_dir),
+        source=PPR_SOURCE,
+        max_iterations=PPR_ITERS,
+        sweep_max=SWEEP_MAX,
+        count_messages=False,
     )
 
 
@@ -1173,6 +1197,18 @@ def _q_docs_span_dedup(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return span_dedup_stats(docs, n=SPAN_N)
+
+
+def _q_emb_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: per-subspace codebooks + ADC top-k."""
+    from incubator_hugegraph_computer_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < PQ_QUERY_MAX)
+    return pq_topk(
+        emb, queries, m=PQ_M, k=KMEANS_K, iters=KMEANS_ITERS,
+        topk=TOPK, dim=EMB_DIM,
+    )
 
 
 def _q_emb_kmeans(spark, sf_dir):
@@ -2089,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp_weighted": _q_sssp_weighted,
         "graph_sssp_weighted_path": _q_sssp_weighted_path,
         "graph_ppr": _q_ppr,
+        "graph_ppr_sweep": _q_ppr_sweep,
         "graph_jaccard": _q_jaccard,
         "graph_kout": _q_kout,
         "graph_closeness": _q_closeness,
@@ -2186,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "docs_span_dedup": _q_docs_span_dedup,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_pq_topk": _q_emb_pq_topk,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_split": _q_docs_split,
@@ -2287,6 +2325,86 @@ def _kmeans_ctes(k: int, iters: int) -> str:
 
 def _kmeans_sql(k: int, iters: int) -> str:
     return _kmeans_ctes(k, iters) + "\nSELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM af"
+
+
+def _pq_sql(m: int, d: int, k: int, iters: int, qmax: int, topk: int) -> str:
+    """Product-quantization oracle: per-subspace unrolled Lloyd (same
+    recurrence as ``_kmeans_ctes`` on sliced vectors), codes = final
+    argmin per subspace, ADC = per-query centroid distances summed in
+    subspace order (list(qd2 ORDER BY s) → list_sum matches the Spark
+    side's subspace-ordered fold bit for bit)."""
+    parts = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+    ]
+    dist = (
+        "d{i}_{s} AS (SELECT e.vec_id, c.cid, list_sum(list_transform("
+        "list_zip(e.v, c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2 "
+        "FROM sub{s} e CROSS JOIN c{j}_{s} c),"
+    )
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        parts.append(
+            f"sub{s} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb),"
+        )
+        parts.append(
+            f"pe{s} AS MATERIALIZED (SELECT vec_id, unnest(v) AS x, "
+            f"unnest(generate_series(1, len(v))) AS pos FROM sub{s}),"
+        )
+        parts.append(
+            f"c0_{s} AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, "
+            f"v AS cv FROM (SELECT * FROM sub{s} ORDER BY vec_id LIMIT {k})),"
+        )
+        for it in range(1, iters + 1):
+            parts.append(dist.format(i=it, j=it - 1, s=s))
+            parts.append(
+                f"a{it}_{s} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+                f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
+                f"FROM d{it}_{s}) WHERE rn = 1),"
+            )
+            parts.append(
+                f"c{it}_{s} AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM "
+                f"(SELECT a.cid, pe.pos, AVG(pe.x) AS mx FROM a{it}_{s} a "
+                f"JOIN pe{s} pe USING(vec_id) GROUP BY 1, 2) GROUP BY cid),"
+            )
+        fin = iters + 1
+        parts.append(dist.format(i=fin, j=iters, s=s))
+        parts.append(
+            f"af{s} AS (SELECT vec_id, cid FROM "
+            f"(SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cid) AS rn FROM d{fin}_{s}) WHERE rn = 1),"
+        )
+    parts.append(
+        "codes AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {s} AS s, cid FROM af{s}" for s in range(m)
+        )
+        + "),"
+    )
+    parts.append(
+        f"qs AS (SELECT vec_id AS query_id, v FROM emb WHERE vec_id < {qmax}),"
+    )
+    luts = []
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        luts.append(
+            f"SELECT q.query_id, {s} AS s, c.cid, list_sum(list_transform("
+            f"list_zip(q.v[{lo}:{hi}], c.cv), p -> (p[1]-p[2])*(p[1]-p[2]))) AS qd2 "
+            f"FROM qs q CROSS JOIN c{iters}_{s} c"
+        )
+    parts.append("lut AS MATERIALIZED (" + " UNION ALL ".join(luts) + "),")
+    parts.append(
+        "adc AS (SELECT l.query_id, cd.vec_id, "
+        "list_sum(list(l.qd2 ORDER BY l.s)) AS adc "
+        "FROM codes cd JOIN lut l ON l.s = cd.s AND l.cid = cd.cid "
+        "GROUP BY 1, 2)"
+    )
+    return "\n".join(parts) + (
+        f"\nSELECT query_id, vec_id, ROUND(adc, 6) AS adc, CAST(rn AS INT) AS rank "
+        f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY adc, vec_id) AS rn FROM adc WHERE vec_id <> query_id) "
+        f"WHERE rn <= {topk}"
+    )
 
 
 def _semantic_dedup_sql(k: int, iters: int, tau: float) -> str:
@@ -2506,7 +2624,9 @@ def _superstep_metrics_sql(steps: int) -> str:
     )
 
 
-def _ppr_sql(iters: int, source: int, damping: float = 0.85) -> str:
+def _ppr_ctes(iters: int, source: int, damping: float = 0.85) -> list[str]:
+    """The unrolled-PPR CTE chain ending at ``p{iters}`` (id, rank) —
+    shared by the plain PPR oracle and the sweep-cut oracle."""
     parts = [
         f"WITH {_G},",
         "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
@@ -2528,8 +2648,47 @@ def _ppr_sql(iters: int, source: int, damping: float = 0.85) -> str:
             f"(CASE WHEN v.id={source} THEN 1.0 ELSE 0.0 END)) AS rank "
             f"FROM v LEFT JOIN m{k} m ON m.id=v.id),"
         )
+    return parts
+
+
+def _ppr_sql(iters: int, source: int, damping: float = 0.85) -> str:
+    parts = _ppr_ctes(iters, source, damping)
     parts.append(f"fin AS (SELECT id, ROUND(rank,6) AS rank FROM p{iters})")
     return "\n".join(parts) + "\nSELECT id, rank FROM fin"
+
+
+def _ppr_sweep_sql(
+    iters: int, source: int, sweep_max: int, damping: float = 0.85
+) -> str:
+    """ACL sweep-cut oracle: unrolled PPR, degree-normalized sweep
+    ordering (ROUND(rank,6)/deg DESC, id), incremental cut/vol windows.
+    cut and vol are integers so phi is one identical double division."""
+    parts = _ppr_ctes(iters, source, damping)
+    parts.append("sdeg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),")
+    parts.append("tot AS (SELECT COUNT(*) AS vt FROM sym),")
+    parts.append(
+        f"cand AS (SELECT p.id, ROUND(p.rank,6)/d.deg AS score, d.deg "
+        f"FROM p{iters} p JOIN sdeg d ON d.id=p.id WHERE p.rank > 0),"
+    )
+    parts.append(
+        f"sweep AS (SELECT id, deg, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS pos "
+        f"FROM (SELECT * FROM cand ORDER BY score DESC, id LIMIT {sweep_max})),"
+    )
+    parts.append(
+        "intr AS (SELECT s1.pos AS pos, COUNT(*) AS internal FROM sym e "
+        "JOIN sweep s1 ON e.src=s1.id JOIN sweep s2 ON e.dst=s2.id "
+        "WHERE s2.pos < s1.pos GROUP BY 1),"
+    )
+    parts.append(
+        "curve AS (SELECT s.pos, s.id, SUM(s.deg) OVER (ORDER BY s.pos) AS vol, "
+        "SUM(s.deg - 2*COALESCE(i.internal, 0)) OVER (ORDER BY s.pos) AS cut "
+        "FROM sweep s LEFT JOIN intr i ON i.pos = s.pos)"
+    )
+    return "\n".join(parts) + (
+        "\nSELECT pos, id, ROUND(CASE WHEN LEAST(vol, (SELECT vt FROM tot) - vol) > 0 "
+        "THEN CAST(cut AS DOUBLE) / CAST(LEAST(vol, (SELECT vt FROM tot) - vol) AS DOUBLE) "
+        "END, 6) AS phi FROM curve"
+    )
 
 
 def _hits_sql(iters: int) -> str:
@@ -3286,6 +3445,7 @@ FROM v LEFT JOIN d USING(id)
     o["graph_pagerank"] = _pagerank_sql(PR_ITERS)
     o["graph_pagerank_weighted"] = _pagerank_weighted_sql(PR_ITERS)
     o["graph_ppr"] = _ppr_sql(PPR_ITERS, PPR_SOURCE)
+    o["graph_ppr_sweep"] = _ppr_sweep_sql(PPR_ITERS, PPR_SOURCE, SWEEP_MAX)
     o["graph_lpa_sync"] = _lpa_sync_sql(LPA_SYNC_ITERS)
     o["graph_lpa"] = _lpa_directed_sql(LPA_ROUNDS)
     o["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
@@ -4604,6 +4764,9 @@ FROM documents docs LEFT JOIN tot t USING(doc_id) LEFT JOIN dup USING(doc_id)
 """
 
     o["emb_kmeans"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS)
+    o["emb_pq_topk"] = _pq_sql(
+        PQ_M, EMB_DIM // PQ_M, KMEANS_K, KMEANS_ITERS, PQ_QUERY_MAX, TOPK
+    )
 
     o["emb_semantic_dedup"] = _semantic_dedup_sql(KMEANS_K, KMEANS_ITERS, NEARDUP_TAU)
 

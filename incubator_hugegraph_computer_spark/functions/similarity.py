@@ -452,3 +452,109 @@ def semantic_dedup(
     )
     emb.unpersist()
     return out
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 10,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, adc, rank) — product-quantization ANN
+    (Jégou et al., TPAMI 2011): split each vector into ``m`` subvectors,
+    train an independent k-means codebook per subspace (same
+    deterministic Lloyd rules as :func:`kmeans_assign`), encode the
+    corpus as ``m`` one-byte codes, and answer top-k by Asymmetric
+    Distance Computation — the query's exact distance to each centroid
+    (an m×k lookup table) summed over the stored codes.
+
+    This is the 100 TB ANN compression path: the corpus is scanned as
+    m·log2(k) BITS per vector (here 4 codes ≈ 12 bits vs 64 floats =
+    2048 bits, a 170× scan reduction), codebooks and per-query LUTs are
+    broadcast (m·k rows each), and the only shuffles are the two
+    map-side-combined argmin aggregations (encode keyed by (vec, s),
+    ADC keyed by (query, vec)). Training scans the corpus m·iters
+    times — a production pipeline trains on a hash-sample and reuses
+    the codebook across corpus versions; encoding is one pass.
+
+    Determinism / oracle parity: Lloyd init/ties per
+    :func:`kmeans_assign`; the ADC sum folds the m partial distances in
+    subspace order (``F.aggregate`` over an array_sort'ed collect_list)
+    so both engines add the same doubles in the same order and the
+    (adc, vec_id) ranking is bit-identical. The final per-query ranking
+    window follows the :func:`cosine_topk` broadcast-small-queries
+    contract (production re-ranks per query via two-phase local top-k).
+    """
+    emb = _emb_view(embeddings, id_col, vec_col).persist()
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+
+    # --- train: one deterministic Lloyd codebook per subspace
+    cents = None
+    for s in range(m):
+        sub = emb.select("vec_id", F.slice("v", s * d + 1, d).alias("v"))
+        cs = _lloyd_centroids(sub, k, iters).select(
+            F.lit(s).alias("s"), "cid", "cv"
+        )
+        cents = cs if cents is None else cents.unionAll(cs)
+    cents = cents.localCheckpoint(eager=True)  # m*k rows
+
+    # --- encode: one corpus pass, argmin per (vector, subspace)
+    sub_structs = F.array(
+        *[F.slice("v", s * d + 1, d) for s in range(m)]
+    )
+    subrows = emb.select("vec_id", F.posexplode(sub_structs).alias("s", "sv"))
+    codes = (
+        subrows.join(F.broadcast(cents), "s")
+        .select("vec_id", "s", "cid", _sq_dist(F.col("sv"), F.col("cv")).alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "cid")).alias("mn"))
+        .select("vec_id", "s", F.col("mn.cid").alias("cid"))
+    )
+
+    # --- per-query LUT: exact distance query-subvector → each centroid
+    q = _emb_view(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    qsub = q.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("v", s * d + 1, d) for s in range(m)])
+        ).alias("s", "qv"),
+    )
+    lut = qsub.join(F.broadcast(cents), "s").select(
+        "query_id", "s", "cid", _sq_dist(F.col("qv"), F.col("cv")).alias("qd2")
+    )
+
+    # --- ADC: join codes to the broadcast LUT, fold in subspace order
+    adc_expr = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "qd2"))),
+            lambda st: st.getField("qd2"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(adc_expr.alias("adc"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "vec_id", F.round("adc", 6).alias("adc"), "rank")
+        .localCheckpoint(eager=True)  # ≤ |queries|·topk rows; frees emb
+    )
+    emb.unpersist()
+    return out

@@ -75,3 +75,89 @@ def ppr(
     engine = BspEngine(graph, max_supersteps=max_iterations, **engine_kwargs)
     state, _ = engine.run(PprProgram(source, damping, tol), resume=resume)
     return state.select("id", "rank")
+
+
+def ppr_sweep(
+    graph: Graph,
+    source: int,
+    damping: float = 0.85,
+    max_iterations: int = 5,
+    sweep_max: int = 64,
+    **engine_kwargs,
+) -> DataFrame:
+    """(pos, id, phi) — Andersen–Chung–Lang local clustering sweep cut
+    (ACL, FOCS'06): run PPR from ``source``, order the touched vertices
+    by degree-normalized score rank/deg descending, and report the
+    conductance φ(S_p) of every prefix S_p of that ordering. The argmin
+    prefix is the local community of the seed; the whole curve is
+    returned so callers can apply their own stopping rule.
+
+    Conductance over the symmetrized graph: φ(S) = cut(S) /
+    min(vol(S), vol(V)−vol(S)), cut counting undirected edges with one
+    endpoint in S, vol(S) = Σ degrees. Computed incrementally — adding
+    the vertex at position p changes the cut by deg(p) − 2·internal(p),
+    where internal(p) counts sym-edges from p to earlier positions — so
+    one bounded join replaces per-prefix recomputation.
+
+    Determinism / oracle parity: the sweep key is ROUND(rank, 6)/deg
+    with id tie-break (both engines compute the division on identical
+    rounded inputs, so the ordering is total and bit-identical); cut and
+    vol are integers, so φ is a single identical double division.
+
+    Scale shape: PPR mass is local by construction (only the
+    ``max_iterations``-hop ball of the seed has rank > 0), so the
+    rank>0 candidate set is small regardless of graph size; the top
+    ``sweep_max`` of it comes out of a TakeOrdered (no global sort),
+    and every later join broadcasts that parameter-sized sweep frame.
+    The two windows run over ≤ sweep_max rows. The one full-size stages
+    are the PPR supersteps themselves and one degree aggregation.
+    Reference analogue: vermeer/algorithms/personalized_pagerank.go
+    (the PPR core); the sweep stage is the standard local-clustering
+    read-out the reference leaves to callers.
+    """
+    from pyspark.sql import Window
+
+    r = ppr(
+        graph, source, damping=damping, max_iterations=max_iterations,
+        tol=0.0, **engine_kwargs,
+    )
+    sym = graph.symmetrized().edges
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    vol_total = sym.count()  # one scalar — the graph's total volume
+    cand = (
+        r.where(F.col("rank") > 0)
+        .select("id", F.round("rank", 6).alias("rk"))
+        .join(deg, "id")
+        .withColumn("score", F.col("rk") / F.col("deg"))
+    )
+    # TakeOrderedAndProject → a parameter-sized frame; the row_number
+    # window below therefore runs on ≤ sweep_max rows (not a scale risk)
+    top = cand.orderBy(F.desc("score"), F.asc("id")).limit(sweep_max)
+    w_pos = Window.orderBy(F.desc("score"), F.asc("id"))
+    sweep = top.withColumn("pos", F.row_number().over(w_pos).cast("long")).select(
+        "pos", "id", "deg"
+    )
+    sweep = sweep.localCheckpoint(eager=True)  # ≤ sweep_max rows, reused 3×
+    internal = (
+        sym.join(
+            F.broadcast(sweep.select(F.col("id").alias("src"), F.col("pos").alias("p_src"))),
+            "src",
+        )
+        .join(
+            F.broadcast(sweep.select(F.col("id").alias("dst"), F.col("pos").alias("p_dst"))),
+            "dst",
+        )
+        .where(F.col("p_dst") < F.col("p_src"))
+        .groupBy(F.col("p_src").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("internal"))
+    )
+    w_cum = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        sweep.join(internal, "pos", "left")
+        .withColumn("_i", F.coalesce(F.col("internal"), F.lit(0)))
+        .withColumn("vol", F.sum("deg").over(w_cum))
+        .withColumn("cut", F.sum(F.col("deg") - 2 * F.col("_i")).over(w_cum))
+    )
+    denom = F.least(F.col("vol"), F.lit(vol_total) - F.col("vol"))
+    phi = F.when(denom > 0, F.col("cut").cast("double") / denom.cast("double"))
+    return curve.select("pos", "id", F.round(phi, 6).alias("phi"))
