@@ -149,6 +149,13 @@ TOP_TERMS_K = 20
 EIG_ITERS = 5
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 5
+# Full truss decomposition caps: measured max trussness is 3 at
+# sf0.001 / 4 at sf0.01 and every level's peel hits fixpoint in <= 4
+# rounds, so KMAX=6 / 5 rounds are non-binding declared semantics at
+# gate scale (the gate checks TRUE trussness, like coreness); at caps-
+# binding scale both engines stop at the identical capped state.
+TRUSS_KMAX = 6
+TRUSS_ROUNDS = 5
 # K16/R20 verified converged at sf0.01 (== K16/R30 and K48/R14 runs;
 # true max coreness there is 15): the caps are declared semantics but
 # non-binding at gate scale, so the gate checks TRUE coreness. Spark
@@ -684,6 +691,19 @@ def _q_ktruss(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.ktruss import ktruss
 
     return ktruss(orders_graph(spark, sf_dir), k=KTRUSS_K, max_rounds=KTRUSS_ROUNDS)
+
+
+def _q_trussness(spark, sf_dir):
+    """Full truss decomposition (per-edge max trussness) under the
+    declared KMAX/rounds caps — the edge-level analogue of coreness."""
+    from incubator_hugegraph_computer_spark.operators.ktruss import trussness
+
+    t = trussness(
+        orders_graph(spark, sf_dir),
+        k_max=TRUSS_KMAX,
+        max_rounds_per_level=TRUSS_ROUNDS,
+    )
+    return t.select("a", "b", F.col("trussness").cast("int").alias("trussness"))
 
 
 def _q_coreness(spark, sf_dir):
@@ -2156,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_knn_degree": _q_knn_degree,
         "graph_eigenvector": _q_eigenvector,
         "graph_ktruss": _q_ktruss,
+        "graph_trussness": _q_trussness,
         "graph_reciprocity": _q_reciprocity,
         "graph_salsa": _q_salsa,
         "graph_simrank": _q_simrank,
@@ -2905,6 +2926,49 @@ def _ktruss_sql(k: int, rounds: int) -> str:
         f"LEFT JOIN sup{rounds} s ON s.a = eu.a AND s.b = eu.b)"
     )
     return "\n".join(parts) + "\nSELECT a, b, sup FROM fin"
+
+
+def _trussness_sql(k_max: int, rounds: int) -> str:
+    """Unrolled full truss decomposition matching
+    operators/ktruss.py:trussness — for k = 3..k_max peel the previous
+    level's survivors ``rounds`` times (surplus rounds past a fixpoint
+    are no-ops); edges dropped at level k report trussness k-1,
+    survivors of the last level report k_max."""
+    sup_tpl = (
+        "tr_{k}_{r} AS MATERIALIZED (SELECT t1.a AS x, t1.b AS y, t2.b AS z "
+        "FROM {cur} t1 JOIN {cur} t2 ON t2.a = t1.a AND t2.b > t1.b "
+        "JOIN {cur} t3 ON t3.a = t1.b AND t3.b = t2.b),\n"
+        "sup_{k}_{r} AS MATERIALIZED (SELECT a, b, COUNT(*) AS sup FROM ("
+        "SELECT x AS a, y AS b FROM tr_{k}_{r} UNION ALL "
+        "SELECT x, z FROM tr_{k}_{r} UNION ALL "
+        "SELECT y, z FROM tr_{k}_{r}) GROUP BY 1, 2),"
+    )
+    parts = [
+        f"WITH {_G},",
+        "lv2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e WHERE src <> dst),",
+    ]
+    for k in range(3, k_max + 1):
+        cur = f"lv{k-1}"
+        for r in range(rounds):
+            parts.append(sup_tpl.format(k=k, r=r, cur=cur))
+            nxt = f"lv{k}" if r == rounds - 1 else f"t_{k}_{r+1}"
+            parts.append(
+                f"{nxt} AS MATERIALIZED (SELECT eu.a, eu.b FROM {cur} eu "
+                f"LEFT JOIN sup_{k}_{r} s ON s.a = eu.a AND s.b = eu.b "
+                f"WHERE COALESCE(s.sup, 0) >= {k - 2}),"
+            )
+            cur = nxt
+        parts.append(
+            f"rem{k} AS (SELECT eu.a, eu.b, {k-1} AS trussness FROM lv{k-1} eu "
+            f"LEFT JOIN lv{k} s ON s.a = eu.a AND s.b = eu.b WHERE s.a IS NULL),"
+        )
+    unions = " UNION ALL ".join(
+        [f"SELECT a, b, trussness FROM rem{k}" for k in range(3, k_max + 1)]
+        + [f"SELECT a, b, {k_max} AS trussness FROM lv{k_max}"]
+    )
+    parts.append(f"fin AS ({unions})")
+    return "\n".join(parts) + "\nSELECT a, b, CAST(trussness AS INT) AS trussness FROM fin"
 
 
 def _katz_sql(alpha: float, iters: int) -> str:
@@ -4323,6 +4387,7 @@ SELECT DISTINCT src AS id, CAST({N2V_DIM} AS INT) AS dim FROM e
     o["graph_katz"] = _katz_sql(KATZ_ALPHA, KATZ_ITERS)
     o["graph_eigenvector"] = _eigenvector_sql(EIG_ITERS)
     o["graph_ktruss"] = _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)
+    o["graph_trussness"] = _trussness_sql(TRUSS_KMAX, TRUSS_ROUNDS)
     o["graph_coreness"] = _coreness_sql(CORE_KMAX, CORE_ROUNDS)
 
     o["graph_reciprocity"] = f"""

@@ -43,6 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
             "cycle_detection", "mis", "scan", "bowtie", "k4", "bipartite",
             "embeddedness", "rich_club", "host_quotient", "trustrank",
             "spam_mass", "hostrank", "opic", "crawl_schedule",
+            "ktruss", "trussness", "ppr_sweep",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -64,7 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="crawl_schedule: value column in --priority "
                    "(e.g. 'rank' for a pagerank output, 'opic' for opic)")
     p.add_argument("--source", type=int, default=0,
-                   help="source vertex id for sssp/sssp_paths/ppr/depth/jaccard")
+                   help="source vertex id for sssp/sssp_paths/ppr/ppr_sweep/depth/jaccard")
+    p.add_argument("--truss-k", type=int, default=4,
+                   help="ktruss: k (min per-edge triangle support + 2); "
+                   "trussness: the declared decomposition cap k_max")
+    p.add_argument("--sweep-max", type=int, default=64,
+                   help="ppr_sweep: conductance-curve prefix budget")
     p.add_argument("--targets", default="*",
                    help="sssp_paths targets: '*' or comma-separated vertex ids "
                    "(single_source_shortest_path.target_id)")
@@ -256,7 +262,7 @@ def run(args: argparse.Namespace) -> dict:
             iter_kwargs["max_iterations"] = args.max_supersteps
         elif args.algorithm in ("sssp", "sssp_paths"):
             step_kwargs["max_supersteps"] = args.max_supersteps
-        elif args.algorithm == "ppr":
+        elif args.algorithm in ("ppr", "ppr_sweep"):
             step_kwargs["max_iterations"] = args.max_supersteps
         elif args.algorithm == "depth":
             step_kwargs["max_depth"] = args.max_supersteps
@@ -287,6 +293,9 @@ def run(args: argparse.Namespace) -> dict:
         cycle_detection as _cycle_detection,
     )
     from incubator_hugegraph_computer_spark.operators.ppr import ppr as _ppr
+    from incubator_hugegraph_computer_spark.operators.ppr import ppr_sweep as _ppr_sweep
+    from incubator_hugegraph_computer_spark.operators.ktruss import ktruss as _ktruss
+    from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
     from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
     from incubator_hugegraph_computer_spark.operators.jaccard import jaccard as _jaccard
@@ -388,6 +397,12 @@ def run(args: argparse.Namespace) -> dict:
             **iter_kwargs,
         ),
         "opic": lambda: _opic(graph, **iter_kwargs),
+        "ktruss": lambda: _ktruss(graph, k=args.truss_k),
+        "trussness": lambda: _trussness(graph, k_max=args.truss_k),
+        "ppr_sweep": lambda: _ppr_sweep(
+            graph, source=args.source, sweep_max=args.sweep_max,
+            **step_kwargs, **engine_kwargs
+        ),
         "crawl_schedule": lambda: _crawl_schedule(
             graph,
             host_mod=args.quotient_mod,

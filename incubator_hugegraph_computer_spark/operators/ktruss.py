@@ -75,12 +75,10 @@ def _support(und: DataFrame) -> DataFrame:
     return corners.groupBy("a", "b").agg(F.count(F.lit(1)).alias("sup"))
 
 
-def ktruss(graph: Graph, k: int = 4, max_rounds: int | None = None) -> DataFrame:
-    """(a, b, sup) — the canonical undirected edges of the k-truss, with
-    each edge's triangle support measured INSIDE the final subgraph.
-    Runs to fixpoint unless ``max_rounds`` caps the peel."""
-    thresh = k - 2
-    edges = undirected_edges(graph.edges).localCheckpoint(eager=True)
+def _peel(edges: DataFrame, thresh: int, max_rounds: int | None = None):
+    """Peel ``edges`` (canonical a<b, already localCheckpoint'ed) down
+    to the subgraph where every edge has triangle support >= thresh.
+    Returns (survivors, rounds, count). Lineage truncated per round."""
     prev_count = edges.count()
     rounds = 0
     while True:
@@ -98,10 +96,56 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int | None = None) -> DataFrame
         stable = cur_count == prev_count
         prev_count = cur_count
         if stable or cur_count == 0 or (max_rounds is not None and rounds >= max_rounds):
-            break
+            return edges, rounds, cur_count
+
+
+def ktruss(graph: Graph, k: int = 4, max_rounds: int | None = None) -> DataFrame:
+    """(a, b, sup) — the canonical undirected edges of the k-truss, with
+    each edge's triangle support measured INSIDE the final subgraph.
+    Runs to fixpoint unless ``max_rounds`` caps the peel."""
+    edges = undirected_edges(graph.edges).localCheckpoint(eager=True)
+    edges, _, _ = _peel(edges, k - 2, max_rounds)
     # final support measured on the surviving subgraph (== the last
     # pre-filter support when the loop ended at fixpoint)
     return (
         edges.join(_support(edges), ["a", "b"], "left")
         .select("a", "b", F.coalesce("sup", F.lit(0)).alias("sup"))
     )
+
+
+def trussness(
+    graph: Graph, k_max: int = 8, max_rounds_per_level: int | None = None
+) -> DataFrame:
+    """(a, b, trussness) — the FULL truss decomposition: for every
+    canonical undirected edge, the largest k such that the edge survives
+    the k-truss peel (every edge is trivially in the 2-truss; edges in
+    no triangle get trussness 2). Edges still alive after the
+    ``k_max``-level peel report trussness ``k_max`` — a declared cap,
+    set above the graph's true maximum at gate scale so the reported
+    values are the true trussness (same contract as the coreness cap).
+
+    Level peeling: for k = 3..k_max, peel the previous level's
+    survivors to the k-truss fixpoint; edges dropped at level k have
+    trussness k-1. Each level's input shrinks monotonically, so total
+    work is bounded by (k_max-2) × the k=3 peel; the expensive stage is
+    the per-round support join — the same degree-oriented wedge join as
+    ``triangle_count`` (O(Σ deg^{3/2}) per round, no neighbor-set
+    broadcast). Lineage truncated per round via localCheckpoint.
+    ``max_rounds_per_level`` caps each level's peel (fixed-round mode
+    for oracle comparability; surplus rounds past a fixpoint are no-ops).
+    """
+    edges = undirected_edges(graph.edges).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    prev = edges
+    alive = prev.count()
+    for k in range(3, k_max + 1):
+        if alive == 0:
+            break
+        surv, _, alive = _peel(prev, k - 2, max_rounds_per_level)
+        removed = prev.join(surv, ["a", "b"], "left_anti").select(
+            "a", "b", F.lit(k - 1).alias("trussness")
+        )
+        out = removed if out is None else out.unionAll(removed)
+        prev = surv
+    capped = prev.select("a", "b", F.lit(k_max).alias("trussness"))
+    return capped if out is None else out.unionAll(capped)
