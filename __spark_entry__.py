@@ -156,6 +156,10 @@ KTRUSS_ROUNDS = 5
 # binding scale both engines stop at the identical capped state.
 TRUSS_KMAX = 6
 TRUSS_ROUNDS = 5
+# VoteRank elected-seed budget: K sequential elections (each an
+# unrolled argmax round in the oracle); scores round to 6 dp BEFORE the
+# argmax — declared semantics that make the election order-float-free
+VOTERANK_K = 10
 # K16/R20 verified converged at sf0.01 (== K16/R30 and K48/R14 runs;
 # true max coreness there is 15): the caps are declared semantics but
 # non-binding at gate scale, so the gate checks TRUE coreness. Spark
@@ -704,6 +708,14 @@ def _q_trussness(spark, sf_dir):
         max_rounds_per_level=TRUSS_ROUNDS,
     )
     return t.select("a", "b", F.col("trussness").cast("int").alias("trussness"))
+
+
+def _q_voterank(spark, sf_dir):
+    """VoteRank influence seeds: K sequential elections with
+    neighbor-ability suppression (Zhang et al. 2016)."""
+    from incubator_hugegraph_computer_spark.operators.voterank import voterank
+
+    return voterank(orders_graph(spark, sf_dir), k=VOTERANK_K)
 
 
 def _q_coreness(spark, sf_dir):
@@ -2177,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector": _q_eigenvector,
         "graph_ktruss": _q_ktruss,
         "graph_trussness": _q_trussness,
+        "graph_voterank": _q_voterank,
         "graph_reciprocity": _q_reciprocity,
         "graph_salsa": _q_salsa,
         "graph_simrank": _q_simrank,
@@ -2926,6 +2939,45 @@ def _ktruss_sql(k: int, rounds: int) -> str:
         f"LEFT JOIN sup{rounds} s ON s.a = eu.a AND s.b = eu.b)"
     )
     return "\n".join(parts) + "\nSELECT a, b, sup FROM fin"
+
+
+def _voterank_sql(k: int) -> str:
+    """Unrolled VoteRank elections matching operators/voterank.py:
+    per round, vote totals over sym neighbors, argmax of the 6-dp
+    ROUNDED score (ties → lowest id) among unelected vertices, then
+    winner ability → 0 and each winner-neighbor ability −δ floored at
+    0, with δ = |V| / |sym| (one exact double division both engines)."""
+    parts = [
+        f"WITH {_G},",
+        "dlt AS (SELECT CAST((SELECT COUNT(*) FROM v) AS DOUBLE) / "
+        "(SELECT COUNT(*) FROM sym) AS d),",
+        "ab0 AS MATERIALIZED (SELECT id, 1.0 AS a, FALSE AS el FROM v),",
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f"sc{t} AS (SELECT n.src AS id, SUM(a.a) AS s FROM sym n "
+            f"JOIN ab{t-1} a ON a.id = n.dst GROUP BY 1),"
+        )
+        parts.append(
+            f"pk{t} AS MATERIALIZED (SELECT b.id, ROUND(COALESCE(s.s, 0.0), 6) AS sc "
+            f"FROM ab{t-1} b LEFT JOIN sc{t} s ON s.id = b.id "
+            f"WHERE NOT b.el ORDER BY sc DESC, b.id LIMIT 1),"
+        )
+        parts.append(
+            f"ab{t} AS MATERIALIZED (SELECT b.id, "
+            f"CASE WHEN b.id = (SELECT id FROM pk{t}) THEN 0.0 "
+            f"WHEN EXISTS (SELECT 1 FROM sym e WHERE e.src = (SELECT id FROM pk{t}) "
+            f"AND e.dst = b.id) THEN GREATEST(0.0, b.a - (SELECT d FROM dlt)) "
+            f"ELSE b.a END AS a, "
+            f"b.el OR (b.id = (SELECT id FROM pk{t})) AS el FROM ab{t-1} b),"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {t} AS r, id, sc FROM pk{t}" for t in range(1, k + 1)
+    )
+    parts.append(f"fin AS ({unions})")
+    return "\n".join(parts) + (
+        "\nSELECT CAST(r AS INT) AS sel_rank, id, sc AS score FROM fin"
+    )
 
 
 def _trussness_sql(k_max: int, rounds: int) -> str:
@@ -4388,6 +4440,7 @@ SELECT DISTINCT src AS id, CAST({N2V_DIM} AS INT) AS dim FROM e
     o["graph_eigenvector"] = _eigenvector_sql(EIG_ITERS)
     o["graph_ktruss"] = _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS)
     o["graph_trussness"] = _trussness_sql(TRUSS_KMAX, TRUSS_ROUNDS)
+    o["graph_voterank"] = _voterank_sql(VOTERANK_K)
     o["graph_coreness"] = _coreness_sql(CORE_KMAX, CORE_ROUNDS)
 
     o["graph_reciprocity"] = f"""

@@ -43,7 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
             "cycle_detection", "mis", "scan", "bowtie", "k4", "bipartite",
             "embeddedness", "rich_club", "host_quotient", "trustrank",
             "spam_mass", "hostrank", "opic", "crawl_schedule",
-            "ktruss", "trussness", "ppr_sweep",
+            "ktruss", "trussness", "ppr_sweep", "voterank",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -71,6 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "trussness: the declared decomposition cap k_max")
     p.add_argument("--sweep-max", type=int, default=64,
                    help="ppr_sweep: conductance-curve prefix budget")
+    p.add_argument("--voterank-k", type=int, default=10,
+                   help="voterank: number of seeds to elect")
     p.add_argument("--targets", default="*",
                    help="sssp_paths targets: '*' or comma-separated vertex ids "
                    "(single_source_shortest_path.target_id)")
@@ -295,6 +297,7 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.ppr import ppr as _ppr
     from incubator_hugegraph_computer_spark.operators.ppr import ppr_sweep as _ppr_sweep
     from incubator_hugegraph_computer_spark.operators.ktruss import ktruss as _ktruss
+    from incubator_hugegraph_computer_spark.operators.voterank import voterank as _voterank
     from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
     from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
@@ -398,6 +401,7 @@ def run(args: argparse.Namespace) -> dict:
         ),
         "opic": lambda: _opic(graph, **iter_kwargs),
         "ktruss": lambda: _ktruss(graph, k=args.truss_k),
+        "voterank": lambda: _voterank(graph, k=args.voterank_k),
         "trussness": lambda: _trussness(graph, k_max=args.truss_k),
         "ppr_sweep": lambda: _ppr_sweep(
             graph, source=args.source, sweep_max=args.sweep_max,
