@@ -1243,6 +1243,19 @@ def _q_emb_pq_topk(spark, sf_dir):
     )
 
 
+def _q_emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ: coarse inverted lists + residual product codes + probed
+    ADC scan — the FAISS-style production ANN layout."""
+    from incubator_hugegraph_computer_spark.functions.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < PQ_QUERY_MAX)
+    return ivfpq_topk(
+        emb, queries, n_centroids=IVF_CENTROIDS, probe=IVF_PROBE,
+        m=PQ_M, k=KMEANS_K, iters=KMEANS_ITERS, topk=TOPK, dim=EMB_DIM,
+    )
+
+
 def _q_emb_kmeans(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.similarity import kmeans_assign
 
@@ -2258,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_dedup": _q_docs_span_dedup,
         "emb_kmeans": _q_emb_kmeans,
         "emb_pq_topk": _q_emb_pq_topk,
+        "emb_ivfpq_topk": _q_emb_ivfpq_topk,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_split": _q_docs_split,
@@ -2359,6 +2373,107 @@ def _kmeans_ctes(k: int, iters: int) -> str:
 
 def _kmeans_sql(k: int, iters: int) -> str:
     return _kmeans_ctes(k, iters) + "\nSELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM af"
+
+
+def _ivfpq_sql(
+    n_centroids: int, probe: int, m: int, d: int, k: int, iters: int,
+    qmax: int, topk: int,
+) -> str:
+    """IVF-PQ oracle: the coarse stage reuses ``_kmeans_ctes``
+    verbatim (c{iters} = coarse centroids, af = inverted-list
+    assignment), then residuals, per-subspace PQ codebooks over the
+    residuals, probe of the `probe` nearest cells, per-(query, cell)
+    residual LUT, and ADC restricted to probed lists by the bucket key."""
+    parts = [_kmeans_ctes(n_centroids, iters) + ","]
+    parts.append(
+        f"resid AS MATERIALIZED (SELECT e.vec_id, a.cid AS bucket, "
+        f"list_transform(list_zip(e.v, c.cv), pr -> pr[1]-pr[2]) AS rv "
+        f"FROM emb e JOIN af a USING (vec_id) JOIN c{iters} c ON c.cid = a.cid),"
+    )
+    rdist = (
+        "rd{i}_{s} AS (SELECT e.vec_id, c.cid, list_sum(list_transform("
+        "list_zip(e.v, c.cv), pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))) AS d2 "
+        "FROM rsub{s} e CROSS JOIN rc{j}_{s} c),"
+    )
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        parts.append(
+            f"rsub{s} AS MATERIALIZED (SELECT vec_id, rv[{lo}:{hi}] AS v FROM resid),"
+        )
+        parts.append(
+            f"rpe{s} AS MATERIALIZED (SELECT vec_id, unnest(v) AS x, "
+            f"unnest(generate_series(1, len(v))) AS pos FROM rsub{s}),"
+        )
+        parts.append(
+            f"rc0_{s} AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, "
+            f"v AS cv FROM (SELECT * FROM rsub{s} ORDER BY vec_id LIMIT {k})),"
+        )
+        for it in range(1, iters + 1):
+            parts.append(rdist.format(i=it, j=it - 1, s=s))
+            parts.append(
+                f"ra{it}_{s} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+                f"ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn "
+                f"FROM rd{it}_{s}) WHERE rn = 1),"
+            )
+            parts.append(
+                f"rc{it}_{s} AS (SELECT cid, list(mx ORDER BY pos) AS cv FROM "
+                f"(SELECT a.cid, pe.pos, AVG(pe.x) AS mx FROM ra{it}_{s} a "
+                f"JOIN rpe{s} pe USING(vec_id) GROUP BY 1, 2) GROUP BY cid),"
+            )
+        fin = iters + 1
+        parts.append(rdist.format(i=fin, j=iters, s=s))
+        parts.append(
+            f"raf{s} AS (SELECT vec_id, cid FROM "
+            f"(SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY d2, cid) AS rn FROM rd{fin}_{s}) WHERE rn = 1),"
+        )
+    parts.append(
+        "codes AS MATERIALIZED (SELECT r.vec_id, r.bucket, u.s, u.cid FROM ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {s} AS s, cid FROM raf{s}" for s in range(m)
+        )
+        + ") u JOIN resid r USING (vec_id)),"
+    )
+    parts.append(
+        f"qs AS (SELECT vec_id AS query_id, v FROM emb WHERE vec_id < {qmax}),"
+    )
+    parts.append(
+        f"qcd AS (SELECT q.query_id, c.cid AS bucket, list_sum(list_transform("
+        f"list_zip(q.v, c.cv), pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))) AS d2 "
+        f"FROM qs q CROSS JOIN c{iters} c),"
+    )
+    parts.append(
+        f"probed AS (SELECT query_id, bucket FROM (SELECT query_id, bucket, "
+        f"ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, bucket) AS rn "
+        f"FROM qcd) WHERE rn <= {probe}),"
+    )
+    parts.append(
+        f"qres AS MATERIALIZED (SELECT p.query_id, p.bucket, "
+        f"list_transform(list_zip(q.v, c.cv), pr -> pr[1]-pr[2]) AS rv "
+        f"FROM probed p JOIN qs q USING (query_id) JOIN c{iters} c ON c.cid = p.bucket),"
+    )
+    luts = []
+    for s in range(m):
+        lo, hi = s * d + 1, (s + 1) * d
+        luts.append(
+            f"SELECT r.query_id, r.bucket, {s} AS s, c.cid, "
+            f"list_sum(list_transform(list_zip(r.rv[{lo}:{hi}], c.cv), "
+            f"pr -> (pr[1]-pr[2])*(pr[1]-pr[2]))) AS qd2 "
+            f"FROM qres r CROSS JOIN rc{iters}_{s} c"
+        )
+    parts.append("lut AS MATERIALIZED (" + " UNION ALL ".join(luts) + "),")
+    parts.append(
+        "adc AS (SELECT l.query_id, cd.vec_id, "
+        "list_sum(list(l.qd2 ORDER BY l.s)) AS adc "
+        "FROM codes cd JOIN lut l ON l.bucket = cd.bucket AND l.s = cd.s "
+        "AND l.cid = cd.cid GROUP BY 1, 2)"
+    )
+    return "\n".join(parts) + (
+        f"\nSELECT query_id, vec_id, ROUND(adc, 6) AS adc, CAST(rn AS INT) AS rank "
+        f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        f"ORDER BY adc, vec_id) AS rn FROM adc WHERE vec_id <> query_id) "
+        f"WHERE rn <= {topk}"
+    )
 
 
 def _pq_sql(m: int, d: int, k: int, iters: int, qmax: int, topk: int) -> str:
@@ -4884,6 +4999,10 @@ FROM documents docs LEFT JOIN tot t USING(doc_id) LEFT JOIN dup USING(doc_id)
     o["emb_kmeans"] = _kmeans_sql(KMEANS_K, KMEANS_ITERS)
     o["emb_pq_topk"] = _pq_sql(
         PQ_M, EMB_DIM // PQ_M, KMEANS_K, KMEANS_ITERS, PQ_QUERY_MAX, TOPK
+    )
+    o["emb_ivfpq_topk"] = _ivfpq_sql(
+        IVF_CENTROIDS, IVF_PROBE, PQ_M, EMB_DIM // PQ_M, KMEANS_K,
+        KMEANS_ITERS, PQ_QUERY_MAX, TOPK,
     )
 
     o["emb_semantic_dedup"] = _semantic_dedup_sql(KMEANS_K, KMEANS_ITERS, NEARDUP_TAU)

@@ -558,3 +558,150 @@ def pq_topk(
     )
     emb.unpersist()
     return out
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    probe: int = 4,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 10,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, adc, rank) — IVF-PQ, the production ANN
+    layout (FAISS ``IVFx,PQy``): a coarse k-means quantizer routes each
+    vector to an inverted list, and the RESIDUAL (vector − its coarse
+    centroid) is product-quantized. A query probes its ``probe``
+    nearest coarse cells and scans only those lists, scoring by ADC
+    against a per-(query, cell) lookup table built from the query's
+    residual in that cell.
+
+    At 100 TB: the corpus is stored bucketed by coarse cell (partition
+    pruning ≈ probe/n_centroids of the data touched) as m·log2(k)-bit
+    codes; codebooks (n_centroids·dim + m·k·dim/m doubles) and the
+    per-query LUT (|queries|·probe·m·k rows) broadcast. Residual
+    encoding is what lets a small PQ codebook stay accurate after
+    coarse routing — the standard recall/compression trade.
+
+    Determinism / oracle parity: both k-means stages follow
+    :func:`kmeans_assign`'s init/tie rules; residuals are exact double
+    subtractions; the probe ranking and final (adc, vec_id) ranking
+    order by identically-computed doubles (subspace-ordered folds).
+    """
+    emb = _emb_view(embeddings, id_col, vec_col).persist()
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+
+    # --- coarse quantizer + inverted-list assignment
+    coarse = _lloyd_centroids(emb, n_centroids, iters).select(
+        F.col("cid").alias("bucket"), F.col("cv").alias("bv")
+    ).localCheckpoint(eager=True)
+    assign = (
+        emb.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "bucket", _sq_dist(F.col("v"), F.col("bv")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "bucket")).alias("mn"))
+        .select("vec_id", F.col("mn.bucket").alias("bucket"))
+    )
+    resid = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(coarse), "bucket")
+        .select(
+            "vec_id",
+            "bucket",
+            F.zip_with("v", "bv", lambda x, y: x - y).alias("rv"),
+        )
+        .persist()
+    )
+
+    # --- per-subspace PQ codebooks trained on the residuals
+    cents = None
+    for s in range(m):
+        sub = resid.select("vec_id", F.slice("rv", s * d + 1, d).alias("v"))
+        cs = _lloyd_centroids(sub, k, iters).select(F.lit(s).alias("s"), "cid", "cv")
+        cents = cs if cents is None else cents.unionAll(cs)
+    cents = cents.localCheckpoint(eager=True)  # m*k rows
+
+    # --- encode: argmin per (vector, subspace) over the residual
+    subrows = resid.select(
+        "vec_id",
+        "bucket",
+        F.posexplode(F.array(*[F.slice("rv", s * d + 1, d) for s in range(m)])).alias(
+            "s", "sv"
+        ),
+    )
+    codes = (
+        subrows.join(F.broadcast(cents), "s")
+        .select(
+            "vec_id", "bucket", "s", "cid",
+            _sq_dist(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .groupBy("vec_id", "bucket", "s")
+        .agg(F.min(F.struct("d2", "cid")).alias("mn"))
+        .select("vec_id", "bucket", "s", F.col("mn.cid").alias("cid"))
+    )
+
+    # --- probe: each query's `probe` nearest coarse cells
+    q = _emb_view(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qd = q.crossJoin(F.broadcast(coarse)).select(
+        "query_id", "bucket", "qv", "bv",
+        _sq_dist(F.col("qv"), F.col("bv")).alias("d2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("bucket"))
+    probed = (
+        qd.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= probe)
+        .select(
+            "query_id", "bucket",
+            F.zip_with("qv", "bv", lambda x, y: x - y).alias("qres"),
+        )
+    )
+
+    # --- per-(query, cell) LUT over the query residual
+    qsub = probed.select(
+        "query_id",
+        "bucket",
+        F.posexplode(
+            F.array(*[F.slice("qres", s * d + 1, d) for s in range(m)])
+        ).alias("s", "qv"),
+    )
+    lut = qsub.join(F.broadcast(cents), "s").select(
+        "query_id", "bucket", "s", "cid",
+        _sq_dist(F.col("qv"), F.col("cv")).alias("qd2"),
+    )
+
+    # --- ADC over probed lists only (the bucket key IS the IVF filter)
+    adc_expr = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "qd2"))),
+            lambda st: st.getField("qd2"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["bucket", "s", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(adc_expr.alias("adc"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "vec_id", F.round("adc", 6).alias("adc"), "rank")
+        .localCheckpoint(eager=True)
+    )
+    resid.unpersist()
+    emb.unpersist()
+    return out

@@ -120,3 +120,61 @@ def test_pq_topk_rejects_bad_dim(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def _interleaved_embeddings(spark, n_groups=4, per_group=6, dim=8):
+    """Same clustered corners as _toy_embeddings, but group ids
+    round-robin over vec_id (group = vec_id % n_groups) so the
+    deterministic lowest-id k-means init sees one vector per group —
+    a grouped-id layout hands the coarse quantizer a degenerate init
+    (all k seeds inside one cluster), which is a property of the toy
+    ordering, not of the operator."""
+    rows = []
+    for vid in range(n_groups * per_group):
+        gidx, i = vid % n_groups, vid // n_groups
+        v = [0.0] * dim
+        v[gidx] = 10.0
+        v[(gidx + 4) % dim] = 10.0
+        v[dim - 1 - gidx] += 0.01 * i
+        rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivfpq_topk_recovers_groups(spark):
+    from incubator_hugegraph_computer_spark.functions.similarity import ivfpq_topk
+
+    emb = _interleaved_embeddings(spark)
+    queries = emb.where(F.col("vec_id").isin(0, 13))  # groups 0 and 1
+    out = ivfpq_topk(
+        emb, queries, n_centroids=4, probe=2, m=2, k=4, iters=2, topk=5, dim=8
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 13}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        adcs = [r["adc"] for r in rows]
+        assert adcs == sorted(adcs)
+        assert all(r["vec_id"] != qid for r in rows)
+        # nearest probed neighbors are the query's own tight group
+        group = qid % 4
+        assert {r["vec_id"] % 4 for r in rows[:5]} == {group}
+
+
+def test_ivfpq_probe_widens_candidates(spark):
+    """probe=n_centroids degenerates to plain PQ over residuals: every
+    list is scanned, so the result count can only grow with probe."""
+    from incubator_hugegraph_computer_spark.functions.similarity import ivfpq_topk
+
+    emb = _interleaved_embeddings(spark)
+    queries = emb.where(F.col("vec_id") < 1)
+    narrow = ivfpq_topk(
+        emb, queries, n_centroids=4, probe=1, m=2, k=4, iters=1, topk=50, dim=8
+    ).count()
+    wide = ivfpq_topk(
+        emb, queries, n_centroids=4, probe=4, m=2, k=4, iters=1, topk=50, dim=8
+    ).count()
+    assert narrow <= wide
+    assert wide == 23  # all 24 vectors minus the query itself
