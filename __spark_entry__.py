@@ -482,6 +482,18 @@ def _q_betweenness(spark, sf_dir):
     return b.select("id", F.round("betweenness", 6).alias("betweenness"))
 
 
+def _q_edge_betweenness(spark, sf_dir):
+    """Edge betweenness (Girvan–Newman's cut primitive) from the same
+    pinned source set as graph_betweenness — per-DAG-edge shortest-path
+    credits instead of the per-vertex dependency sum."""
+    from incubator_hugegraph_computer_spark.operators.betweenness import betweenness
+
+    g = orders_graph(spark, sf_dir)
+    srcs = g.vertices.where(F.col("id") <= BETW_SRC_MAX).select("id")
+    b = betweenness(g, sources=srcs, max_depth=BETW_DEPTH, per_edge=True)
+    return b.select("src", "dst", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_random_walk(spark, sf_dir):
     """Walk validity, checkable without replaying the seeded draws: every
     consecutive path pair must be a real edge, and a walk may end short
@@ -2190,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore_wcc": _q_kcore_wcc,
         "graph_degree_sketch": _q_degree_sketch,
         "graph_betweenness": _q_betweenness,
+        "graph_edge_betweenness": _q_edge_betweenness,
         "graph_random_walk": _q_random_walk,
         "graph_louvain": _q_louvain,
         "graph_louvain_weighted": _q_louvain_weighted,
@@ -3470,13 +3483,19 @@ SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash FROM bitsum
 
 
 def _betweenness_sql(
-    src_max: int, depth: int, pred: str | None = None, scaled: bool = False
+    src_max: int,
+    depth: int,
+    pred: str | None = None,
+    scaled: bool = False,
+    per_edge: bool = False,
 ) -> str:
     """Exact Brandes (directed, endpoints excluded) from sources
     id<=src_max (or ``pred``), unrolled to ``depth`` BFS layers — same
     truncation rule as the Spark operator's max_depth. ``scaled``
     emits the pivot estimator (|V|/|pivots|)·Σ delta as
-    ``betweenness_est``."""
+    ``betweenness_est``. ``per_edge`` emits EDGE betweenness instead:
+    the un-grouped per-level credits cr{lvl} (each DAG edge's
+    σ_v/σ_w·(1+δ_w)) are summed by (v, w) rather than by v."""
     src_pred = pred if pred is not None else f"id <= {src_max}"
     parts = [
         f"WITH {_G},",
@@ -3499,17 +3518,31 @@ def _betweenness_sql(
     parts.append(f"d{depth} AS MATERIALIZED (SELECT source, v, 0.0 AS delta FROM l{depth}),")
     for lvl in range(depth - 1, -1, -1):
         parts.append(
-            f"c{lvl} AS MATERIALIZED (SELECT cur.source, cur.v, "
-            f"SUM(cur.sigma / b.sigma * (1.0 + COALESCE(dw.delta, 0.0))) AS delta "
+            f"cr{lvl} AS MATERIALIZED (SELECT cur.source, cur.v, t.dst AS w, "
+            f"cur.sigma / b.sigma * (1.0 + COALESCE(dw.delta, 0.0)) AS credit "
             f"FROM l{lvl} cur JOIN e2 t ON t.src = cur.v "
             f"JOIN l{lvl+1} b ON b.source = cur.source AND b.v = t.dst "
-            f"LEFT JOIN d{lvl+1} dw ON dw.source = cur.source AND dw.v = t.dst "
-            f"GROUP BY 1, 2),"
+            f"LEFT JOIN d{lvl+1} dw ON dw.source = cur.source AND dw.v = t.dst),"
+        )
+        parts.append(
+            f"c{lvl} AS MATERIALIZED (SELECT source, v, SUM(credit) AS delta "
+            f"FROM cr{lvl} GROUP BY 1, 2),"
         )
         parts.append(
             f"d{lvl} AS MATERIALIZED (SELECT cur.source, cur.v, "
             f"COALESCE(c.delta, 0.0) AS delta FROM l{lvl} cur "
             f"LEFT JOIN c{lvl} c ON c.source = cur.source AND c.v = cur.v),"
+        )
+    if per_edge:
+        eunions = " UNION ALL ".join(
+            f"SELECT v, w, credit FROM cr{lvl}" for lvl in range(0, depth)
+        )
+        parts.append(f"alle AS ({eunions}),")
+        parts.append("ebc AS (SELECT v, w, SUM(credit) AS b FROM alle GROUP BY 1, 2)")
+        return (
+            "\n".join(parts)
+            + "\nSELECT e2.src, e2.dst, ROUND(COALESCE(ebc.b, 0.0), 6) AS betweenness "
+            "FROM e2 LEFT JOIN ebc ON ebc.v = e2.src AND ebc.w = e2.dst"
         )
     unions = " UNION ALL ".join(
         f"SELECT v, delta FROM d{lvl} WHERE source <> v" for lvl in range(0, depth)
@@ -4091,6 +4124,9 @@ SELECT (SELECT COUNT(*) FROM v) AS n_vertices, (SELECT COUNT(*) FROM e) AS n_edg
 """
 
     o["graph_betweenness"] = _betweenness_sql(BETW_SRC_MAX, BETW_DEPTH)
+    o["graph_edge_betweenness"] = _betweenness_sql(
+        BETW_SRC_MAX, BETW_DEPTH, per_edge=True
+    )
 
     o["graph_betweenness_sampled"] = _betweenness_sql(
         0,

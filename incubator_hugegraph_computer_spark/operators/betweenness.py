@@ -32,9 +32,19 @@ def betweenness(
     seed: int = 42,
     max_depth: int = 30,
     sources: DataFrame | None = None,
+    per_edge: bool = False,
 ) -> DataFrame:
     """(id, betweenness) — Σ over sampled sources of Brandes dependency;
-    endpoints excluded (standard definition, directed paths)."""
+    endpoints excluded (standard definition, directed paths).
+
+    ``per_edge=True`` returns (src, dst, betweenness) instead — EDGE
+    betweenness (the Girvan–Newman community primitive: repeatedly cut
+    the highest-betweenness edge): each DAG edge (v, w) on a shortest
+    path earns σ_v/σ_w · (1 + δ_w) per source, exactly the per-edge
+    credit the vertex accumulation sums before its groupBy, so the edge
+    variant reuses every physical stage and only redirects the final
+    aggregation key from v to (v, w). Edges on no sampled shortest path
+    report 0."""
     edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct().persist()
     if sources is None:
         sources = graph.vertices.select("id")
@@ -78,6 +88,7 @@ def betweenness(
     # delta for the deepest layer is 0; walk levels upward.
     delta = layers[-1].select("source", "v", F.lit(0.0).alias("delta"))
     acc: list[DataFrame] = []
+    edge_acc: list[DataFrame] = []
     for lvl in range(len(layers) - 2, -1, -1):
         cur = layers[lvl]
         below = layers[lvl + 1].select(
@@ -86,7 +97,7 @@ def betweenness(
             F.col("sigma").alias("sigma_w"),
         )
         dw = delta.select("source", F.col("v").alias("w"), F.col("delta").alias("delta_w"))
-        contrib = (
+        credits = (
             cur.join(edges, cur.v == edges.src)
             .join(
                 below,
@@ -94,14 +105,22 @@ def betweenness(
             )
             .drop("source_b")
             .join(dw, ["source", "w"], "left")
-            .groupBy("source", "v")
-            .agg(
-                F.sum(
+            .select(
+                "source",
+                "v",
+                "w",
+                (
                     (F.col("sigma") / F.col("sigma_w"))
                     * (F.lit(1.0) + F.coalesce(F.col("delta_w"), F.lit(0.0)))
-                ).alias("delta")
+                ).alias("credit"),
             )
         )
+        if per_edge:
+            # the per-level credit feeds BOTH the edge accumulation and
+            # the vertex delta below — materialize it once
+            credits = credits.localCheckpoint(eager=True)
+            edge_acc.append(credits.select("v", "w", "credit"))
+        contrib = credits.groupBy("source", "v").agg(F.sum("credit").alias("delta"))
         delta = (
             cur.select("source", "v")
             .join(contrib, ["source", "v"], "left")
@@ -111,6 +130,26 @@ def betweenness(
         acc.append(delta.where(F.col("source") != F.col("v")))
     # every delta level is checkpointed, so the cached edge set is no
     # longer reachable from the result plan — release it
+    if per_edge:
+        if not edge_acc:
+            out = edges.select("src", "dst", F.lit(0.0).alias("betweenness"))
+            edges.unpersist()
+            return out
+        alle = edge_acc[0]
+        for a in edge_acc[1:]:
+            alle = alle.unionAll(a)
+        ebc = alle.groupBy(
+            F.col("v").alias("src"), F.col("w").alias("dst")
+        ).agg(F.sum("credit").alias("betweenness"))
+        out = (
+            edges.join(ebc, ["src", "dst"], "left")
+            .select(
+                "src", "dst", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+            )
+            .localCheckpoint(eager=True)
+        )
+        edges.unpersist()
+        return out
     edges.unpersist()
     if not acc:
         return graph.vertices.select("id", F.lit(0.0).alias("betweenness"))
