@@ -575,6 +575,42 @@ def _q_louvain(spark, sf_dir):
     return _louvain_checked(spark, sf_dir)
 
 
+def _q_leiden(spark, sf_dir):
+    """Leiden-style refinement — gated on the louvain invariants PLUS
+    the guarantee that sets Leiden apart: every community induces a
+    connected subgraph, checked by idempotence (re-splitting the final
+    assignment into induced connected components changes nothing)."""
+    from incubator_hugegraph_computer_spark.operators.leiden import (
+        leiden,
+        refine_connected,
+    )
+    from incubator_hugegraph_computer_spark.operators.stats import modularity
+
+    g = orders_graph(spark, sf_dir)
+    asn = leiden(g, max_levels=3, max_inner=5, count_messages=False).persist()
+    n = asn.count()
+    n_ids = asn.select("id").distinct().count()
+    rep_ok = (
+        asn.groupBy("community")
+        .agg(F.min("id").alias("mn"))
+        .where(F.col("mn") != F.col("community"))
+        .isEmpty()
+    )
+    q = modularity(g, asn, label_col="community").first()["modularity"]
+    recheck = refine_connected(g, asn, count_messages=False)
+    connected_ok = (
+        asn.join(recheck.withColumnRenamed("community", "c2"), "id")
+        .where(F.col("community") != F.col("c2"))
+        .isEmpty()
+    )
+    asn.unpersist()
+    return spark.createDataFrame(
+        [(n, n == n_ids, bool(rep_ok), float(q) >= LOUVAIN_MIN_Q, bool(connected_ok))],
+        "n_assigned long, one_community_each boolean, rep_is_min_member boolean, "
+        "modularity_ok boolean, all_connected boolean",
+    )
+
+
 def _q_louvain_weighted(spark, sf_dir):
     return _louvain_checked(spark, sf_dir, weight_col="weight")
 
@@ -2205,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_edge_betweenness": _q_edge_betweenness,
         "graph_random_walk": _q_random_walk,
         "graph_louvain": _q_louvain,
+        "graph_leiden": _q_leiden,
         "graph_louvain_weighted": _q_louvain_weighted,
         "graph_property_ingest": _q_property_ingest,
         "graph_hits": _q_hits,
@@ -3756,6 +3793,12 @@ SELECT (SELECT COUNT(*) FROM v) AS n_assigned,
 """
     o["graph_louvain"] = _louvain_oracle
     o["graph_louvain_weighted"] = _louvain_oracle
+    o["graph_leiden"] = f"""
+WITH {_G}
+SELECT (SELECT COUNT(*) FROM v) AS n_assigned,
+       true AS one_community_each, true AS rep_is_min_member,
+       true AS modularity_ok, true AS all_connected
+"""
 
     # one SLPA round is deterministic: listener v adopts min symmetrized
     # neighbor id (all heard counts are 1); with threshold 0.3 both
