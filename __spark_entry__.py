@@ -78,6 +78,9 @@ HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
 # oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
 MIS_ROUNDS = 12
 MIS_SEED = 42
+# Luby-style maximal matching: same declared-rounds contract as MIS
+MATCH_ROUNDS = 12
+MATCH_SEED = 42
 # DOULION edge-sampling coin: md5 < '29' → p = 41/256 ≈ 0.16
 DOULION_HEX = "29"
 DOULION_SEED = 42
@@ -1775,6 +1778,27 @@ def _q_triangle_sampled(spark, sf_dir):
     )
 
 
+def _q_matching(spark, sf_dir):
+    """Luby-style maximal matching — deterministic md5 edge priorities,
+    rounds replayed exactly by the unrolled oracle."""
+    from incubator_hugegraph_computer_spark.operators.matching import maximal_matching
+
+    return maximal_matching(
+        orders_graph(spark, sf_dir), max_rounds=MATCH_ROUNDS, seed=MATCH_SEED
+    )
+
+
+def _q_coarsen(spark, sf_dir):
+    """One matching-contraction level (multilevel coarsening): matched
+    pairs collapse to min-id supervertices, super-edges count
+    multiplicity."""
+    from incubator_hugegraph_computer_spark.operators.matching import coarsen
+
+    return coarsen(
+        orders_graph(spark, sf_dir), max_rounds=MATCH_ROUNDS, seed=MATCH_SEED
+    )
+
+
 def _q_mis(spark, sf_dir):
     """Luby maximal independent set — md5 per-round priorities make the
     whole run SQL-replayable (the oracle unrolls the rounds)."""
@@ -2290,6 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_landmarks": _q_landmarks,
         "graph_triangle_sampled": _q_triangle_sampled,
         "graph_mis": _q_mis,
+        "graph_matching": _q_matching,
+        "graph_coarsen": _q_coarsen,
         "graph_wcc_incremental": _q_wcc_incremental,
         "graph_harmonic": _q_harmonic,
         "graph_neighborhood": _q_neighborhood,
@@ -3353,6 +3379,57 @@ def _mis_sql(rounds: int, seed: int) -> str:
     parts.append(f"mis AS ({union})")
     return "\n".join(parts) + """
 SELECT v.id, (m.id IS NOT NULL) AS in_mis FROM v LEFT JOIN mis m USING(id)
+"""
+
+
+def _matching_sql(rounds: int, seed: int) -> str:
+    """Unrolled Luby-style maximal matching matching
+    operators/matching.py: per round alive canonical edges draw md5
+    priorities; an edge wins iff its priority is the endpoint-min at
+    BOTH endpoints; matched endpoints' incident edges leave."""
+    parts = [
+        f"WITH {_G},",
+        "eu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e WHERE src <> dst),",
+        "al0 AS MATERIALIZED (SELECT a, b FROM eu),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"pr{r} AS MATERIALIZED (SELECT a, b, md5(CAST(a AS VARCHAR) || '-' || "
+            f"CAST(b AS VARCHAR) || ':{seed}:{r}') AS p FROM al{p}),",
+            f"vm{r} AS (SELECT v, MIN(p) AS mp FROM ("
+            f"SELECT a AS v, p FROM pr{r} UNION ALL SELECT b AS v, p FROM pr{r}) "
+            f"GROUP BY 1),",
+            f"wn{r} AS MATERIALIZED (SELECT pr.a, pr.b FROM pr{r} pr "
+            f"JOIN vm{r} x ON x.v = pr.a JOIN vm{r} y ON y.v = pr.b "
+            f"WHERE pr.p = x.mp AND pr.p = y.mp),",
+            f"mv{r} AS (SELECT DISTINCT v FROM ("
+            f"SELECT a AS v FROM wn{r} UNION ALL SELECT b AS v FROM wn{r})),",
+            f"al{r} AS MATERIALIZED (SELECT t.a, t.b FROM al{p} t "
+            f"ANTI JOIN mv{r} x ON x.v = t.a "
+            f"WHERE NOT EXISTS (SELECT 1 FROM mv{r} y WHERE y.v = t.b)),",
+        ]
+    union = " UNION ALL ".join(f"SELECT a, b FROM wn{r}" for r in range(1, rounds + 1))
+    parts.append(f"mm AS ({union})")
+    return "\n".join(parts) + """
+SELECT eu.a, eu.b, (m.a IS NOT NULL) AS matched
+FROM eu LEFT JOIN mm m ON m.a = eu.a AND m.b = eu.b
+"""
+
+
+def _coarsen_sql(rounds: int, seed: int) -> str:
+    """Matching contraction on top of the _matching_sql round chain:
+    matched pairs relabel to their min id, internal edges drop,
+    surviving canonical super-edges count multiplicity."""
+    base = _matching_sql(rounds, seed)
+    chain = base.split("\nSELECT eu.a")[0]  # the WITH ... mm chain
+    return chain + """,
+rl AS (SELECT a AS id, a AS super FROM mm UNION ALL SELECT b, a FROM mm),
+fm AS (SELECT v.id, COALESCE(r.super, v.id) AS super FROM v LEFT JOIN rl r USING(id))
+SELECT LEAST(x.super, y.super) AS i, GREATEST(x.super, y.super) AS j, COUNT(*) AS w
+FROM eu t JOIN fm x ON x.id = t.a JOIN fm y ON y.id = t.b
+WHERE x.super <> y.super GROUP BY 1, 2
 """
 
 
@@ -5505,6 +5582,8 @@ FROM events GROUP BY ROLLUP(event_type, day)
     o["graph_wcc_incremental"] = o["graph_wcc"]
 
     o["graph_mis"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
+    o["graph_matching"] = _matching_sql(MATCH_ROUNDS, MATCH_SEED)
+    o["graph_coarsen"] = _coarsen_sql(MATCH_ROUNDS, MATCH_SEED)
 
     o["graph_lpa_seeded"] = _lpa_seeded_sql(SEEDED_ROUNDS, SEEDED_MAX, SEEDED_CLASSES)
 

@@ -1,0 +1,73 @@
+"""Luby-style maximal matching — validity and maximality invariants."""
+
+from conftest import make_graph
+
+from incubator_hugegraph_computer_spark.operators.matching import maximal_matching
+
+EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),  # 6-cycle
+    (0, 3), (1, 4),                                   # chords
+    (6, 7),                                           # isolated pair
+]
+
+
+def _check(rows):
+    matched = [(r["a"], r["b"]) for r in rows if r["matched"]]
+    unmatched = [(r["a"], r["b"]) for r in rows if not r["matched"]]
+    # validity: no two matched edges share an endpoint
+    seen = set()
+    for a, b in matched:
+        assert a not in seen and b not in seen, (a, b)
+        seen.update((a, b))
+    # maximality: every unmatched edge touches a matched endpoint
+    for a, b in unmatched:
+        assert a in seen or b in seen, (a, b)
+    return matched
+
+
+def test_matching_valid_and_maximal(spark):
+    g = make_graph(spark, EDGES, vertex_ids=range(8))
+    rows = maximal_matching(g).collect()
+    assert len(rows) == len(EDGES)
+    matched = _check(rows)
+    # the isolated pair can only be matched by itself — and maximality
+    # forces it in
+    assert (6, 7) in matched
+
+
+def test_matching_deterministic(spark):
+    g = make_graph(spark, EDGES, vertex_ids=range(8))
+    a = sorted(map(tuple, maximal_matching(g, seed=7).collect()))
+    b = sorted(map(tuple, maximal_matching(g, seed=7).collect()))
+    assert a == b
+
+
+def test_matching_single_edge(spark):
+    g = make_graph(spark, [(0, 1)], vertex_ids=range(2))
+    rows = maximal_matching(g).collect()
+    assert len(rows) == 1 and rows[0]["matched"]
+
+
+def test_coarsen_contracts_pairs(spark):
+    from incubator_hugegraph_computer_spark.operators.matching import (
+        coarsen,
+        maximal_matching,
+    )
+
+    g = make_graph(spark, EDGES, vertex_ids=range(8))
+    pairs = [
+        (r["a"], r["b"])
+        for r in maximal_matching(g).collect()
+        if r["matched"]
+    ]
+    coarse = coarsen(g).collect()
+    n_matched = len(pairs)
+    # vertex count shrinks by exactly the number of matched pairs
+    super_ids = {r["i"] for r in coarse} | {r["j"] for r in coarse}
+    # supervertex of a matched pair is its min id; no pair's max id survives
+    maxes = {max(a, b) for a, b in pairs}
+    assert super_ids.isdisjoint(maxes)
+    # edge weights conserve the original inter-super edge multiset
+    assert sum(r["w"] for r in coarse) == len(EDGES) - n_matched
+    # canonical, loop-free
+    assert all(r["i"] < r["j"] for r in coarse)
