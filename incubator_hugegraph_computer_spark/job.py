@@ -44,6 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
             "embeddedness", "rich_club", "host_quotient", "trustrank",
             "spam_mass", "hostrank", "opic", "crawl_schedule",
             "ktruss", "trussness", "ppr_sweep", "voterank",
+            "leiden", "matching", "coarsen", "edge_betweenness",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -298,6 +299,9 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.ppr import ppr_sweep as _ppr_sweep
     from incubator_hugegraph_computer_spark.operators.ktruss import ktruss as _ktruss
     from incubator_hugegraph_computer_spark.operators.voterank import voterank as _voterank
+    from incubator_hugegraph_computer_spark.operators.leiden import leiden as _leiden
+    from incubator_hugegraph_computer_spark.operators.matching import maximal_matching as _matching
+    from incubator_hugegraph_computer_spark.operators.matching import coarsen as _coarsen
     from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
     from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
@@ -401,6 +405,12 @@ def run(args: argparse.Namespace) -> dict:
         ),
         "opic": lambda: _opic(graph, **iter_kwargs),
         "ktruss": lambda: _ktruss(graph, k=args.truss_k),
+        "leiden": lambda: _leiden(graph),
+        "matching": lambda: _matching(graph),
+        "coarsen": lambda: _coarsen(graph),
+        "edge_betweenness": lambda: betweenness(
+            graph, sample_rate=0.05, per_edge=True
+        ),
         "voterank": lambda: _voterank(graph, k=args.voterank_k),
         "trussness": lambda: _trussness(graph, k_max=args.truss_k),
         "ppr_sweep": lambda: _ppr_sweep(
