@@ -1410,6 +1410,19 @@ def _q_docs_minhash_dedup(spark, sf_dir):
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_docs_lsh_recall(spark, sf_dir):
+    """Measured recall of the banded-MinHash candidate generator vs the
+    exact n-gram Jaccard truth set — the pre-flight report a 100 TB
+    dedup pass runs before committing to an (num_hashes, bands) curve."""
+    from incubator_hugegraph_computer_spark.functions.dedup import lsh_recall_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_recall_report(
+        docs, num_hashes=16, bands=4, n=3, truth_threshold=0.2,
+        max_shingle_freq=1000,
+    )
+
+
 def _q_docs_dedup_clusters(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.dedup import dedup_clusters
 
@@ -2358,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_dedup": _q_docs_ngram_dedup,
         "docs_minhash_dedup": _q_docs_minhash_dedup,
+        "docs_lsh_recall": _q_docs_lsh_recall,
         "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_simhash": _q_docs_simhash,
         "media_byte_stats": _q_media_byte_stats,
@@ -5389,6 +5403,40 @@ j AS (SELECT i.doc_a, i.doc_b,
         f"WITH {minhash_pair_ctes}\n"
         "SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.1"
     )
+
+    # recall report: exact-truth pairs (capped-shingle n-gram Jaccard
+    # >= 0.2) vs the raw banded-LSH candidate set; counts + recall.
+    o["docs_lsh_recall"] = f"""
+WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
+freq_ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq_ok USING(shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM shf a JOIN shf b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+truth AS (SELECT i.doc_a, i.doc_b
+          FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+          WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= 0.2),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+mh AS (SELECT sh.doc_id, s.seed,
+              MIN(md5(s.seed::VARCHAR || '|' || sh.shingle)) AS minhash
+       FROM sh CROSS JOIN seeds s GROUP BY 1, 2),
+bk AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+              md5(array_to_string(list_sort(list(minhash)), ',')) AS bucket
+       FROM mh GROUP BY doc_id, CAST(seed // 4 AS INT)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk a JOIN bk b ON b.band = a.band AND b.bucket = a.bucket
+         AND a.doc_id < b.doc_id),
+hits AS (SELECT t.doc_a, t.doc_b FROM truth t
+         SEMI JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       ROUND(CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+             THEN CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) /
+                  CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END, 6) AS recall
+"""
 
     # delta-vs-corpus: reuse the shingle/minhash/band CTEs, but pair
     # NEW docs (30% hash slice) against CORPUS docs only, keep the best

@@ -598,3 +598,65 @@ def incremental_minhash_dedup(
             F.when(F.col("b").isNull(), 1).otherwise(0).cast("int").alias("keep"),
         )
     )
+
+
+def lsh_recall_report(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    truth_threshold: float = 0.2,
+    max_shingle_freq: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_true, n_candidates, n_hits, recall) — measured recall
+    of the banded-MinHash candidate generator against the exact n-gram
+    Jaccard truth set (pairs with Jaccard ≥ ``truth_threshold`` under
+    :func:`ngram_jaccard_pairs` semantics, hot-shingle cap included).
+
+    This is the "measure, don't guess" companion to the dedup ladder:
+    (num_hashes, bands) set the LSH S-curve, and this report tells you
+    what the index actually catches on YOUR corpus before you commit a
+    100 TB pass to it. n_candidates / n_true is the verify-stage cost
+    multiplier; recall is the miss rate's complement at the truth
+    threshold.
+
+    Scale shape: the truth side is the bucketed shingle self-join
+    (bounded by the hot-shingle cap), the candidate side is the banded
+    LSH self-join, the comparison is one semi-join of two pair sets,
+    and the three counts cross as one-row broadcast frames.
+    """
+    truth = ngram_jaccard_pairs(
+        documents, n=n, threshold=truth_threshold,
+        max_shingle_freq=max_shingle_freq, text_col=text_col,
+    ).select("doc_a", "doc_b")
+    band_key = lsh_band_buckets(documents, num_hashes, bands, n, text_col)
+    a = band_key.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = band_key.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by two consumers below
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hits").cast("double") / F.col("n_true").cast("double"),
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -71,3 +71,24 @@ def test_coarsen_contracts_pairs(spark):
     assert sum(r["w"] for r in coarse) == len(EDGES) - n_matched
     # canonical, loop-free
     assert all(r["i"] < r["j"] for r in coarse)
+
+
+def test_lsh_recall_report(spark):
+    from incubator_hugegraph_computer_spark.functions.dedup import lsh_recall_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a completely different document about spark shuffles and joins"),
+            (3, "spark shuffles and joins are a completely different topic here"),
+        ],
+        "doc_id long, text string",
+    )
+    r = lsh_recall_report(docs, num_hashes=16, bands=4, n=3).collect()[0]
+    # identical docs are always truth AND candidates (all bands equal)
+    assert r["n_true"] >= 1 and r["n_hits"] >= 1
+    assert r["n_hits"] <= r["n_true"] and r["n_hits"] <= r["n_candidates"]
+    assert abs(r["recall"] - r["n_hits"] / r["n_true"]) < 1e-9
+    # the exact-dup pair is caught
+    assert r["recall"] > 0
