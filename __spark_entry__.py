@@ -81,6 +81,7 @@ MIS_SEED = 42
 # Luby-style maximal matching: same declared-rounds contract as MIS
 MATCH_ROUNDS = 12
 MATCH_SEED = 42
+PARTITION_K = 32  # partition-quality report: modulo-K placement
 # DOULION edge-sampling coin: md5 < '29' → p = 41/256 ≈ 0.16
 DOULION_HEX = "29"
 DOULION_SEED = 42
@@ -1801,6 +1802,15 @@ def _q_matching(spark, sf_dir):
     )
 
 
+def _q_partition_stats(spark, sf_dir):
+    """Edge-cut / balance report under the modulo-K placement — the
+    pre-superstep partitioning audit (Σcut/|E| = per-superstep shuffle
+    fraction; vertex spread = straggler bound)."""
+    from incubator_hugegraph_computer_spark.operators.stats import partition_stats
+
+    return partition_stats(orders_graph(spark, sf_dir), k=PARTITION_K)
+
+
 def _q_coarsen(spark, sf_dir):
     """One matching-contraction level (multilevel coarsening): matched
     pairs collapse to min-id supervertices, super-edges count
@@ -2329,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis": _q_mis,
         "graph_matching": _q_matching,
         "graph_coarsen": _q_coarsen,
+        "graph_partition_stats": _q_partition_stats,
         "graph_wcc_incremental": _q_wcc_incremental,
         "graph_harmonic": _q_harmonic,
         "graph_neighborhood": _q_neighborhood,
@@ -5632,6 +5643,21 @@ FROM events GROUP BY ROLLUP(event_type, day)
     o["graph_mis"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
     o["graph_matching"] = _matching_sql(MATCH_ROUNDS, MATCH_SEED)
     o["graph_coarsen"] = _coarsen_sql(MATCH_ROUNDS, MATCH_SEED)
+    o["graph_partition_stats"] = f"""
+WITH {_G},
+asg AS (SELECT id, id % {PARTITION_K} AS pid FROM v),
+tag AS (SELECT a.pid AS p_src, b.pid AS p_dst FROM e
+        JOIN asg a ON a.id = e.src JOIN asg b ON b.id = e.dst),
+es AS (SELECT p_src AS pid,
+              CAST(SUM(CASE WHEN p_src = p_dst THEN 1 ELSE 0 END) AS BIGINT) AS internal_edges,
+              CAST(SUM(CASE WHEN p_src <> p_dst THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges
+       FROM tag GROUP BY 1),
+vs AS (SELECT pid, COUNT(*) AS n_vertices FROM asg GROUP BY 1)
+SELECT vs.pid, vs.n_vertices,
+       COALESCE(es.internal_edges, 0) AS internal_edges,
+       COALESCE(es.cut_edges, 0) AS cut_edges
+FROM vs LEFT JOIN es ON es.pid = vs.pid
+"""
 
     o["graph_lpa_seeded"] = _lpa_seeded_sql(SEEDED_ROUNDS, SEEDED_MAX, SEEDED_CLASSES)
 

@@ -192,3 +192,45 @@ def component_size_distribution(graph: Graph, **wcc_kwargs) -> DataFrame:
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_components"))
     )
+
+
+def partition_stats(graph: Graph, assignment=None, k: int = 32) -> DataFrame:
+    """(pid, n_vertices, internal_edges, cut_edges) — partition-quality
+    report for a vertex→partition assignment (default: the modulo
+    partitioner pid = id % k). cut_edges counts directed edges LEAVING
+    the partition; Σ cut / |E| is the shuffle fraction every
+    message-pass superstep pays under that placement, and the
+    n_vertices spread is the straggler bound — the two numbers that
+    decide whether a 100 TB graph needs bucketing/salting before the
+    first superstep runs (SURVEY §1.5's partitioning model made
+    measurable).
+
+    ``assignment``: optional (id, pid) frame (e.g. a louvain/leiden
+    community map relabeled to partitions, or a graph_store bucket
+    map) — quality of CUSTOM placements is the actual use case; the
+    modulo default is the oracle-replayable baseline.
+
+    Scale shape: one V-row map join onto each edge endpoint (broadcast
+    when the assignment is small, shuffle-hash otherwise) + two
+    map-side-combined aggregations. No windows, no collects.
+    """
+    from pyspark.sql import functions as F
+
+    if assignment is None:
+        assignment = graph.vertices.select(
+            "id", (F.col("id") % k).cast("long").alias("pid")
+        )
+    pa = assignment.select(F.col("id").alias("src"), F.col("pid").alias("p_src"))
+    pb = assignment.select(F.col("id").alias("dst"), F.col("pid").alias("p_dst"))
+    tagged = graph.edges.select("src", "dst").join(pa, "src").join(pb, "dst")
+    edge_stats = tagged.groupBy(F.col("p_src").alias("pid")).agg(
+        F.sum((F.col("p_src") == F.col("p_dst")).cast("long")).alias("internal_edges"),
+        F.sum((F.col("p_src") != F.col("p_dst")).cast("long")).alias("cut_edges"),
+    )
+    v_stats = assignment.groupBy("pid").agg(F.count(F.lit(1)).alias("n_vertices"))
+    return v_stats.join(edge_stats, "pid", "left").select(
+        "pid",
+        "n_vertices",
+        F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+        F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+    )

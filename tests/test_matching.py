@@ -92,3 +92,18 @@ def test_lsh_recall_report(spark):
     assert abs(r["recall"] - r["n_hits"] / r["n_true"]) < 1e-9
     # the exact-dup pair is caught
     assert r["recall"] > 0
+
+
+def test_partition_stats_custom_assignment(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.stats import partition_stats
+
+    # 0,1,2 in partition 0; 3,4,5 in partition 1; edges: 2 internal to
+    # p0, 1 internal to p1, 2 crossing from p0
+    g = make_graph(spark, [(0, 1), (1, 2), (3, 4), (0, 3), (2, 5)], vertex_ids=range(6))
+    asg = g.vertices.select("id", (F.col("id") >= 3).cast("long").alias("pid"))
+    out = {r["pid"]: r for r in partition_stats(g, assignment=asg).collect()}
+    assert out[0]["n_vertices"] == 3 and out[1]["n_vertices"] == 3
+    assert out[0]["internal_edges"] == 2 and out[0]["cut_edges"] == 2
+    assert out[1]["internal_edges"] == 1 and out[1]["cut_edges"] == 0
