@@ -1802,6 +1802,19 @@ def _q_matching(spark, sf_dir):
     )
 
 
+def _q_hem(spark, sf_dir):
+    """Heavy-edge matching over the shared derived weight rule —
+    METIS's coarsening rule, locally-dominant formulation."""
+    from incubator_hugegraph_computer_spark.operators.matching import (
+        heavy_edge_matching,
+    )
+
+    g = _weighted(orders_graph(spark, sf_dir))
+    return heavy_edge_matching(
+        g, weight_col="weight", max_rounds=MATCH_ROUNDS, seed=MATCH_SEED
+    )
+
+
 def _q_partition_stats(spark, sf_dir):
     """Edge-cut / balance report under the modulo-K placement — the
     pre-superstep partitioning audit (Σcut/|E| = per-superstep shuffle
@@ -2340,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_matching": _q_matching,
         "graph_coarsen": _q_coarsen,
         "graph_partition_stats": _q_partition_stats,
+        "graph_heavy_matching": _q_hem,
         "graph_wcc_incremental": _q_wcc_incremental,
         "graph_harmonic": _q_harmonic,
         "graph_neighborhood": _q_neighborhood,
@@ -3439,6 +3453,43 @@ def _matching_sql(rounds: int, seed: int) -> str:
     parts.append(f"mm AS ({union})")
     return "\n".join(parts) + """
 SELECT eu.a, eu.b, (m.a IS NOT NULL) AS matched
+FROM eu LEFT JOIN mm m ON m.a = eu.a AND m.b = eu.b
+"""
+
+
+def _hem_sql(rounds: int, seed: int) -> str:
+    """Unrolled locally-dominant heavy-edge matching matching
+    operators/matching.py:heavy_edge_matching over the shared derived
+    weight rule: per round each alive vertex picks its best incident
+    edge by (w DESC, md5); an edge wins iff both endpoints picked it."""
+    parts = [
+        f"WITH {_G},",
+        "eu AS MATERIALIZED (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, "
+        "MAX(CAST((src + dst) % 5 + 1 AS DOUBLE)) AS w "
+        "FROM e WHERE src <> dst GROUP BY 1, 2),",
+        "al0 AS MATERIALIZED (SELECT a, b, w FROM eu),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts += [
+            f"pr{r} AS MATERIALIZED (SELECT a, b, w, md5(CAST(a AS VARCHAR) || '-' || "
+            f"CAST(b AS VARCHAR) || ':{seed}:{r}') AS p FROM al{p}),",
+            f"bs{r} AS (SELECT v, a, b FROM (SELECT v, a, b, "
+            f"ROW_NUMBER() OVER (PARTITION BY v ORDER BY w DESC, p) AS rn FROM ("
+            f"SELECT a AS v, w, p, a, b FROM pr{r} UNION ALL "
+            f"SELECT b AS v, w, p, a, b FROM pr{r})) WHERE rn = 1),",
+            f"wn{r} AS MATERIALIZED (SELECT a, b FROM bs{r} GROUP BY 1, 2 "
+            f"HAVING COUNT(*) = 2),",
+            f"mv{r} AS (SELECT DISTINCT v FROM ("
+            f"SELECT a AS v FROM wn{r} UNION ALL SELECT b AS v FROM wn{r})),",
+            f"al{r} AS MATERIALIZED (SELECT t.a, t.b, t.w FROM al{p} t "
+            f"ANTI JOIN mv{r} x ON x.v = t.a "
+            f"WHERE NOT EXISTS (SELECT 1 FROM mv{r} y WHERE y.v = t.b)),",
+        ]
+    union = " UNION ALL ".join(f"SELECT a, b FROM wn{r}" for r in range(1, rounds + 1))
+    parts.append(f"mm AS ({union})")
+    return "\n".join(parts) + """
+SELECT eu.a, eu.b, ROUND(eu.w, 6) AS w, (m.a IS NOT NULL) AS matched
 FROM eu LEFT JOIN mm m ON m.a = eu.a AND m.b = eu.b
 """
 
@@ -5643,6 +5694,7 @@ FROM events GROUP BY ROLLUP(event_type, day)
     o["graph_mis"] = _mis_sql(MIS_ROUNDS, MIS_SEED)
     o["graph_matching"] = _matching_sql(MATCH_ROUNDS, MATCH_SEED)
     o["graph_coarsen"] = _coarsen_sql(MATCH_ROUNDS, MATCH_SEED)
+    o["graph_heavy_matching"] = _hem_sql(MATCH_ROUNDS, MATCH_SEED)
     o["graph_partition_stats"] = f"""
 WITH {_G},
 asg AS (SELECT id, id % {PARTITION_K} AS pid FROM v),

@@ -107,3 +107,45 @@ def test_partition_stats_custom_assignment(spark):
     assert out[0]["n_vertices"] == 3 and out[1]["n_vertices"] == 3
     assert out[0]["internal_edges"] == 2 and out[0]["cut_edges"] == 2
     assert out[1]["internal_edges"] == 1 and out[1]["cut_edges"] == 0
+
+
+def test_heavy_edge_matching_prefers_weight(spark):
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.operators.matching import (
+        heavy_edge_matching,
+    )
+
+    # star: center 0 with leaves 1..4; weights 1,2,3,9 — the heavy rule
+    # must match 0-4 (weight 9), leaving the light spokes unmatched
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 2.0), (0, 3, 3.0), (0, 4, 9.0)],
+        "src long, dst long, w double",
+    )
+    from incubator_hugegraph_computer_spark.graph import Graph
+
+    g = Graph(
+        edges.select("src").withColumnRenamed("src", "id").unionAll(
+            edges.select(F.col("dst").alias("id"))
+        ).distinct(),
+        edges,
+        num_partitions=4,
+    )
+    out = {(r["a"], r["b"]): r for r in heavy_edge_matching(g, weight_col="w").collect()}
+    assert out[(0, 4)]["matched"]
+    assert not any(r["matched"] for e, r in out.items() if e != (0, 4))
+
+
+def test_heavy_edge_matching_validity(spark):
+    from incubator_hugegraph_computer_spark.operators.matching import (
+        heavy_edge_matching,
+    )
+
+    g = make_graph(spark, EDGES, vertex_ids=range(8))
+    rows = heavy_edge_matching(g).collect()  # uniform weights
+    _check(
+        [
+            {"a": r["a"], "b": r["b"], "matched": r["matched"]}
+            for r in rows
+        ]
+    )
