@@ -32,6 +32,9 @@ from incubator_hugegraph_computer_spark.sources.tpch_graph import (
 
 SSSP_SOURCE = 1
 PPR_SOURCE = 1
+# change-impact analysis: deterministic "changed files" batch + hop budget
+IMPACT_SEED_MOD = 211
+IMPACT_DEPTH = 4
 # ACL sweep-cut prefix budget: the conductance curve is reported for the
 # top-64 degree-normalized PPR positions (parameter-sized — the sweep
 # frame broadcasts and its windows are 64-row)
@@ -469,6 +472,26 @@ def _q_depth(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth
 
     return bfs_depth(orders_graph(spark, sf_dir), source=SSSP_SOURCE)
+
+
+def _q_build_layers(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.code_graph import build_layers
+
+    return build_layers(orders_graph(spark, sf_dir))
+
+
+def _q_coupling(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.code_graph import coupling_metrics
+
+    return coupling_metrics(orders_graph(spark, sf_dir))
+
+
+def _q_impact(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.code_graph import impact_set
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") % IMPACT_SEED_MOD == 0).select("id")
+    return impact_set(g, seeds, max_depth=IMPACT_DEPTH)
 
 
 def _q_counts(spark, sf_dir):
@@ -2287,6 +2310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _q_modularity,
         "graph_rings": _q_rings,
         "graph_scc": _q_scc,
+        "graph_build_layers": _q_build_layers,
+        "graph_coupling": _q_coupling,
+        "graph_impact": _q_impact,
         "graph_depth": _q_depth,
         "graph_counts": _q_counts,
         "graph_rings_filtered": _q_rings_filtered,
@@ -4260,6 +4286,61 @@ r(a, b) AS (
 SELECT x.a AS id, MIN(x.b) AS scc
 FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
 GROUP BY x.a
+"""
+
+    # SCC condensation + longest-path layer: seeding all components at
+    # depth 0 equals seeding sources only (any maximal DAG path extends
+    # backwards to an in-degree-0 component)
+    o["graph_build_layers"] = f"""
+WITH RECURSIVE {_G},
+r(a, b) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+),
+sccm AS (
+    SELECT x.a AS id, MIN(x.b) AS scc
+    FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+    GROUP BY x.a
+),
+ce AS (
+    SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+    FROM e JOIN sccm sa ON sa.id = e.src JOIN sccm sb ON sb.id = e.dst
+    WHERE sa.scc <> sb.scc
+),
+cl(node, d) AS (
+    SELECT DISTINCT scc, 0 FROM sccm
+    UNION
+    SELECT ce.dst, cl.d + 1 FROM cl JOIN ce ON ce.src = cl.node WHERE cl.d < 200
+)
+SELECT s.id, s.scc, CAST(MAX(cl.d) AS BIGINT) AS layer
+FROM sccm s JOIN cl ON cl.node = s.scc
+GROUP BY s.id, s.scc
+"""
+
+    o["graph_coupling"] = f"""
+WITH {_G},
+ca AS (SELECT dst AS id, COUNT(DISTINCT src) AS ca FROM e GROUP BY dst),
+ce AS (SELECT src AS id, COUNT(DISTINCT dst) AS ce FROM e GROUP BY src)
+SELECT v.id,
+       CAST(COALESCE(ca.ca, 0) AS BIGINT) AS ca,
+       CAST(COALESCE(ce.ce, 0) AS BIGINT) AS ce,
+       ROUND(CAST(COALESCE(ce.ce, 0) AS DOUBLE)
+             / (COALESCE(ca.ca, 0) + COALESCE(ce.ce, 0)), 6) AS instability
+FROM v LEFT JOIN ca ON ca.id = v.id LEFT JOIN ce ON ce.id = v.id
+"""
+
+    o["graph_impact"] = f"""
+WITH RECURSIVE {_G},
+seeds AS (SELECT id FROM v WHERE id % {IMPACT_SEED_MOD} = 0),
+ir(seed, node, d) AS (
+    SELECT id, id, 0 FROM seeds
+    UNION
+    SELECT ir.seed, e.src, ir.d + 1
+    FROM ir JOIN e ON e.dst = ir.node WHERE ir.d < {IMPACT_DEPTH}
+)
+SELECT seed, CAST(COUNT(DISTINCT node) - 1 AS BIGINT) AS impacted
+FROM ir GROUP BY seed
 """
 
     o["graph_rings_filtered"] = f"""

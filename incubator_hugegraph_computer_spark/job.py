@@ -45,10 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
             "spam_mass", "hostrank", "opic", "crawl_schedule",
             "ktruss", "trussness", "ppr_sweep", "voterank",
             "leiden", "matching", "coarsen", "edge_betweenness",
+            "build_layers", "coupling", "impact",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
-                   help="trustrank/spam_mass: comma-separated trusted vertex ids")
+                   help="trustrank/spam_mass/impact: comma-separated seed vertex ids")
     p.add_argument("--scan-eps", type=float, default=0.15,
                    help="scan: structural-similarity threshold")
     p.add_argument("--scan-mu", type=int, default=3,
@@ -303,6 +304,11 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.matching import maximal_matching as _matching
     from incubator_hugegraph_computer_spark.operators.matching import coarsen as _coarsen
     from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
+    from incubator_hugegraph_computer_spark.operators.code_graph import (
+        build_layers as _build_layers,
+        coupling_metrics as _coupling,
+        impact_set as _impact,
+    )
     from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
     from incubator_hugegraph_computer_spark.operators.jaccard import jaccard as _jaccard
@@ -410,6 +416,14 @@ def run(args: argparse.Namespace) -> dict:
         "coarsen": lambda: _coarsen(graph),
         "edge_betweenness": lambda: betweenness(
             graph, sample_rate=0.05, per_edge=True
+        ),
+        "build_layers": lambda: _build_layers(graph),
+        "coupling": lambda: _coupling(graph),
+        "impact": lambda: _impact(
+            graph,
+            graph.spark.createDataFrame(
+                [(int(s),) for s in args.trust_seeds.split(",")], "id long"
+            ),
         ),
         "voterank": lambda: _voterank(graph, k=args.voterank_k),
         "trussness": lambda: _trussness(graph, k_max=args.truss_k),

@@ -1,0 +1,155 @@
+"""Code-dependency-graph analyses: build layering, coupling metrics,
+change-impact sets.
+
+The engine's native payload is a dependency graph over source files
+(BASELINE input_hint: imports extracted per file). These are the three
+queries a build/refactoring pipeline asks of that graph:
+
+* ``build_layers`` — parallel build order: collapse cycles (SCC
+  condensation), then assign each component its longest-path depth in
+  the condensation DAG. Everything in layer k can compile concurrently
+  once layers < k are done. Reference parity: composes the engine's SCC
+  (``vermeer/algorithms/scc.go`` semantics, scc = min member id) with a
+  max-propagation BSP loop — the same join-aggregate superstep shape as
+  SSSP with (max, +1) instead of (min, +w).
+* ``coupling_metrics`` — Martin's afferent/efferent coupling per module
+  (Ca = distinct dependents, Ce = distinct dependencies) and the
+  instability ratio I = Ce / (Ca + Ce). Pure one-pass aggregates.
+* ``impact_set`` — change-impact: for each file in a changed set, how
+  many files transitively depend on it within ``max_depth`` hops
+  (reverse reachability). Multi-source frontier BFS over reversed
+  edges; the (seed, node) pair state is bounded by |seeds| x V and the
+  per-hop distinct is the map-side dedup that keeps hub fan-in from
+  exploding the pair multiset — same discipline as ``bfs.ego_size``.
+
+100 TB shape: layering runs on the condensation (orders of magnitude
+smaller than the file graph); coupling is a single shuffle on each edge
+endpoint with map-side partial aggregation; impact_set scales with the
+changed-set size (a CI batch, not the corpus), not V.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.operators.scc import scc
+
+
+def condensation_edges(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(src, dst) DAG edges between distinct SCC labels."""
+    return (
+        graph.edges.select("src", "dst")
+        .join(labels.select(F.col("id").alias("src"), F.col("scc").alias("csrc")), "src")
+        .join(labels.select(F.col("id").alias("dst"), F.col("scc").alias("cdst")), "dst")
+        .where(F.col("csrc") != F.col("cdst"))
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .distinct()
+    )
+
+
+def build_layers(graph: Graph, max_depth: int = 200) -> DataFrame:
+    """(id, scc, layer): layer = longest path (in condensation-DAG hops)
+    ending at the vertex's component; layer-0 components have no
+    dependencies outside their own cycle.
+
+    Longest-path-to-fixpoint: start every component at 0 and propagate
+    ``layer[dst] = max(layer[dst], layer[src] + 1)`` until no change —
+    on a DAG this terminates in (longest path length) supersteps, and
+    seeding ALL nodes at 0 is equivalent to seeding sources only (any
+    maximal path extends backwards to an in-degree-0 component).
+    Frontier-pruned: only components whose layer rose last round send.
+    """
+    labels = scc(graph).persist()
+    cedges = condensation_edges(graph, labels).persist()
+    state = (
+        labels.select(F.col("scc").alias("cid"))
+        .distinct()
+        .select("cid", F.lit(0).cast("long").alias("layer"), F.lit(True).alias("chg"))
+        .persist()
+    )
+    for _ in range(max_depth):
+        msgs = (
+            state.where("chg")
+            .select(F.col("cid").alias("src"), "layer")
+            .join(cedges, "src")
+            .groupBy(F.col("dst").alias("cid"))
+            .agg((F.max("layer") + F.lit(1)).alias("m"))
+        )
+        new = (
+            state.join(msgs, "cid", "left")
+            .select(
+                "cid",
+                F.greatest(F.col("layer"), F.coalesce(F.col("m"), F.col("layer"))).alias("layer"),
+                (F.coalesce(F.col("m"), F.lit(-1)) > F.col("layer")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-superstep lineage
+        )
+        state.unpersist()
+        state = new
+        if state.where("chg").isEmpty():
+            break
+    out = labels.join(
+        state.select(F.col("cid").alias("scc"), "layer"), "scc"
+    ).select("id", "scc", "layer")
+    cedges.unpersist()
+    return out
+
+
+def coupling_metrics(graph: Graph) -> DataFrame:
+    """(id, ca, ce, instability): Martin coupling per vertex. Ca =
+    distinct in-neighbors (dependents), Ce = distinct out-neighbors
+    (dependencies), I = Ce / (Ca + Ce) rounded to 6 dp (every vertex is
+    an edge endpoint, so the denominator is >= 1)."""
+    e = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    ca = e.groupBy(F.col("dst").alias("id")).agg(F.count_distinct("src").alias("ca"))
+    ce = e.groupBy(F.col("src").alias("id")).agg(F.count_distinct("dst").alias("ce"))
+    return (
+        graph.vertices.select("id")
+        .join(ca, "id", "left")
+        .join(ce, "id", "left")
+        .select(
+            "id",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("ce", F.lit(0)).cast("long").alias("ce"),
+        )
+        .withColumn(
+            "instability",
+            F.round(F.col("ce") / (F.col("ca") + F.col("ce")), 6),
+        )
+    )
+
+
+def impact_set(graph: Graph, seeds: DataFrame, max_depth: int = 4) -> DataFrame:
+    """(seed, impacted): number of distinct vertices (excluding the seed)
+    that reach the seed within ``max_depth`` hops — i.e. would be
+    impacted by a change to it. ``seeds`` is a one-column (id) frame.
+
+    State is visited (seed, node) pairs; each hop joins the frontier to
+    reversed edges, dedups, and anti-joins visited — work per hop is
+    proportional to the new fringe, not V.
+    """
+    rev = (
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    visited = seeds.select(F.col("id").alias("seed"), F.col("id").alias("node")).persist()
+    frontier = visited
+    for _ in range(max_depth):
+        nxt = (
+            frontier.join(rev, frontier["node"] == rev["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        old = visited
+        visited = visited.unionByName(nxt).persist()
+        old.unpersist()
+        frontier = nxt
+    out = visited.groupBy("seed").agg(
+        (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("impacted")
+    )
+    return out
