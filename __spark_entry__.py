@@ -35,6 +35,12 @@ PPR_SOURCE = 1
 # change-impact analysis: deterministic "changed files" batch + hop budget
 IMPACT_SEED_MOD = 211
 IMPACT_DEPTH = 4
+# local-similarity sparsifier: keep top ceil(deg^e) edges per vertex
+SPARSIFY_E = 0.5
+# threshold cascade: seed set, integer threshold, round budget
+CASCADE_MOD = 97
+CASCADE_K = 2
+CASCADE_ROUNDS = 6
 # ACL sweep-cut prefix budget: the conductance curve is reported for the
 # top-64 degree-normalized PPR positions (parameter-sized — the sweep
 # frame broadcasts and its windows are 64-row)
@@ -472,6 +478,20 @@ def _q_depth(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth
 
     return bfs_depth(orders_graph(spark, sf_dir), source=SSSP_SOURCE)
+
+
+def _q_sparsify(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.sparsify import local_sparsify
+
+    return local_sparsify(orders_graph(spark, sf_dir), e=SPARSIFY_E)
+
+
+def _q_cascade(spark, sf_dir):
+    from incubator_hugegraph_computer_spark.operators.cascade import threshold_cascade
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") % CASCADE_MOD == 0).select("id")
+    return threshold_cascade(g, seeds, k=CASCADE_K, max_rounds=CASCADE_ROUNDS)
 
 
 def _q_build_layers(spark, sf_dir):
@@ -2313,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_build_layers": _q_build_layers,
         "graph_coupling": _q_coupling,
         "graph_impact": _q_impact,
+        "graph_sparsify": _q_sparsify,
+        "graph_cascade": _q_cascade,
         "graph_depth": _q_depth,
         "graph_counts": _q_counts,
         "graph_rings_filtered": _q_rings_filtered,
@@ -2469,6 +2491,32 @@ _SHINGLES = (
     "FROM tokpos a JOIN tokpos b ON b.doc_id=a.doc_id AND b.pos=a.pos+1 "
     "JOIN tokpos c ON c.doc_id=a.doc_id AND c.pos=a.pos+2)"
 )
+
+
+def _cascade_sql(mod: int, k: int, rounds: int) -> str:
+    """Unrolled threshold-cascade rounds: a{i} = cumulative active set
+    after round i (a0 = seeds); a vertex joins a{i+1} when >= k distinct
+    in-neighbors are in a{i}. Monotone, so truncating at the same round
+    budget as the Spark loop yields the identical set; first-activation
+    round = MIN over the per-round membership union."""
+    parts = [
+        "WITH " + _G + ",",
+        f"a0 AS (SELECT id FROM v WHERE id % {mod} = 0),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"a{i} AS (SELECT id FROM a{i - 1} UNION SELECT dst AS id FROM ("
+            f"SELECT e.dst, COUNT(DISTINCT e.src) AS c FROM e "
+            f"JOIN a{i - 1} p ON p.id = e.src GROUP BY e.dst) WHERE c >= {k}),"
+        )
+    members = " UNION ALL ".join(
+        f"SELECT id, {i} AS r FROM a{i}" for i in range(rounds + 1)
+    )
+    parts.append(
+        f"m AS ({members}) "
+        "SELECT id, CAST(MIN(r) AS BIGINT) AS round FROM m GROUP BY id"
+    )
+    return "\n".join(parts)
 
 
 def _kmeans_ctes(k: int, iters: int) -> str:
@@ -4342,6 +4390,49 @@ ir(seed, node, d) AS (
 SELECT seed, CAST(COUNT(DISTINCT node) - 1 AS BIGINT) AS impacted
 FROM ir GROUP BY seed
 """
+
+    # Satuluri local sparsifier: rank on the EXACT double similarity
+    # (identical int inputs -> identical IEEE division in both engines),
+    # round only for display
+    o["graph_sparsify"] = f"""
+WITH {_G},
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+cn AS (
+    SELECT und.a, und.b, COUNT(*) AS c
+    FROM und
+    JOIN sym s1 ON s1.src = und.a
+    JOIN sym s2 ON s2.src = und.b AND s2.dst = s1.dst
+    GROUP BY und.a, und.b
+),
+sim AS (
+    SELECT und.a, und.b,
+           CAST(COALESCE(cn.c, 0) AS DOUBLE)
+           / (da.deg + db.deg - COALESCE(cn.c, 0)) AS sim
+    FROM und
+    LEFT JOIN cn ON cn.a = und.a AND cn.b = und.b
+    JOIN deg da ON da.id = und.a
+    JOIN deg db ON db.id = und.b
+),
+dirv AS (
+    SELECT a AS u, b AS v, sim FROM sim
+    UNION ALL SELECT b AS u, a AS v, sim FROM sim
+),
+rk AS (
+    SELECT u, v,
+           ROW_NUMBER() OVER (PARTITION BY u ORDER BY sim DESC, v ASC) AS rn
+    FROM dirv
+),
+kept AS (
+    SELECT DISTINCT LEAST(rk.u, rk.v) AS a, GREATEST(rk.u, rk.v) AS b
+    FROM rk JOIN deg ON deg.id = rk.u
+    WHERE rk.rn <= CEIL(POWER(deg.deg, {SPARSIFY_E}))
+)
+SELECT kept.a, kept.b, ROUND(sim.sim, 6) AS jaccard
+FROM kept JOIN sim ON sim.a = kept.a AND sim.b = kept.b
+"""
+
+    o["graph_cascade"] = _cascade_sql(CASCADE_MOD, CASCADE_K, CASCADE_ROUNDS)
 
     o["graph_rings_filtered"] = f"""
 WITH RECURSIVE {_G},

@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
             "spam_mass", "hostrank", "opic", "crawl_schedule",
             "ktruss", "trussness", "ppr_sweep", "voterank",
             "leiden", "matching", "coarsen", "edge_betweenness",
-            "build_layers", "coupling", "impact",
+            "build_layers", "coupling", "impact", "sparsify", "cascade",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -309,6 +309,12 @@ def run(args: argparse.Namespace) -> dict:
         coupling_metrics as _coupling,
         impact_set as _impact,
     )
+    from incubator_hugegraph_computer_spark.operators.sparsify import (
+        local_sparsify as _sparsify,
+    )
+    from incubator_hugegraph_computer_spark.operators.cascade import (
+        threshold_cascade as _cascade,
+    )
     from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
     from incubator_hugegraph_computer_spark.operators.jaccard import jaccard as _jaccard
@@ -418,6 +424,13 @@ def run(args: argparse.Namespace) -> dict:
             graph, sample_rate=0.05, per_edge=True
         ),
         "build_layers": lambda: _build_layers(graph),
+        "sparsify": lambda: _sparsify(graph),
+        "cascade": lambda: _cascade(
+            graph,
+            graph.spark.createDataFrame(
+                [(int(s),) for s in args.trust_seeds.split(",")], "id long"
+            ),
+        ),
         "coupling": lambda: _coupling(graph),
         "impact": lambda: _impact(
             graph,
