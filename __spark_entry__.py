@@ -1151,6 +1151,26 @@ def _q_wcc_uuid(spark, sf_dir):
     return out
 
 
+def _q_bridges(spark, sf_dir):
+    """Bridge edges of the undirected simple orders graph — the
+    tag-and-cover spanning-forest formulation (operators/bridges.py).
+    Bridges are a graph invariant, so the oracle may build its own
+    forest; it mirrors the same deterministic BFS-min forest anyway."""
+    from incubator_hugegraph_computer_spark.operators.bridges import bridges
+
+    return bridges(orders_graph(spark, sf_dir))
+
+
+def _q_2ecc(spark, sf_dir):
+    """2-edge-connected component labels (min id per component) —
+    connected components after deleting every bridge."""
+    from incubator_hugegraph_computer_spark.operators.bridges import (
+        two_edge_components,
+    )
+
+    return two_edge_components(orders_graph(spark, sf_dir))
+
+
 def _q_docs_tokens(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.text import (
         document_fingerprint,
@@ -2415,6 +2435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coreness": _q_coreness,
         "graph_wcc_strid": _q_wcc_strid,
         "graph_wcc_uuid": _q_wcc_uuid,
+        "graph_bridges": _q_bridges,
+        "graph_2ecc": _q_2ecc,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -4105,6 +4127,83 @@ comp AS (
 )
 SELECT sv.uid, comp.comp_uid
 FROM comp JOIN sv ON sv.id = comp.id
+"""
+
+    # Bridges via the same tag-and-cover construction as
+    # operators/bridges.py: deterministic BFS-min spanning forest
+    # (root = component min id, parent = min neighbor one level up),
+    # then every non-tree edge walks its tree path toward the LCA —
+    # always moving the deeper endpoint, tie → the larger id — marking
+    # traversed tree edges covered; bridges = uncovered tree edges.
+    # (The result is forest-independent; mirroring the forest just
+    # keeps both sides' intermediate sizes comparable.)
+    _BRIDGE_PRE = f"""{_G},
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                     FROM e WHERE src <> dst),
+adj AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+cc(id, anc) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT adj.v, cc.anc FROM cc JOIN adj ON adj.u = cc.id
+),
+roots AS (SELECT DISTINCT MIN(anc) AS id FROM cc GROUP BY id),
+dr(id, dep) AS (
+    SELECT DISTINCT id, 0 FROM roots
+    UNION
+    SELECT adj.v, dr.dep + 1 FROM dr JOIN adj ON adj.u = dr.id WHERE dr.dep < 64
+),
+dep AS MATERIALIZED (SELECT id, MIN(dep) AS dep FROM dr GROUP BY 1),
+par AS MATERIALIZED (
+    SELECT dv.id AS id, MIN(adj.u) AS p
+    FROM dep dv JOIN adj ON adj.v = dv.id
+    JOIN dep du ON du.id = adj.u AND du.dep = dv.dep - 1
+    WHERE dv.dep > 0 GROUP BY 1),
+tree AS MATERIALIZED (SELECT LEAST(id, p) AS a, GREATEST(id, p) AS b FROM par),
+nt AS (SELECT u.a, u.b FROM und u
+       WHERE NOT EXISTS (SELECT 1 FROM tree t WHERE t.a = u.a AND t.b = u.b)),
+w(x, y) AS (
+    SELECT a, b FROM nt WHERE a <> b
+    UNION
+    SELECT LEAST(CASE WHEN dx.dep > dy.dep THEN px.p ELSE w.x END,
+                 CASE WHEN dx.dep > dy.dep THEN w.y ELSE py.p END) AS x,
+           GREATEST(CASE WHEN dx.dep > dy.dep THEN px.p ELSE w.x END,
+                    CASE WHEN dx.dep > dy.dep THEN w.y ELSE py.p END) AS y
+    FROM w
+    JOIN dep dx ON dx.id = w.x
+    JOIN dep dy ON dy.id = w.y
+    LEFT JOIN par px ON px.id = w.x
+    LEFT JOIN par py ON py.id = w.y
+    WHERE w.x <> w.y
+),
+cov AS (
+    SELECT DISTINCT LEAST(mv, p) AS a, GREATEST(mv, p) AS b FROM (
+        SELECT CASE WHEN dx.dep > dy.dep THEN w.x ELSE w.y END AS mv,
+               CASE WHEN dx.dep > dy.dep THEN px.p ELSE py.p END AS p
+        FROM w
+        JOIN dep dx ON dx.id = w.x
+        JOIN dep dy ON dy.id = w.y
+        LEFT JOIN par px ON px.id = w.x
+        LEFT JOIN par py ON py.id = w.y
+        WHERE w.x <> w.y)),
+brid AS (SELECT t.a, t.b FROM tree t
+         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.a = t.a AND c.b = t.b))"""
+
+    o["graph_bridges"] = f"""
+WITH RECURSIVE {_BRIDGE_PRE}
+SELECT a, b FROM brid
+"""
+
+    o["graph_2ecc"] = f"""
+WITH RECURSIVE {_BRIDGE_PRE},
+kept AS (SELECT u.a, u.b FROM und u
+         WHERE NOT EXISTS (SELECT 1 FROM brid bb WHERE bb.a = u.a AND bb.b = u.b)),
+adj2 AS MATERIALIZED (SELECT a AS u, b AS v FROM kept UNION ALL SELECT b, a FROM kept),
+cc2(id, anc) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT adj2.v, cc2.anc FROM cc2 JOIN adj2 ON adj2.u = cc2.id
+)
+SELECT id, MIN(anc) AS comp2 FROM cc2 GROUP BY id
 """
 
     # documents are printable ASCII (checked at generation), so UTF-8

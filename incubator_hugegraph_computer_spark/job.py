@@ -46,6 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
             "ktruss", "trussness", "ppr_sweep", "voterank",
             "leiden", "matching", "coarsen", "edge_betweenness",
             "build_layers", "coupling", "impact", "sparsify", "cascade",
+            "bridges", "two_edge_components",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -303,6 +304,10 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.leiden import leiden as _leiden
     from incubator_hugegraph_computer_spark.operators.matching import maximal_matching as _matching
     from incubator_hugegraph_computer_spark.operators.matching import coarsen as _coarsen
+    from incubator_hugegraph_computer_spark.operators.bridges import bridges as _bridges
+    from incubator_hugegraph_computer_spark.operators.bridges import (
+        two_edge_components as _two_ecc,
+    )
     from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
     from incubator_hugegraph_computer_spark.operators.code_graph import (
         build_layers as _build_layers,
@@ -424,6 +429,8 @@ def run(args: argparse.Namespace) -> dict:
             graph, sample_rate=0.05, per_edge=True
         ),
         "build_layers": lambda: _build_layers(graph),
+        "bridges": lambda: _bridges(graph),
+        "two_edge_components": lambda: _two_ecc(graph),
         "sparsify": lambda: _sparsify(graph),
         "cascade": lambda: _cascade(
             graph,
