@@ -1171,6 +1171,18 @@ def _q_2ecc(spark, sf_dir):
     return two_edge_components(orders_graph(spark, sf_dir))
 
 
+def _q_percolation(spark, sf_dir):
+    """Overlapping 3-clique percolation communities (Palla et al. 2005)
+    — (id, community) membership rows; community = min edge key of the
+    triangle-connected component. Labels are SQL-replayable because the
+    edge key is the deterministic a*(max_id+1)+b arithmetic code."""
+    from incubator_hugegraph_computer_spark.operators.percolation import (
+        clique_percolation3,
+    )
+
+    return clique_percolation3(orders_graph(spark, sf_dir))
+
+
 def _q_docs_tokens(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.text import (
         document_fingerprint,
@@ -2437,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wcc_uuid": _q_wcc_uuid,
         "graph_bridges": _q_bridges,
         "graph_2ecc": _q_2ecc,
+        "graph_percolation": _q_percolation,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -4204,6 +4217,35 @@ cc2(id, anc) AS (
     SELECT adj2.v, cc2.anc FROM cc2 JOIN adj2 ON adj2.u = cc2.id
 )
 SELECT id, MIN(anc) AS comp2 FROM cc2 GROUP BY id
+"""
+
+    # 3-clique percolation: triangle enumeration is the same oriented
+    # a<b chain as the triangle oracle (so v1<v2<v3 is free), edge keys
+    # use the deterministic a*(max_id+1)+b code, adjacency = chained
+    # edge pairs per triangle, components by min-label recursion.
+    o["graph_percolation"] = f"""
+WITH RECURSIVE {_G},
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                   FROM e WHERE src <> dst),
+m AS (SELECT MAX(id) + 1 AS m FROM v),
+tri AS MATERIALIZED (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM u e1 JOIN u e2 ON e2.a = e1.b
+      JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+keys AS MATERIALIZED (SELECT v1 * m.m + v2 AS k12, v1 * m.m + v3 AS k13,
+                             v2 * m.m + v3 AS k23 FROM tri CROSS JOIN m),
+links AS MATERIALIZED (
+    SELECT k12 AS s, k23 AS d FROM keys UNION ALL SELECT k13, k23 FROM keys
+    UNION ALL SELECT k23, k12 FROM keys UNION ALL SELECT k23, k13 FROM keys),
+nodes AS (SELECT DISTINCT s AS k FROM links),
+cc(k, anc) AS (
+    SELECT k, k FROM nodes
+    UNION
+    SELECT links.d, cc.anc FROM cc JOIN links ON links.s = cc.k
+),
+comm AS (SELECT k, MIN(anc) AS community FROM cc GROUP BY k),
+mem AS (SELECT k // m.m AS id, community FROM comm CROSS JOIN m
+        UNION ALL SELECT k % m.m AS id, community FROM comm CROSS JOIN m)
+SELECT DISTINCT id, community FROM mem
 """
 
     # documents are printable ASCII (checked at generation), so UTF-8

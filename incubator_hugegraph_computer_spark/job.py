@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
             "ktruss", "trussness", "ppr_sweep", "voterank",
             "leiden", "matching", "coarsen", "edge_betweenness",
             "build_layers", "coupling", "impact", "sparsify", "cascade",
-            "bridges", "two_edge_components",
+            "bridges", "two_edge_components", "percolation",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -308,6 +308,9 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.bridges import (
         two_edge_components as _two_ecc,
     )
+    from incubator_hugegraph_computer_spark.operators.percolation import (
+        clique_percolation3 as _percolation,
+    )
     from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
     from incubator_hugegraph_computer_spark.operators.code_graph import (
         build_layers as _build_layers,
@@ -431,6 +434,7 @@ def run(args: argparse.Namespace) -> dict:
         "build_layers": lambda: _build_layers(graph),
         "bridges": lambda: _bridges(graph),
         "two_edge_components": lambda: _two_ecc(graph),
+        "percolation": lambda: _percolation(graph),
         "sparsify": lambda: _sparsify(graph),
         "cascade": lambda: _cascade(
             graph,

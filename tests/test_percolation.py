@@ -1,0 +1,45 @@
+"""3-clique percolation — overlap semantics on exact fixtures."""
+
+from conftest import make_graph
+
+from incubator_hugegraph_computer_spark.operators.percolation import (
+    clique_percolation3,
+    percolation_summary,
+)
+
+# T1 {1,2,3} and T2 {2,3,4} share edge (2,3) -> ONE community;
+# T3 {4,5,6} shares only vertex 4 with T2 -> SEPARATE community.
+# Vertex 4 overlaps both.
+EDGES = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (4, 6)]
+
+
+def test_percolation_overlap(spark):
+    g = make_graph(spark, EDGES, vertex_ids=range(7))
+    rows = sorted((r["id"], r["community"]) for r in clique_percolation3(g).collect())
+    m = 7  # max_id + 1
+    c1 = 1 * m + 2  # min edge key of {T1 ∪ T2}: edge (1,2)
+    c2 = 4 * m + 5  # min edge key of T3: edge (4,5)
+    assert rows == sorted(
+        [(1, c1), (2, c1), (3, c1), (4, c1), (4, c2), (5, c2), (6, c2)]
+    )
+
+
+def test_percolation_no_triangles(spark):
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 3)], vertex_ids=range(4))
+    assert clique_percolation3(g).count() == 0
+
+
+def test_percolation_summary(spark):
+    g = make_graph(spark, EDGES, vertex_ids=range(7))
+    rows = {r["community"]: r["n_vertices"] for r in percolation_summary(g).collect()}
+    assert sorted(rows.values()) == [3, 4]
+
+
+def test_percolation_single_community_chain(spark):
+    # chained triangles 0-1-2, 1-2-3, 2-3-4 all share edges -> one community
+    edges = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    g = make_graph(spark, edges, vertex_ids=range(5))
+    rows = {(r["id"], r["community"]) for r in clique_percolation3(g).collect()}
+    comms = {c for _, c in rows}
+    assert len(comms) == 1
+    assert {i for i, _ in rows} == {0, 1, 2, 3, 4}
