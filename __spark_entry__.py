@@ -1953,6 +1953,18 @@ def _q_harmonic(spark, sf_dir):
     )
 
 
+def _q_efficiency(spark, sf_dir):
+    """Latora–Marchiori global efficiency over the harmonic seed set:
+    mean over sources of Σ 1/d / (n-1); unreachable pairs contribute 0."""
+    from incubator_hugegraph_computer_spark.operators.harmonic import (
+        global_efficiency,
+    )
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") <= HARMONIC_SEED_MAX).select("id")
+    return global_efficiency(g, sources=seeds)
+
+
 def _q_neighborhood(spark, sf_dir):
     """Exact neighborhood function N(v, h) for h=1..3 over the directed
     graph (ANF primitive; the sketched HyperANF path is the 100 TB
@@ -2450,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bridges": _q_bridges,
         "graph_2ecc": _q_2ecc,
         "graph_percolation": _q_percolation,
+        "graph_efficiency": _q_efficiency,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -6074,6 +6087,26 @@ SELECT seeds.id,
              THEN (agg.r1 * 1.0 / agg.sumd) * (agg.r1 * 1.0 / (n.n - 1))
              ELSE 0 END, 6) AS wf_closeness
 FROM seeds LEFT JOIN agg ON agg.src = seeds.id CROSS JOIN n
+"""
+
+    o["graph_efficiency"] = f"""
+WITH RECURSIVE {_G},
+seeds AS (SELECT id FROM v WHERE id <= {HARMONIC_SEED_MAX}),
+r(src, tgt, d) AS (
+    SELECT id, id, 0 FROM seeds
+    UNION
+    SELECT r.src, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.tgt WHERE r.d < 30
+),
+m AS (SELECT src, tgt, MIN(d) AS d FROM r GROUP BY 1, 2),
+agg AS (SELECT src, SUM(1.0 / d) AS h FROM m WHERE d > 0 GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM v),
+s AS (SELECT COUNT(*) AS n_sources,
+             SUM(COALESCE(agg.h, 0)) AS sumh
+      FROM seeds LEFT JOIN agg ON agg.src = seeds.id)
+SELECT s.n_sources, n.n AS n_vertices,
+       ROUND(CASE WHEN n.n > 1 AND s.n_sources > 0
+             THEN s.sumh / (s.n_sources * (n.n - 1)) ELSE 0 END, 6) AS efficiency
+FROM s CROSS JOIN n
 """
 
     o["graph_neighborhood"] = f"""

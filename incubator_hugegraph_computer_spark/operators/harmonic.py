@@ -78,3 +78,41 @@ def harmonic(
             .alias("wf_closeness"),
         )
     )
+
+
+def global_efficiency(
+    graph: Graph,
+    sources: DataFrame | None = None,
+    max_depth: int = 30,
+) -> DataFrame:
+    """One row (n_sources, n_vertices, efficiency): Latora–Marchiori
+    global efficiency E = mean over source u of Σ_v 1/d(u,v) / (n-1),
+    with unreachable pairs contributing 0 (directed distances along
+    out-edges, same kernel as ``harmonic``).
+
+    With ``sources`` given (or sampled upstream) this is the standard
+    sampled estimator — the per-source mean is unbiased for the full
+    ordered-pair mean when sources are chosen independently of
+    reachability. Physical shape: one multi-source BFS (shared with
+    harmonic/closeness) + two scalar aggregates; state O(reached
+    pairs), the only knob that matters at web scale is |sources|."""
+    h = harmonic(graph, sources=sources, max_depth=max_depth)
+    n_row = graph.vertices.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        h.agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("harmonic").alias("_sumh"),
+        )
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "n_sources",
+            F.col("_n").alias("n_vertices"),
+            F.round(
+                F.when(
+                    (F.col("_n") > 1) & (F.col("n_sources") > 0),
+                    F.col("_sumh") / (F.col("n_sources") * (F.col("_n") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("efficiency"),
+        )
+    )

@@ -491,3 +491,17 @@ def test_pagerank_stream_matches_batch(spark, tmp_path):
     assert set(streamed) == set(cold)
     for vid, rank in cold.items():
         assert streamed[vid] == pytest.approx(rank, abs=1e-6)
+
+
+def test_global_efficiency_path(spark):
+    from conftest import make_graph
+    from incubator_hugegraph_computer_spark.operators.harmonic import (
+        global_efficiency,
+    )
+
+    # directed path 0->1->2: sum of 1/d over ordered reachable pairs =
+    # (1 + 1/2) + 1 = 2.5 ; E = 2.5 / (3 * 2)
+    g = make_graph(spark, [(0, 1), (1, 2)], vertex_ids=range(3))
+    row = global_efficiency(g).collect()[0]
+    assert row["n_sources"] == 3 and row["n_vertices"] == 3
+    assert abs(row["efficiency"] - 2.5 / 6) < 1e-6
