@@ -1183,6 +1183,18 @@ def _q_percolation(spark, sf_dir):
     return clique_percolation3(orders_graph(spark, sf_dir))
 
 
+def _q_docs_shuffle(spark, sf_dir):
+    """Per-shard audit of the deterministic training-data shuffle
+    (salted-md5 shard + in-shard order; the writer path is
+    repartition(shard) + sortWithinPartitions — no global row numbers)."""
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        shuffle_shard_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shuffle_shard_stats(docs)
+
+
 def _q_docs_tokens(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.text import (
         document_fingerprint,
@@ -2463,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_2ecc": _q_2ecc,
         "graph_percolation": _q_percolation,
         "graph_efficiency": _q_efficiency,
+        "docs_shuffle_shards": _q_docs_shuffle,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -5671,6 +5684,22 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
 SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
       CASE lang {_strata_case} ELSE '{hex_threshold(STRATA_DEFAULT_RATE)}' END
+"""
+
+    # n_tokens: DuckDB SUM(BIGINT) is HUGEINT — cast back (the r01/r02
+    # hash-failure class; the type gate enforces this now)
+    o["docs_shuffle_shards"] = """
+WITH t AS (SELECT doc_id,
+                  md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS k,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '') AS l
+           FROM documents)
+SELECT substr(k, 1, 1) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(l)) AS BIGINT) AS n_tokens,
+       MIN(k) AS first_key,
+       MAX(k) AS last_key
+FROM t GROUP BY 1
 """
 
     o["docs_split"] = f"""

@@ -267,3 +267,46 @@ def dsir_logweights(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.round(F.coalesce("w", F.lit(0.0)), 6).alias("dsir_logweight"),
     )
+
+
+def shuffle_shards(docs, key_col: str = "doc_id", prefix_len: int = 2,
+                   salt: str = "shuffle-v1"):
+    """Deterministic global training-data shuffle: every row gets a
+    pseudo-random ``shard`` (hex-prefix bucket of a salted md5, so
+    16**prefix_len shards) and a total-order ``shuffle_key`` within it.
+
+    A training run wants documents in an order uncorrelated with crawl
+    or ingest order; md5 over a salted key gives exactly that, is
+    reproducible across engines (Spark/DuckDB/Python all agree on md5 —
+    the same property the split/sample operators lean on), and changing
+    the salt yields a fresh independent permutation per epoch.
+
+    Scale path: NO global row-number exists anywhere — the writer is
+    ``df.repartition(shard).sortWithinPartitions(shuffle_key)``, which
+    is one shuffle keyed on the (uniform) shard column followed by an
+    in-partition sort; every shard is statistically the same size, so
+    there is no skew to salt away. Position-in-shard, when a consumer
+    needs it, is the rank of shuffle_key inside that shard's file —
+    implicit in the sort order, never materialized as a window."""
+    k = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    return docs.withColumn("shuffle_key", k).withColumn(
+        "shard", F.substring(k, 1, prefix_len)
+    )
+
+
+def shuffle_shard_stats(docs, key_col: str = "doc_id", text_col: str = "text",
+                        prefix_len: int = 1, salt: str = "shuffle-v1"):
+    """Per-shard audit of the deterministic shuffle: (shard, n_docs,
+    n_tokens, first_key, last_key). The key/extremes make the shard
+    CONTENT order-checkable, not just its size."""
+    from incubator_hugegraph_computer_spark.functions.text import token_count
+
+    sh = shuffle_shards(docs, key_col=key_col, prefix_len=prefix_len, salt=salt)
+    return sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        F.min("shuffle_key").alias("first_key"),
+        F.max("shuffle_key").alias("last_key"),
+    )

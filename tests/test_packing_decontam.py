@@ -125,3 +125,30 @@ def test_chunk_documents_windows(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_shuffle_shards_deterministic_and_uniform(spark):
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        shuffle_shards,
+        shuffle_shard_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(400)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+         for r in shuffle_shards(docs).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+         for r in shuffle_shards(docs).collect()}
+    assert a == b  # same salt -> identical permutation
+    c = {r["doc_id"]: r["shuffle_key"]
+         for r in shuffle_shards(docs, salt="epoch-2").collect()}
+    assert any(c[i] != a[i][1] for i in a)  # new salt -> new order
+    stats = shuffle_shard_stats(docs, prefix_len=1).collect()
+    assert sum(r["n_docs"] for r in stats) == 400
+    # 16 hex buckets, roughly uniform
+    assert len(stats) == 16
+    assert all(r["n_tokens"] == 3 * r["n_docs"] for r in stats)
+    for r in stats:
+        assert r["first_key"] <= r["last_key"]
+        assert r["first_key"].startswith(r["shard"])
