@@ -1740,6 +1740,17 @@ def _q_events_transitions(spark, sf_dir):
     )
 
 
+def _q_events_heavy_hitters(spark, sf_dir):
+    """Top-k event types by count-min-sketch estimate, exact count
+    alongside (est ≥ exact is the CMS one-sided contract). The SKETCH
+    CELLS are oracle-replayed, not just the summary — the portable
+    md5-hex column hash makes Spark and DuckDB agree bit-for-bit."""
+    from incubator_hugegraph_computer_spark.functions.sketches import heavy_hitters
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(events, "event_type", k=10, depth=4, width=1024)
+
+
 def _q_events_sequences(spark, sf_dir):
     """Per-user ordered event-type sequence, truncated to SEQ_MAX_LEN —
     the behavioral-sequence extraction shape. The truncation happens
@@ -2528,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q_events_interval_join,
         "events_transitions": _q_events_transitions,
         "events_sequences": _q_events_sequences,
+        "events_heavy_hitters": _q_events_heavy_hitters,
     }
 
 
@@ -6027,6 +6039,23 @@ c AS (SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS n
 SELECT prev_type, next_type, n,
        ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
 FROM c
+"""
+
+    o["events_heavy_hitters"] = """
+WITH hr AS (SELECT unnest(range(4)) AS r),
+cells AS (SELECT r,
+                 CAST(concat('0x', substr(md5(CAST(r AS VARCHAR) || ':' || event_type), 1, 8)) AS BIGINT) % 1024 AS col,
+                 COUNT(*) AS cnt
+          FROM events CROSS JOIN hr GROUP BY 1, 2),
+probes AS (SELECT DISTINCT event_type AS key FROM events),
+pr AS (SELECT key, hr.r AS r,
+              CAST(concat('0x', substr(md5(CAST(hr.r AS VARCHAR) || ':' || key), 1, 8)) AS BIGINT) % 1024 AS col
+       FROM probes CROSS JOIN hr),
+est AS (SELECT key, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM pr LEFT JOIN cells c USING(r, col) GROUP BY 1),
+ex AS (SELECT event_type AS key, COUNT(*) AS exact FROM events GROUP BY 1)
+SELECT est.key, est.est, ex.exact FROM est JOIN ex USING(key)
+ORDER BY est DESC, key ASC LIMIT 10
 """
 
     o["events_sequences"] = f"""

@@ -1,0 +1,88 @@
+"""Count-min sketch (Cormode & Muthukrishnan, J.Alg 2005) over a key
+column — the mergeable frequency sketch a crawl/event pipeline keeps
+when exact per-key counts are too hot to maintain.
+
+The sketch is a depth×width counter matrix stored relationally as
+(r, col, cnt) rows — at most depth·width cells regardless of input
+size, so it is ALWAYS broadcastable, additive across partitions,
+micro-batches and days (see ``streaming/heavy_hitters.py``), and its
+estimate is a one-sided overcount: est(k) ≥ true(k), with
+P[est - true > 2m/width] ≤ (1/2)^depth.
+
+Hashing is the repo's portable scheme: row r hashes key k to column
+``int(first-8-hex(md5(f"{r}:{k}")), 16) % width`` — Spark's
+``conv(substr(md5(..)))`` and DuckDB's ``CAST('0x'||substr(md5(..)))``
+agree bit-for-bit, which is what makes the sketch itself (not just a
+summary of it) oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _cms_col(r: Column, key: Column, width: int) -> Column:
+    """Column index of key under hash row r (portable md5 scheme)."""
+    h = F.substring(F.md5(F.concat_ws(":", r.cast("string"), key.cast("string"))), 1, 8)
+    return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(r, col, cnt) — count-min sketch of the key column's frequency
+    distribution. One groupBy over depth× the input rows; map-side
+    partial aggregation collapses to ≤ depth·width cells per task."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    keyed = df.select(F.col(key_col).alias("k")).select("k", rows)
+    return (
+        keyed.select("r", _cms_col(F.col("r"), F.col("k"), width).alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(key, est) — CMS point estimate per candidate key: min over hash
+    rows of the addressed counter (absent counter = 0). The sketch side
+    is broadcast — it is ≤ depth·width rows BY CONSTRUCTION."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    probes = (
+        keys.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select("key", rows)
+        .select("key", "r", _cms_col(F.col("r"), F.col("key"), width).alias("col"))
+    )
+    return (
+        probes.join(F.broadcast(cms), ["r", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(key, est, exact) — top-k keys by CMS estimate (ties → key asc),
+    with the exact count alongside (est ≥ exact always; equality when
+    no collision). At sketch scale the exact column is what you DROP —
+    it is here so the one-sided-error contract stays oracle-checked."""
+    cms = cms_build(df, key_col, depth=depth, width=width)
+    est = cms_estimate(cms, df, key_col, depth=depth, width=width)
+    exact = (
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    out = est.join(exact, "key")
+    return (
+        out.orderBy(F.col("est").desc(), F.col("key").asc())
+        .limit(k)
+        .select("key", "est", "exact")
+    )
