@@ -1445,6 +1445,48 @@ def _q_docs_decontaminate(spark, sf_dir):
     )
 
 
+def _q_docs_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination screen — the sketch path of
+    docs_decontaminate: eval-set shingles go into a 65536-bit / 4-hash
+    Bloom filter (broadcastable at any corpus size; the exact anti-join
+    ships the full eval shingle set instead), training shingles probe
+    it. One-sided: n_flagged ≥ true contamination count per doc. The
+    filter is bit-for-bit oracle-replayed via the portable md5 hash."""
+    from incubator_hugegraph_computer_spark.functions.dedup import shingles
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        hash_uniform,
+        hex_threshold,
+    )
+    from incubator_hugegraph_computer_spark.functions.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    is_eval = hash_uniform(F.col("doc_id")) < F.lit(hex_threshold(DECON_EVAL_RATE))
+    ev, tr = docs.where(is_eval), docs.where(~is_eval)
+    bloom = bloom_build(shingles(ev, n=3), "shingle")
+    trsh = shingles(tr, n=3)
+    flags = bloom_probe(bloom, trsh, "shingle").withColumnRenamed("key", "shingle")
+    per = (
+        trsh.join(flags, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("maybe_member").cast("long")).alias("n_flagged"),
+        )
+    )
+    return (
+        tr.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+        )
+    )
+
+
 CHUNK_WINDOW, CHUNK_STRIDE = 64, 32
 
 
@@ -2510,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_split": _q_docs_split,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_pack_stats": _q_docs_pack_stats,
@@ -5723,6 +5766,35 @@ FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM docume
 """
 
     _decon_thr = hex_threshold(DECON_EVAL_RATE)
+    # Bloom screen: bit-for-bit replay of the 65536-bit / 4-hash filter
+    # (portable md5-hex hashing); counts cast from HUGEINT
+    o["docs_bloom_decontaminate"] = f"""
+WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
+ev AS (SELECT doc_id FROM documents
+       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{hex_threshold(DECON_EVAL_RATE)}'),
+hr AS (SELECT unnest(range(4)) AS r),
+evsh AS (SELECT DISTINCT sh.shingle FROM sh JOIN ev USING(doc_id)),
+bits AS (SELECT DISTINCT
+           CAST(concat('0x', substr(md5(CAST(hr.r AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT) % 65536 AS bit
+         FROM evsh CROSS JOIN hr),
+trsh AS (SELECT sh.doc_id, sh.shingle FROM sh ANTI JOIN ev USING(doc_id)),
+trkeys AS (SELECT DISTINCT shingle FROM trsh),
+probes AS (SELECT shingle, hr.r,
+             CAST(concat('0x', substr(md5(CAST(hr.r AS VARCHAR) || ':' || shingle), 1, 8)) AS BIGINT) % 65536 AS bit
+           FROM trkeys CROSS JOIN hr),
+flags AS (SELECT shingle,
+            (COUNT(*) FILTER (WHERE bits.bit IS NOT NULL) = 4) AS maybe
+          FROM probes LEFT JOIN bits USING(bit) GROUP BY 1),
+per AS (SELECT trsh.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN flags.maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        FROM trsh JOIN flags USING(shingle) GROUP BY 1),
+trdocs AS (SELECT d.doc_id FROM documents d ANTI JOIN ev USING(doc_id))
+SELECT trdocs.doc_id,
+       COALESCE(per.n_shingles, 0) AS n_shingles,
+       COALESCE(per.n_flagged, 0) AS n_flagged
+FROM trdocs LEFT JOIN per USING(doc_id)
+"""
+
     o["docs_decontaminate"] = f"""
 WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
 ev AS (SELECT doc_id FROM documents

@@ -86,3 +86,44 @@ def heavy_hitters(
         .limit(k)
         .select("key", "est", "exact")
     )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 65536, k_hashes: int = 4
+) -> DataFrame:
+    """(bit,) — the SET bit positions of a Bloom filter over the key
+    column (same portable md5 hashing as the CMS, so the filter is
+    bit-for-bit oracle-replayable). Stored sparsely: ≤ min(m_bits,
+    k·distinct-keys) rows, broadcastable by construction once m_bits
+    is chosen for the candidate set."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("r")
+    keyed = df.select(F.col(key_col).alias("k")).distinct().select("k", rows)
+    return keyed.select(
+        _cms_col(F.col("r"), F.col("k"), m_bits).alias("bit")
+    ).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """(key, maybe_member) — Bloom membership per DISTINCT candidate
+    key: true iff all k addressed bits are set (one-sided: never a
+    false negative, false-positive rate ≈ (1-e^{-kn/m})^k). The filter
+    side is broadcast; callers join the flags back onto their rows."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("r")
+    probes = (
+        keys.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select("key", rows)
+        .select("key", _cms_col(F.col("r"), F.col("key"), m_bits).alias("bit"))
+    )
+    hit = F.broadcast(bloom.withColumn("_set", F.lit(1)))
+    return (
+        probes.join(hit, "bit", "left")
+        .groupBy("key")
+        .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k_hashes).alias("maybe_member"))
+    )

@@ -84,3 +84,35 @@ def test_cms_stream_matches_batch(spark, tmp_path):
     expected = {(r.r, r.col): r.cnt
                 for r in cms_build(batch, "event_type", width=64).collect()}
     assert streamed == expected
+
+
+def test_bloom_no_false_negatives(spark):
+    from incubator_hugegraph_computer_spark.functions.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(50)], "key string"
+    )
+    others = spark.createDataFrame(
+        [(f"x{i}",) for i in range(200)], "key string"
+    )
+    bloom = bloom_build(members, "key", m_bits=4096, k_hashes=4)
+    got = {r["key"]: r["maybe_member"]
+           for r in bloom_probe(bloom, members.unionAll(others), "key",
+                                m_bits=4096, k_hashes=4).collect()}
+    # one-sided: every member flagged
+    assert all(got[f"m{i}"] for i in range(50))
+    # fp rate tiny at this load (50*4/4096 bits set -> ~ (0.047)^4)
+    fps = sum(1 for i in range(200) if got[f"x{i}"])
+    assert fps <= 2
+
+
+def test_bloom_deterministic(spark):
+    from incubator_hugegraph_computer_spark.functions.sketches import bloom_build
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(40)], "key string")
+    a = sorted(r["bit"] for r in bloom_build(keys, "key", m_bits=512).collect())
+    b = sorted(r["bit"] for r in bloom_build(keys, "key", m_bits=512).collect())
+    assert a == b and len(a) <= 4 * 40
