@@ -1487,6 +1487,19 @@ def _q_docs_bloom_decontaminate(spark, sf_dir):
     )
 
 
+def _q_docs_curation_funnel(spark, sf_dir):
+    """Composed curation pipeline (exact dedup → quality ≥ 0.7 →
+    held-out drop → shingle decontamination) as a per-stage survivor
+    census — the yield report of the whole corpus build, each stage
+    reusing an operator that also ships standalone."""
+    from incubator_hugegraph_computer_spark.functions.curation import (
+        curation_funnel,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curation_funnel(docs, quality_min=0.7, eval_rate=DECON_EVAL_RATE, n=3)
+
+
 CHUNK_WINDOW, CHUNK_STRIDE = 64, 32
 
 
@@ -2553,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split": _q_docs_split,
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,
+        "docs_curation_funnel": _q_docs_curation_funnel,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_pack_stats": _q_docs_pack_stats,
@@ -5559,6 +5573,42 @@ SELECT doc_id, ROUND(CAST(
   + (CASE WHEN stop_hits / GREATEST(n_tok, 1.0) > 0.01
            AND stop_hits / GREATEST(n_tok, 1.0) < 0.6 THEN 1.0 ELSE 0.0 END) * 0.3
  AS DOUBLE), 6) AS quality FROM base
+"""
+
+    # funnel: same quality expression (UNROUNDED, as the Spark filter
+    # compares the raw score), same md5 eval draw, same 3-shingles
+    from incubator_hugegraph_computer_spark.functions.sampling import (
+        hex_threshold,
+    )
+
+    o["docs_curation_funnel"] = f"""
+WITH {_TOKS}, {_TOKPOS}, {_SHINGLES},
+base AS (
+  SELECT d.doc_id, md5(d.text) AS h, CAST(len(t.l) AS BIGINT) AS ntok,
+         (CASE WHEN CAST(len(t.l) AS DOUBLE) >= 10 THEN 1.0 ELSE 0.0 END) * 0.4
+       + (CASE WHEN CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+                    / GREATEST(CAST(d.n_chars AS DOUBLE), 1.0) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.3
+       + (CASE WHEN CAST(len(regexp_extract_all(lower(d.text), '{stop_pat}')) AS DOUBLE)
+                    / GREATEST(CAST(len(t.l) AS DOUBLE), 1.0) > 0.01
+                AND CAST(len(regexp_extract_all(lower(d.text), '{stop_pat}')) AS DOUBLE)
+                    / GREATEST(CAST(len(t.l) AS DOUBLE), 1.0) < 0.6 THEN 1.0 ELSE 0.0 END) * 0.3
+         AS q,
+         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < '{hex_threshold(DECON_EVAL_RATE)}' AS ev
+  FROM documents d JOIN toks t USING(doc_id)),
+s1 AS (SELECT b.* FROM base b
+       JOIN (SELECT h, MIN(doc_id) AS doc_id FROM base GROUP BY h) c
+       ON c.h = b.h AND c.doc_id = b.doc_id),
+s2 AS (SELECT * FROM s1 WHERE q >= 0.7),
+s3 AS (SELECT * FROM s2 WHERE NOT ev),
+evsh AS (SELECT DISTINCT sh.shingle FROM sh JOIN base ON base.doc_id = sh.doc_id AND base.ev),
+bad AS (SELECT DISTINCT sh.doc_id FROM sh JOIN s3 USING(doc_id) JOIN evsh USING(shingle)),
+s4 AS (SELECT s3.* FROM s3 ANTI JOIN bad USING(doc_id))
+SELECT 0 AS stage_idx, 'raw' AS stage, COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_tokens FROM base
+UNION ALL SELECT 1, 'exact_dedup', COUNT(*), CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'quality', COUNT(*), CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'holdout', COUNT(*), CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'decontaminated', COUNT(*), CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM s4
 """
 
     o["docs_repetition"] = f"""
