@@ -2043,6 +2043,37 @@ def _q_efficiency(spark, sf_dir):
     return global_efficiency(g, sources=seeds)
 
 
+def _q_tred2(spark, sf_dir):
+    """2-path transitive reduction flags on the dependency digraph —
+    the build-system "shortcut pruning" pass (an edge implied by a
+    single intermediate is redundant for reachability)."""
+    from incubator_hugegraph_computer_spark.operators.code_graph import (
+        transitive_reduction2,
+    )
+
+    return transitive_reduction2(orders_graph(spark, sf_dir))
+
+
+def _q_attack_sim(spark, sf_dir):
+    """Albert–Barabási targeted-attack profile: fragmentation after
+    removing the top-k hubs by undirected degree (k = 0 / 10 / 50)."""
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        attack_tolerance,
+    )
+
+    return attack_tolerance(orders_graph(spark, sf_dir), ks=(0, 10, 50))
+
+
+def _q_eccentricity(spark, sf_dir):
+    """Per-seed out-eccentricity + reach census (radius/diameter
+    estimates are min/max over the seed rows; harmonic's BFS kernel)."""
+    from incubator_hugegraph_computer_spark.operators.bfs import eccentricity
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") <= HARMONIC_SEED_MAX).select("id")
+    return eccentricity(g, sources=seeds)
+
+
 def _q_neighborhood(spark, sf_dir):
     """Exact neighborhood function N(v, h) for h=1..3 over the directed
     graph (ANF primitive; the sketched HyperANF path is the 100 TB
@@ -2567,6 +2598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,
         "docs_curation_funnel": _q_docs_curation_funnel,
+        "graph_eccentricity": _q_eccentricity,
+        "graph_tred2": _q_tred2,
+        "graph_attack_sim": _q_attack_sim,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_pack_stats": _q_docs_pack_stats,
@@ -6267,6 +6301,57 @@ SELECT seeds.id,
              THEN (agg.r1 * 1.0 / agg.sumd) * (agg.r1 * 1.0 / (n.n - 1))
              ELSE 0 END, 6) AS wf_closeness
 FROM seeds LEFT JOIN agg ON agg.src = seeds.id CROSS JOIN n
+"""
+
+    o["graph_tred2"] = f"""
+WITH {_G},
+ee AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+two AS (SELECT DISTINCT a.src, b.dst
+        FROM ee a JOIN ee b ON b.src = a.dst WHERE a.src <> b.dst)
+SELECT ee.src, ee.dst, (two.src IS NOT NULL) AS redundant
+FROM ee LEFT JOIN two USING(src, dst)
+"""
+
+    _attack_stage = """
+rem{k} AS (SELECT id FROM adeg ORDER BY deg DESC, id LIMIT {k}),
+v{k} AS (SELECT v.id FROM v ANTI JOIN rem{k} USING(id)),
+e{k} AS (SELECT s.src, s.dst FROM sym s
+         ANTI JOIN rem{k} r1 ON s.src = r1.id
+         ANTI JOIN rem{k} r2 ON s.dst = r2.id),
+cc{k}(id, anc) AS (
+    SELECT id, id FROM v{k}
+    UNION
+    SELECT e{k}.dst, cc{k}.anc FROM cc{k} JOIN e{k} ON e{k}.src = cc{k}.id
+),
+comp{k} AS (SELECT id, MIN(anc) AS c FROM cc{k} GROUP BY 1),
+stat{k} AS (SELECT {k} AS k, COUNT(*) AS n_components, MAX(cnt) AS giant_size
+            FROM (SELECT c, COUNT(*) AS cnt FROM comp{k} GROUP BY c))"""
+
+    o["graph_attack_sim"] = (
+        f"""
+WITH RECURSIVE {_G},
+adeg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),"""
+        + ",".join(_attack_stage.format(k=k) for k in (0, 10, 50))
+        + """
+SELECT * FROM stat0 UNION ALL SELECT * FROM stat10 UNION ALL SELECT * FROM stat50
+"""
+    )
+
+    o["graph_eccentricity"] = f"""
+WITH RECURSIVE {_G},
+seeds AS (SELECT id FROM v WHERE id <= {HARMONIC_SEED_MAX}),
+r(src, tgt, d) AS (
+    SELECT id, id, 0 FROM seeds
+    UNION
+    SELECT r.src, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.tgt WHERE r.d < 30
+),
+m AS (SELECT src, tgt, MIN(d) AS d FROM r GROUP BY 1, 2),
+agg AS (SELECT src, MAX(d) AS ecc, COUNT(*) AS n_reached
+        FROM m WHERE d > 0 GROUP BY 1)
+SELECT seeds.id,
+       CAST(COALESCE(agg.ecc, 0) AS BIGINT) AS ecc,
+       COALESCE(agg.n_reached, 0) AS n_reached
+FROM seeds LEFT JOIN agg ON agg.src = seeds.id
 """
 
     o["graph_efficiency"] = f"""

@@ -96,3 +96,35 @@ def diameter_2sweep(graph: Graph, max_depth: int = 100) -> DataFrame:
         [(int(start), ecc_start, far, int(diameter_lb))],
         "start long, ecc_start long, far_vertex long, diameter_lb long",
     )
+
+
+def eccentricity(
+    graph, sources=None, max_depth: int = 30
+) -> DataFrame:
+    """(id, ecc, n_reached) per SOURCE vertex: eccentricity = max hop
+    distance to any vertex reachable along out-edges within max_depth
+    (0 for sinks), n_reached = how many vertices that is. Radius /
+    diameter estimates are min/max over a seed set's rows — the same
+    sampled protocol as harmonic/closeness, sharing their BFS kernel
+    (state O(reached pairs), the seed count is the scale knob)."""
+    from incubator_hugegraph_computer_spark.operators.closeness import (
+        multi_source_bfs,
+    )
+
+    verts = graph.vertices.select("id")
+    if sources is None:
+        sources = verts
+    visited = multi_source_bfs(graph, sources, max_depth=max_depth)
+    per = (
+        visited.where(F.col("dist") > 0)
+        .groupBy(F.col("source").alias("id"))
+        .agg(
+            F.max("dist").cast("long").alias("ecc"),
+            F.count(F.lit(1)).alias("n_reached"),
+        )
+    )
+    return sources.join(per, "id", "left").select(
+        "id",
+        F.coalesce("ecc", F.lit(0).cast("long")).alias("ecc"),
+        F.coalesce("n_reached", F.lit(0).cast("long")).alias("n_reached"),
+    )

@@ -153,3 +153,34 @@ def impact_set(graph: Graph, seeds: DataFrame, max_depth: int = 4) -> DataFrame:
         (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("impacted")
     )
     return out
+
+
+def transitive_reduction2(graph: Graph) -> DataFrame:
+    """(src, dst, redundant) — every distinct non-loop edge, flagged
+    redundant when a 2-hop path src→w→dst also exists (w ≠ src, dst).
+
+    This is the bounded-depth variant of DAG transitive reduction that
+    build systems actually run ("shortcut pruning"): full reduction
+    needs reachability, but the overwhelming share of redundant
+    dependency edges are implied by a single intermediate — and the
+    2-path rule stays well-defined on cyclic graphs too. Physical
+    shape: one directed wedge self-join on the shared middle vertex +
+    a left-semi probe back onto the edge set — the same equi-join
+    skeleton as the audited triangle plan; hub middles are AQE's
+    skew-join case, not a cross product."""
+    e = (
+        graph.edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    a = e.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = e.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    two = (
+        a.join(b, "w")
+        .where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    return e.join(
+        two.withColumn("_r", F.lit(True)), ["src", "dst"], "left"
+    ).select("src", "dst", F.coalesce("_r", F.lit(False)).alias("redundant"))

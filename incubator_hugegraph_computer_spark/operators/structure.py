@@ -202,3 +202,52 @@ def bowtie(graph: Graph, scc_labels: DataFrame | None = None) -> DataFrame:
     core.unpersist()
     edges.unpersist()
     return out
+
+
+def attack_tolerance(graph, ks=(0, 10, 50), max_supersteps: int = 64) -> DataFrame:
+    """(k, n_components, giant_size) — the Albert–Barabási targeted-
+    attack profile: remove the top-k vertices by undirected degree
+    (ties → min id), rerun connectivity, report the fragmentation. A
+    web graph's resilience review reads this curve against the random-
+    failure baseline; the hub-removal points are where a scale-free
+    graph shatters.
+
+    Physical shape per k: the top-k cut is a TakeOrdered (never a
+    global sort), the removal is two broadcast anti-joins (k rows),
+    then one standard WCC. len(ks) WCC runs total — the sampled-curve
+    protocol, same trade as the sampled centralities."""
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc
+
+    und = graph.symmetrized()
+    deg = und.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    outs = []
+    for k in ks:
+        removed = (
+            deg.orderBy(F.col("deg").desc(), F.col("id").asc())
+            .limit(int(k))
+            .select("id")
+        )
+        verts = graph.vertices.select("id").join(removed, "id", "left_anti")
+        kept = (
+            und.edges.join(
+                removed.select(F.col("id").alias("src")), "src", "left_anti"
+            ).join(removed.select(F.col("id").alias("dst")), "dst", "left_anti")
+        ).select("src", "dst")
+        g2 = Graph(verts, kept)
+        comp = wcc(g2, presymmetrized=True, max_supersteps=max_supersteps,
+                   count_messages=False)
+        sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cnt"))
+        outs.append(
+            sizes.agg(
+                F.countDistinct("comp").alias("n_components"),
+                F.max("cnt").alias("giant_size"),
+            ).select(
+                F.lit(int(k)).alias("k"), "n_components", "giant_size"
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -61,3 +61,16 @@ def test_impact_set_cycle_terminates(spark):
     seeds = g.vertices.where(F.col("id") == 1).select("id")
     rows = impact_set(g, seeds, max_depth=10).collect()
     assert rows[0]["impacted"] == 2  # 2 and 3 reach 1
+
+
+def test_transitive_reduction2(spark):
+    from conftest import make_graph
+    from incubator_hugegraph_computer_spark.operators.code_graph import (
+        transitive_reduction2,
+    )
+
+    # 0->1->2 plus the shortcut 0->2 (redundant) and unrelated 3->4
+    g = make_graph(spark, [(0, 1), (1, 2), (0, 2), (3, 4)], vertex_ids=range(5))
+    out = {(r["src"], r["dst"]): r["redundant"]
+           for r in transitive_reduction2(g).collect()}
+    assert out == {(0, 1): False, (1, 2): False, (0, 2): True, (3, 4): False}

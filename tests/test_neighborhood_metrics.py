@@ -505,3 +505,12 @@ def test_global_efficiency_path(spark):
     row = global_efficiency(g).collect()[0]
     assert row["n_sources"] == 3 and row["n_vertices"] == 3
     assert abs(row["efficiency"] - 2.5 / 6) < 1e-6
+
+
+def test_eccentricity_path(spark):
+    from conftest import make_graph
+    from incubator_hugegraph_computer_spark.operators.bfs import eccentricity
+
+    g = make_graph(spark, [(0, 1), (1, 2), (2, 3)], vertex_ids=range(4))
+    out = {r["id"]: (r["ecc"], r["n_reached"]) for r in eccentricity(g).collect()}
+    assert out == {0: (3, 3), 1: (2, 2), 2: (1, 1), 3: (0, 0)}

@@ -158,3 +158,17 @@ def test_scan_no_cores_all_outliers_or_hubs(spark):
     g = make_graph(spark, edges)
     out = {r.id: r.label for r in scan(g, eps=0.99, mu=3).collect()}
     assert out == {0: -2, 1: -2, 2: -2, 3: -2}
+
+
+def test_attack_tolerance_star(spark):
+    from conftest import make_graph
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        attack_tolerance,
+    )
+
+    # star: hub 0 with 6 leaves; removing the hub shatters the graph
+    g = make_graph(spark, [(0, i) for i in range(1, 7)], vertex_ids=range(7))
+    out = {r["k"]: (r["n_components"], r["giant_size"])
+           for r in attack_tolerance(g, ks=(0, 1)).collect()}
+    assert out[0] == (1, 7)
+    assert out[1] == (6, 1)
