@@ -1675,6 +1675,26 @@ def _q_emb_ivf_topk(spark, sf_dir):
     return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
 
 
+def _q_emb_ivf_recall(spark, sf_dir):
+    """Measured recall@k of the IVF probe against the brute-force
+    cosine truth set — the pre-flight tuning report an ANN deployment
+    reads before fixing n_centroids/n_probe (the emb twin of
+    docs_lsh_recall). Both sides reuse the shipped operators."""
+    exact = _q_emb_cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = _q_emb_ivf_topk(spark, sf_dir).select("query_id", "vec_id")
+    hit = exact.join(approx, ["query_id", "vec_id"])
+    per = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    ph = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_found"))
+    return per.join(ph, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_found", F.lit(0)).alias("n_found"),
+        F.round(
+            F.coalesce("n_found", F.lit(0)) / F.col("n_exact"), 6
+        ).alias("recall"),
+    )
+
+
 def _q_events_sessions(spark, sf_dir):
     from incubator_hugegraph_computer_spark.streaming.sessions import sessionize_batch
 
@@ -2062,6 +2082,19 @@ def _q_attack_sim(spark, sf_dir):
     )
 
     return attack_tolerance(orders_graph(spark, sf_dir), ks=(0, 10, 50))
+
+
+def _q_random_failure(spark, sf_dir):
+    """Random-failure baseline for the attack profile: remove k
+    md5-drawn vertices instead of the top hubs — the comparison curve
+    that makes the targeted-attack numbers legible."""
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        attack_tolerance,
+    )
+
+    return attack_tolerance(
+        orders_graph(spark, sf_dir), ks=(0, 10, 50), rule="random"
+    )
 
 
 def _q_eccentricity(spark, sf_dir):
@@ -2601,6 +2634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eccentricity": _q_eccentricity,
         "graph_tred2": _q_tred2,
         "graph_attack_sim": _q_attack_sim,
+        "graph_random_failure": _q_random_failure,
+        "emb_ivf_recall": _q_emb_ivf_recall,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_pack_stats": _q_docs_pack_stats,
@@ -6085,6 +6120,22 @@ r AS (SELECT query_id, vec_id, score,
 SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM r WHERE rank <= {TOPK}
 """
 
+    # Recall@k of the IVF probe vs the brute-force truth — composed
+    # from the two oracles above verbatim (nested WITHs are legal as
+    # subqueries), so the recall report can never drift from the
+    # operators it measures.
+    o["emb_ivf_recall"] = f"""
+WITH exact AS ({o["emb_cosine_topk"]}),
+approx AS ({o["emb_ivf_topk"]}),
+hit AS (SELECT e.query_id FROM exact e
+        JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id),
+per AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+ph AS (SELECT query_id, COUNT(*) AS n_found FROM hit GROUP BY 1)
+SELECT per.query_id, per.n_exact, COALESCE(ph.n_found, 0) AS n_found,
+       ROUND(COALESCE(ph.n_found, 0) * 1.0 / per.n_exact, 6) AS recall
+FROM per LEFT JOIN ph USING(query_id)
+"""
+
     # reuses the shared _LSH_CTES chain (one definition to keep in sync);
     # NULL/empty embeddings surface as the sentinel bucket -1, exactly
     # like functions/similarity.lsh_buckets
@@ -6332,6 +6383,20 @@ stat{k} AS (SELECT {k} AS k, COUNT(*) AS n_components, MAX(cnt) AS giant_size
 WITH RECURSIVE {_G},
 adeg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),"""
         + ",".join(_attack_stage.format(k=k) for k in (0, 10, 50))
+        + """
+SELECT * FROM stat0 UNION ALL SELECT * FROM stat10 UNION ALL SELECT * FROM stat50
+"""
+    )
+
+    # same stage template, removal rule = deterministic md5 draw
+    _fail_stage = _attack_stage.replace(
+        "ORDER BY deg DESC, id", "ORDER BY md5(CAST(id AS VARCHAR) || ':fail')"
+    )
+    o["graph_random_failure"] = (
+        f"""
+WITH RECURSIVE {_G},
+adeg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),"""
+        + ",".join(_fail_stage.format(k=k) for k in (0, 10, 50))
         + """
 SELECT * FROM stat0 UNION ALL SELECT * FROM stat10 UNION ALL SELECT * FROM stat50
 """

@@ -47,6 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
             "leiden", "matching", "coarsen", "edge_betweenness",
             "build_layers", "coupling", "impact", "sparsify", "cascade",
             "bridges", "two_edge_components", "percolation",
+            "transitive_reduction", "attack_tolerance", "eccentricity",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -311,6 +312,13 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.percolation import (
         clique_percolation3 as _percolation,
     )
+    from incubator_hugegraph_computer_spark.operators.code_graph import (
+        transitive_reduction2 as _tred2,
+    )
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        attack_tolerance as _attack,
+    )
+    from incubator_hugegraph_computer_spark.operators.bfs import eccentricity as _ecc
     from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
     from incubator_hugegraph_computer_spark.operators.code_graph import (
         build_layers as _build_layers,
@@ -435,6 +443,16 @@ def run(args: argparse.Namespace) -> dict:
         "bridges": lambda: _bridges(graph),
         "two_edge_components": lambda: _two_ecc(graph),
         "percolation": lambda: _percolation(graph),
+        "transitive_reduction": lambda: _tred2(graph),
+        "attack_tolerance": lambda: _attack(graph),
+        # sampled-source protocol, like closeness/betweenness: the
+        # all-sources exact mode is O(V · reach) state
+        "eccentricity": lambda: _ecc(
+            graph,
+            sources=graph.vertices.where(
+                F.pmod(F.hash("id"), F.lit(20)) == 0
+            ).select("id"),
+        ),
         "sparsify": lambda: _sparsify(graph),
         "cascade": lambda: _cascade(
             graph,

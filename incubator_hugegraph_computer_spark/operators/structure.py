@@ -204,31 +204,38 @@ def bowtie(graph: Graph, scc_labels: DataFrame | None = None) -> DataFrame:
     return out
 
 
-def attack_tolerance(graph, ks=(0, 10, 50), max_supersteps: int = 64) -> DataFrame:
-    """(k, n_components, giant_size) — the Albert–Barabási targeted-
-    attack profile: remove the top-k vertices by undirected degree
-    (ties → min id), rerun connectivity, report the fragmentation. A
-    web graph's resilience review reads this curve against the random-
-    failure baseline; the hub-removal points are where a scale-free
-    graph shatters.
+def attack_tolerance(
+    graph, ks=(0, 10, 50), max_supersteps: int = 64, rule: str = "degree",
+    seed_salt: str = "fail",
+) -> DataFrame:
+    """(k, n_components, giant_size) — the Albert–Barabási attack-
+    tolerance profile: remove k vertices, rerun connectivity, report
+    the fragmentation. ``rule="degree"`` is the targeted attack (top-k
+    hubs by undirected degree, ties → min id); ``rule="random"`` is the
+    random-failure baseline (deterministic md5 draw, so the "random"
+    curve is replayable). A scale-free graph shatters under the first
+    and barely notices the second — the gap IS the resilience review.
 
-    Physical shape per k: the top-k cut is a TakeOrdered (never a
-    global sort), the removal is two broadcast anti-joins (k rows),
-    then one standard WCC. len(ks) WCC runs total — the sampled-curve
-    protocol, same trade as the sampled centralities."""
+    Physical shape per k: the cut is a TakeOrdered (never a global
+    sort), the removal is two broadcast anti-joins (k rows), then one
+    standard WCC. len(ks) WCC runs total — the sampled-curve protocol,
+    same trade as the sampled centralities."""
     from incubator_hugegraph_computer_spark.operators.wcc import wcc
 
     und = graph.symmetrized()
     deg = und.edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    if rule == "random":
+        order = [F.md5(F.concat_ws(":", F.col("id").cast("string"),
+                                   F.lit(seed_salt))).asc()]
+    elif rule == "degree":
+        order = [F.col("deg").desc(), F.col("id").asc()]
+    else:
+        raise ValueError(f"attack rule must be 'degree' or 'random', got {rule!r}")
     outs = []
     for k in ks:
-        removed = (
-            deg.orderBy(F.col("deg").desc(), F.col("id").asc())
-            .limit(int(k))
-            .select("id")
-        )
+        removed = deg.orderBy(*order).limit(int(k)).select("id")
         verts = graph.vertices.select("id").join(removed, "id", "left_anti")
         kept = (
             und.edges.join(
