@@ -147,6 +147,8 @@ def run_pass(spark, sf_dir: str, n_files: int, timings: dict[str, float],
         "graph_betweenness",
         "graph_louvain",
         "graph_ktruss",
+        "graph_bridges",
+        "graph_percolation",
         "docs_minhash_dedup",
         "docs_ngram_dedup",
         "docs_chunks",

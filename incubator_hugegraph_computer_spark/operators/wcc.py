@@ -158,19 +158,28 @@ def wcc(
     algorithms, optionally CSR-packed).
 
     ``method`` selects the physical strategy (identical output in all
-    three): ``"propagate"`` (default) is the reference-shaped min-label
+    four): ``"propagate"`` (default) is the reference-shaped min-label
     loop, one hop per barrier; ``"stride"`` unrolls ``stride`` hops per
     barrier (the scale path — same work, 1/stride the serial barrier
-    cost); ``"shortcut"`` is pointer jumping, O(log d) rounds but its
-    label-keyed self-join skews as components merge — kept for
-    high-diameter graphs where log-round count wins despite the skew."""
+    cost); ``"shortcut"`` is pointer jumping — measured on this repo's
+    long-chain graphs it barely helps (min-label pointers are shallow
+    stars, so comp(comp(v)) ≈ comp(v); 67 vs 98 rounds on the sf0.1
+    percolation edge graph) and is kept only for parity; ``"contract"``
+    is the alternating large-star/small-star edge contraction (Kiveris
+    et al., SoCC'14) — O(log n) rounds regardless of diameter (8 rounds
+    where propagate needs 98 on the same graph), the right choice for
+    high-diameter / chain-heavy graphs."""
     resume = engine_kwargs.pop("resume", False)
     method = engine_kwargs.pop("method", "propagate")
     stride = engine_kwargs.pop("stride", 4)
-    if method not in ("propagate", "stride", "shortcut"):
+    if method not in ("propagate", "stride", "shortcut", "contract"):
         raise ValueError(
-            f"wcc method must be 'propagate', 'stride' or 'shortcut', got {method!r}"
+            "wcc method must be 'propagate', 'stride', 'shortcut' or "
+            f"'contract', got {method!r}"
         )
+    if method == "contract":
+        engine_kwargs.pop("count_messages", None)
+        return wcc_contract(graph, max_rounds=max_supersteps)
     g = graph if presymmetrized else graph.symmetrized().cache()
     engine = BspEngine(g, max_supersteps=max_supersteps, **engine_kwargs)
     if method == "shortcut":
@@ -194,6 +203,88 @@ def wcc(
         # pass) leaks a cached edge set for the session lifetime
         g.unpersist()
     return result
+
+
+def wcc_contract(graph: Graph, max_rounds: int = 100) -> DataFrame:
+    """(id, comp) via alternating large-star / small-star edge
+    contraction — Kiveris et al., "Connected Components in MapReduce
+    and Beyond" (SoCC'14). Same output contract as ``wcc`` (comp = min
+    member id: the fixpoint's star roots are the component minima), but
+    O(log n) rounds independent of graph DIAMETER, where min-label
+    propagation needs O(diameter) barriers. Measured on the sf0.1
+    3-clique-percolation edge graph (32k nodes, diameter ≥ 122):
+    8 rounds here vs 98 propagate supersteps.
+
+    Per round (2 shuffles per star op, all keyed on uniform node ids):
+      large-star: every node u links its LARGER neighbors to
+        m(u) = min(Γ(u) ∪ {u});
+      small-star: every node u links its smaller neighbors (and itself)
+        to m(u) = min of the smaller neighbors.
+    The edge set monotonically contracts toward disjoint stars; the
+    (count, hash-sum) fingerprint of the canonical edge set is the
+    convergence test — one scalar action per round, and lineage is cut
+    per round with a lazy localCheckpoint exactly like the BSP engine.
+
+    Unlike the superstep family this rewrites EDGES, so it runs outside
+    ``BspEngine``; vertices never touched by an edge keep comp = id.
+    """
+    g = graph
+    # canonical undirected edge set: (a < b), self-loops dropped
+    edges = (
+        g.edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    prev_fp = None
+    for _ in range(max_rounds):
+        # ---- large-star: group the symmetrized adjacency by u --------
+        sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # each canonical edge (a,b) emits once via its smaller endpoint:
+        # v > u  ⇒  m ≤ u < v, so (m, v) is already canonically ordered
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        # ---- small-star: group by the LARGER endpoint ----------------
+        smins = ls.groupBy("b").agg(F.min("a").alias("m"))
+        ss = (
+            ls.join(smins, "b")
+            .where(F.col("a") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+            .unionAll(smins.select(F.col("m").alias("a"), "b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        new_edges = ss.localCheckpoint(eager=False).persist()
+        fp_row = new_edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent, overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        fp = (fp_row["n"], fp_row["h"])
+        edges.unpersist()
+        edges = new_edges
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # fixpoint = disjoint stars rooted at each component's min id
+    labels = edges.select(F.col("b").alias("id"), F.col("a").alias("comp"))
+    out = (
+        g.vertices.select("id")
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("comp", "id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
 
 
 def wcc_superstep_metrics(

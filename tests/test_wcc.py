@@ -97,6 +97,27 @@ def test_wcc_shortcut_log_rounds(spark):
     assert ctx.superstep <= 10  # log2(41) ≈ 5.4 plus convergence-detect rounds
 
 
+def test_wcc_contract_matches_propagate(spark):
+    """Large-star/small-star contraction must equal min-propagation on
+    every graph shape — including an id-PERMUTED chain, the adversarial
+    case where pointer jumping degenerates to ~1 hop/round (min-label
+    pointers are shallow stars) but edge contraction stays O(log n)."""
+    import random as _random
+
+    perm = list(range(41))
+    _random.Random(13).shuffle(perm)
+    permuted_chain = [(perm[i], perm[i + 1]) for i in range(40)]
+    for edges, ids in [
+        (PRWCC_EDGES, PRWCC_VERTEX_IDS),  # includes an isolated vertex
+        (random_graph(80, 120, seed=11), list(range(80))),
+        (permuted_chain, perm),
+    ]:
+        g = make_graph(spark, edges, vertex_ids=ids)
+        a = {r["id"]: r["comp"] for r in wcc(g).collect()}
+        b = {r["id"]: r["comp"] for r in wcc(g, method="contract").collect()}
+        assert a == b
+
+
 def test_wcc_stride_matches_propagate(spark):
     """Stride-unrolled WCC must equal plain min-propagation, and a
     40-chain must need ~1/stride the barriers."""
