@@ -348,7 +348,12 @@ def dedup_clusters(
     pairs = minhash_candidates(documents, num_hashes, bands, n, threshold, text_col)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = documents.select(F.col(id_col).alias("id"))
-    comp = wcc(Graph(verts, edges), count_messages=False)
+    # Near-dup candidate graphs are transitively chain-shaped (a~b~c~…
+    # through sliding boilerplate), so component diameter grows with
+    # corpus size; the large-star/small-star contraction stays O(log n)
+    # rounds and cannot silently truncate at a superstep cap the way
+    # min-propagation can.
+    comp = wcc(Graph(verts, edges), method="contract")
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("canonical_id"))
 
 

@@ -81,8 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sssp_paths targets: '*' or comma-separated vertex ids "
                    "(single_source_shortest_path.target_id)")
     p.add_argument("--wcc-method", default="propagate",
-                   choices=["propagate", "stride", "shortcut"],
-                   help="WCC physical strategy (identical output)")
+                   choices=["propagate", "stride", "shortcut", "contract"],
+                   help="WCC physical strategy (identical output); "
+                   "'contract' = large-star/small-star, O(log n) rounds "
+                   "on high-diameter graphs")
     p.add_argument("--method", default="superstep",
                    choices=["superstep", "stride"],
                    help="pagerank/lpa schedule: per-superstep barriers or "
