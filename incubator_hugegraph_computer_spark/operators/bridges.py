@@ -162,6 +162,7 @@ def two_edge_components(graph: Graph, max_depth: int = 64) -> DataFrame:
         kept.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     g2 = Graph(graph.vertices.select("id"), bidir)
-    return wcc(g2, presymmetrized=True, count_messages=False).select(
-        "id", F.col("comp").alias("comp2")
-    )
+    # The bridge-free graph is cycle-rich, and a single long cycle has
+    # diameter n/2 — min-propagation's superstep count scales with it,
+    # where the edge contraction stays O(log n) rounds.
+    return wcc(g2, method="contract").select("id", F.col("comp").alias("comp2"))

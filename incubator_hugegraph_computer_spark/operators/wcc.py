@@ -17,6 +17,7 @@ and is what makes late supersteps cheap on high-diameter graphs.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
@@ -188,7 +189,17 @@ def wcc(
         program = WccStrideProgram(g, stride=stride)
     else:
         program = WccProgram()
-    state, _ = engine.run(program, resume=resume)
+    state, ctx = engine.run(program, resume=resume)
+    if ctx.active_vertices > 0:
+        # the run stopped at max_supersteps, not at convergence — the
+        # labels are an under-merged partition (more components than the
+        # true count). Unlike PageRank, a truncated WCC is simply wrong.
+        warnings.warn(
+            f"wcc({method}) hit max_supersteps={max_supersteps} with "
+            f"{ctx.active_vertices} vertices still active — labels are "
+            "not converged; raise max_supersteps or use method='contract'",
+            stacklevel=2,
+        )
     result = state.select("id", "comp")
     if isinstance(program, WccStrideProgram):
         # drop the final superstep's persisted stride intermediates —
@@ -239,6 +250,7 @@ def wcc_contract(graph: Graph, max_rounds: int = 100) -> DataFrame:
         .persist()
     )
     prev_fp = None
+    converged = False
     for _ in range(max_rounds):
         # ---- large-star: group the symmetrized adjacency by u --------
         sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
@@ -273,8 +285,15 @@ def wcc_contract(graph: Graph, max_rounds: int = 100) -> DataFrame:
         edges.unpersist()
         edges = new_edges
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        warnings.warn(
+            f"wcc_contract stopped at max_rounds={max_rounds} before the "
+            "edge set stabilized — labels are not converged",
+            stacklevel=2,
+        )
     # fixpoint = disjoint stars rooted at each component's min id
     labels = edges.select(F.col("b").alias("id"), F.col("a").alias("comp"))
     out = (
