@@ -76,9 +76,10 @@ def kcore(graph: Graph, k: int = 3, max_rounds: int | None = None) -> DataFrame:
     core_edges = peeled.join(
         core_ids.select(F.col("id").alias("src")), "src", "left_semi"
     ).join(core_ids.select(F.col("id").alias("dst")), "dst", "left_semi")
-    # cache the core graph for the WCC supersteps (presymmetrized skips
-    # wcc's own symmetrize+cache), release it once the run is done
+    # the k-core is cycle-rich (long cycles survive peeling) and a
+    # single cycle has diameter n/2 — label it with the O(log n)
+    # edge contraction rather than diameter-bound min-propagation
     cg = Graph(core_ids, core_edges, graph.num_partitions).cache()
-    comp = wcc(cg, presymmetrized=True)
+    comp = wcc(cg, method="contract")
     cg.unpersist()
     return comp.select("id", F.col("comp").alias("core_comp"))

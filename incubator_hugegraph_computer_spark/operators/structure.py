@@ -243,8 +243,10 @@ def attack_tolerance(
             ).join(removed.select(F.col("id").alias("dst")), "dst", "left_anti")
         ).select("src", "dst")
         g2 = Graph(verts, kept)
-        comp = wcc(g2, presymmetrized=True, max_supersteps=max_supersteps,
-                   count_messages=False)
+        # hub removal is exactly what inflates diameter (the resilience
+        # curve's whole point), so the post-removal labeling uses the
+        # diameter-free edge contraction
+        comp = wcc(g2, max_supersteps=max_supersteps, method="contract")
         sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cnt"))
         outs.append(
             sizes.agg(
