@@ -61,6 +61,10 @@ WAIVED = {
         "(createDataFrame of K=8 driver rows from fit_kmeans_centroids) and "
         "the ≤QUERY_MAX query set — both parameter-sized by construction"
     ),
+    "emb_ivf_recall": (
+        "composition of emb_cosine_topk and emb_ivf_topk — its two BNLJs "
+        "are those queries' already-waived ≤QUERY_MAX query-set broadcasts"
+    ),
 }
 
 # build-side roots that bound the broadcast frame at the plan level
