@@ -1183,6 +1183,18 @@ def _q_percolation(spark, sf_dir):
     return clique_percolation3(orders_graph(spark, sf_dir))
 
 
+def _q_percolation4(spark, sf_dir):
+    """k=4 clique percolation (Palla et al. 2005): communities of
+    4-cliques chained by shared TRIANGLES — the stricter overlap model
+    the original paper uses. (id, community); community = min triangle
+    key ((a·m)+b)·m+c over the id-sorted corner triple."""
+    from incubator_hugegraph_computer_spark.operators.percolation import (
+        clique_percolation4,
+    )
+
+    return clique_percolation4(orders_graph(spark, sf_dir))
+
+
 def _q_docs_shuffle(spark, sf_dir):
     """Per-shard audit of the deterministic training-data shuffle
     (salted-md5 shard + in-shard order; the writer path is
@@ -2604,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bridges": _q_bridges,
         "graph_2ecc": _q_2ecc,
         "graph_percolation": _q_percolation,
+        "graph_percolation4": _q_percolation4,
         "graph_efficiency": _q_efficiency,
         "docs_shuffle_shards": _q_docs_shuffle,
         "docs_token_stats": _q_docs_tokens,
@@ -4409,6 +4422,47 @@ cc(k, anc) AS (
 comm AS (SELECT k, MIN(anc) AS community FROM cc GROUP BY k),
 mem AS (SELECT k // m.m AS id, community FROM comm CROSS JOIN m
         UNION ALL SELECT k % m.m AS id, community FROM comm CROSS JOIN m)
+SELECT DISTINCT id, community FROM mem
+"""
+
+    # k=4 clique percolation: extend each oriented triangle by a fourth
+    # vertex above v3 closing both remaining edges (so v1<v2<v3<v4 is
+    # free), triangle keys use the ((a·m)+b)·m+c code, adjacency =
+    # chained triangles per 4-clique, components by min-label recursion.
+    o["graph_percolation4"] = f"""
+WITH RECURSIVE {_G},
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                   FROM e WHERE src <> dst),
+m AS (SELECT MAX(id) + 1 AS m FROM v),
+tri AS MATERIALIZED (SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+      FROM u e1 JOIN u e2 ON e2.a = e1.b
+      JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+quad AS MATERIALIZED (
+    SELECT t.v1, t.v2, t.v3, e4.b AS v4
+    FROM tri t JOIN u e4 ON e4.a = t.v3
+    WHERE EXISTS (SELECT 1 FROM u x WHERE x.a = t.v1 AND x.b = e4.b)
+      AND EXISTS (SELECT 1 FROM u y WHERE y.a = t.v2 AND y.b = e4.b)),
+keys AS MATERIALIZED (SELECT
+    CAST((v1 * m.m + v2) * m.m + v3 AS BIGINT) AS t123,
+    CAST((v1 * m.m + v2) * m.m + v4 AS BIGINT) AS t124,
+    CAST((v1 * m.m + v3) * m.m + v4 AS BIGINT) AS t134,
+    CAST((v2 * m.m + v3) * m.m + v4 AS BIGINT) AS t234
+    FROM quad CROSS JOIN m),
+links AS MATERIALIZED (
+    SELECT t123 AS s, t124 AS d FROM keys UNION ALL SELECT t124, t134 FROM keys
+    UNION ALL SELECT t134, t234 FROM keys
+    UNION ALL SELECT t124, t123 FROM keys UNION ALL SELECT t134, t124 FROM keys
+    UNION ALL SELECT t234, t134 FROM keys),
+nodes AS (SELECT DISTINCT s AS k FROM links),
+cc(k, anc) AS (
+    SELECT k, k FROM nodes
+    UNION
+    SELECT links.d, cc.anc FROM cc JOIN links ON links.s = cc.k
+),
+comm AS (SELECT k, MIN(anc) AS community FROM cc GROUP BY k),
+mem AS (SELECT CAST(k // (m.m * m.m) AS BIGINT) AS id, community FROM comm CROSS JOIN m
+        UNION ALL SELECT CAST((k // m.m) % m.m AS BIGINT), community FROM comm CROSS JOIN m
+        UNION ALL SELECT CAST(k % m.m AS BIGINT), community FROM comm CROSS JOIN m)
 SELECT DISTINCT id, community FROM mem
 """
 

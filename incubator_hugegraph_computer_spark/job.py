@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
             "ktruss", "trussness", "ppr_sweep", "voterank",
             "leiden", "matching", "coarsen", "edge_betweenness",
             "build_layers", "coupling", "impact", "sparsify", "cascade",
-            "bridges", "two_edge_components", "percolation",
+            "bridges", "two_edge_components", "percolation", "percolation4",
             "transitive_reduction", "attack_tolerance", "eccentricity",
         ],
     )
@@ -313,6 +313,7 @@ def run(args: argparse.Namespace) -> dict:
     )
     from incubator_hugegraph_computer_spark.operators.percolation import (
         clique_percolation3 as _percolation,
+        clique_percolation4 as _percolation4,
     )
     from incubator_hugegraph_computer_spark.operators.code_graph import (
         transitive_reduction2 as _tred2,
@@ -445,6 +446,7 @@ def run(args: argparse.Namespace) -> dict:
         "bridges": lambda: _bridges(graph),
         "two_edge_components": lambda: _two_ecc(graph),
         "percolation": lambda: _percolation(graph),
+        "percolation4": lambda: _percolation4(graph),
         "transitive_reduction": lambda: _tred2(graph),
         "attack_tolerance": lambda: _attack(graph),
         # sampled-source protocol, like closeness/betweenness: the

@@ -21,9 +21,21 @@ from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.operators.triangle_count import undirected_edges
 
 
-def k4_count(graph: Graph) -> DataFrame:
-    """(id, k4) — number of 4-cliques each vertex belongs to, for every
-    vertex of the graph (0 for members of none)."""
+def k4_cliques(graph: Graph) -> DataFrame:
+    """(v1, v2, v3, v4) — every 4-clique exactly once, corners in
+    ascending id order. The enumeration runs in degeneracy orientation
+    (fan-out bounded by core number, not hub degree); the final
+    array_sort only relabels each row's 4 corners."""
+    quads = _k4_quads(graph)
+    s = F.array_sort(F.array("v1", "v2", "v3", "x"))
+    return quads.select(
+        s[0].alias("v1"), s[1].alias("v2"), s[2].alias("v3"), s[3].alias("v4")
+    )
+
+
+def _k4_quads(graph: Graph) -> DataFrame:
+    """Oriented 4-clique rows (v1, v2, v3, x) — corner order follows the
+    (degree, id) orientation, one row per clique."""
     und = undirected_edges(graph.edges)
     deg = (
         und.select(F.col("a").alias("id"))
@@ -71,8 +83,16 @@ def k4_count(graph: Graph) -> DataFrame:
         cand.join(c12, ["v1", "x"], "left_semi")
         .join(c22, ["v2", "x"], "left_semi")
         .select("v1", "v2", "v3", "x")
+        .localCheckpoint(eager=True)
     )
+    oriented.unpersist()
+    return quads
 
+
+def k4_count(graph: Graph) -> DataFrame:
+    """(id, k4) — number of 4-cliques each vertex belongs to, for every
+    vertex of the graph (0 for members of none)."""
+    quads = _k4_quads(graph)
     corners = (
         quads.select(F.col("v1").alias("id"))
         .unionAll(quads.select(F.col("v2").alias("id")))
@@ -81,11 +101,9 @@ def k4_count(graph: Graph) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("k4"))
     )
-    out = (
+    return (
         graph.vertices.select("id")
         .join(corners, "id", "left")
         .select("id", F.coalesce("k4", F.lit(0)).alias("k4"))
         .localCheckpoint(eager=True)
     )
-    oriented.unpersist()
-    return out

@@ -92,6 +92,69 @@ def clique_percolation3(graph: Graph, max_supersteps: int = 64) -> DataFrame:
     return out
 
 
+def clique_percolation4(graph: Graph, max_supersteps: int = 64) -> DataFrame:
+    """(id, community) — k=4 clique percolation (Palla et al., Nature
+    435, 2005): two 4-cliques are adjacent when they share a TRIANGLE;
+    a community is a maximal set of 4-cliques connected under that
+    relation, and a vertex belongs to every community one of its
+    4-cliques belongs to. Stricter than k=3 (denser overlap cores,
+    fewer/bigger-than-random communities) — the k the original paper
+    uses for protein and word association networks.
+
+    Same reduction shape as :func:`clique_percolation3`, one level up:
+    nodes = the 4 triangle keys of each 4-clique, links = the clique's
+    triangles chained (t123—t124—t134—t234), so clique-connectivity
+    reduces to plain connectivity with no clique×clique join. Triangle
+    key = ((a·m)+b)·m+c over the id-sorted corner triple — needs
+    m³ < 2^63; the scale path swaps it for a ``struct(a,b,c)`` node id
+    exactly as the k=3 docstring describes for m². The inner WCC is the
+    O(log n) edge contraction (percolation chains = high diameter).
+    ``community`` = MIN triangle key of the component.
+    """
+    from incubator_hugegraph_computer_spark.operators.cliques import k4_cliques
+
+    quads = k4_cliques(graph)
+    m_row = graph.vertices.agg((F.max("id") + 1).alias("_m"))
+
+    def tkey(x, y, z):
+        return (x * F.col("_m") + y) * F.col("_m") + z
+
+    keyed = (
+        quads.crossJoin(F.broadcast(m_row))
+        .select(
+            tkey(F.col("v1"), F.col("v2"), F.col("v3")).alias("t123"),
+            tkey(F.col("v1"), F.col("v2"), F.col("v4")).alias("t124"),
+            tkey(F.col("v1"), F.col("v3"), F.col("v4")).alias("t134"),
+            tkey(F.col("v2"), F.col("v3"), F.col("v4")).alias("t234"),
+        )
+        .persist()
+    )
+    links = (
+        keyed.select(F.col("t123").alias("src"), F.col("t124").alias("dst"))
+        .unionAll(keyed.select(F.col("t124").alias("src"), F.col("t134").alias("dst")))
+        .unionAll(keyed.select(F.col("t134").alias("src"), F.col("t234").alias("dst")))
+    )
+    comp = wcc(Graph.from_edges(links), max_supersteps=max_supersteps, method="contract")
+    m = graph.vertices.agg((F.max("id") + 1).alias("_m")).limit(1)
+    # decode with integer `div`, NOT `/`: t-keys approach m³, beyond
+    # double's 2^53 exact range, so float division would corrupt ids
+    members = comp.crossJoin(F.broadcast(m)).select(
+        F.expr("id div (_m * _m)").alias("va"),
+        F.expr("(id div _m) % _m").alias("vb"),
+        F.expr("id % _m").alias("vc"),
+        F.col("comp").alias("community"),
+    )
+    out = (
+        members.select(F.col("va").alias("id"), "community")
+        .unionAll(members.select(F.col("vb").alias("id"), "community"))
+        .unionAll(members.select(F.col("vc").alias("id"), "community"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    keyed.unpersist()
+    return out
+
+
 def percolation_summary(graph: Graph, max_supersteps: int = 64) -> DataFrame:
     """One row per community: (community, n_vertices) — plus implicit
     overlap statistics downstream (a vertex counted in several rows)."""
