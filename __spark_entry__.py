@@ -1394,6 +1394,17 @@ def _q_emb_pq_topk(spark, sf_dir):
     )
 
 
+def _q_emb_sq_topk(spark, sf_dir):
+    """SQ8 scalar-quantization ANN: per-dim [min,max] codes + asymmetric
+    L2 against the dequantized corpus — the no-training first rung of
+    the quantization ladder (4x scan-rate of float32, near-full recall)."""
+    from incubator_hugegraph_computer_spark.functions.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < PQ_QUERY_MAX)
+    return sq8_topk(emb, queries, topk=TOPK, dim=EMB_DIM)
+
+
 def _q_emb_ivfpq_topk(spark, sf_dir):
     """IVF-PQ: coarse inverted lists + residual product codes + probed
     ADC scan — the FAISS-style production ANN layout."""
@@ -2637,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_span_dedup": _q_docs_span_dedup,
         "emb_kmeans": _q_emb_kmeans,
         "emb_pq_topk": _q_emb_pq_topk,
+        "emb_sq_topk": _q_emb_sq_topk,
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_stratified_sample": _q_docs_stratified_sample,
@@ -5803,6 +5815,36 @@ FROM documents docs LEFT JOIN tot t USING(doc_id) LEFT JOIN dup USING(doc_id)
         IVF_CENTROIDS, IVF_PROBE, PQ_M, EMB_DIM // PQ_M, KMEANS_K,
         KMEANS_ITERS, PQ_QUERY_MAX, TOPK,
     )
+
+    # SQ8 scalar quantization: per-dim [min,max] stats, 8-bit codes,
+    # asymmetric L2 vs the dequantized corpus; the (q_j - recon_j)²
+    # terms fold in dimension order on both engines (list_sum over
+    # list_zip == the Spark side's F.aggregate over zip_with).
+    o["emb_sq_topk"] = f"""
+WITH emb AS MATERIALIZED (SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+pe AS (SELECT vec_id, unnest(v) AS x,
+       unnest(generate_series(1, len(v))) AS j FROM emb),
+st AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM pe GROUP BY j),
+sv AS (SELECT list(mn ORDER BY j) AS mns,
+              list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END
+                   ORDER BY j) AS scs FROM st),
+enc AS MATERIALIZED (SELECT e.vec_id,
+       list_transform(list_zip(e.v, sv.mns, sv.scs),
+         p -> p[2] + LEAST(255.0, GREATEST(0.0, ROUND((p[1] - p[2]) / p[3]))) * p[3]
+       ) AS recon
+       FROM emb e CROSS JOIN sv),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {PQ_QUERY_MAX}),
+scored AS (SELECT q.query_id, e.vec_id,
+       list_sum(list_transform(list_zip(q.qv, e.recon),
+                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS adc
+       FROM qs q CROSS JOIN enc e WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, ROUND(adc, 6) AS adc, rank FROM (
+    SELECT query_id, vec_id, adc,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, vec_id)
+                AS INT) AS rank
+    FROM scored) WHERE rank <= {TOPK}
+"""
 
     o["emb_semantic_dedup"] = _semantic_dedup_sql(KMEANS_K, KMEANS_ITERS, NEARDUP_TAU)
 

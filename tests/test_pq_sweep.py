@@ -140,6 +140,51 @@ def _interleaved_embeddings(spark, n_groups=4, per_group=6, dim=8):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_sq8_topk_recovers_groups(spark):
+    from incubator_hugegraph_computer_spark.functions.similarity import sq8_topk
+
+    emb = _toy_embeddings(spark)
+    queries = emb.where(F.col("vec_id").isin(0, 7))
+    out = sq8_topk(emb, queries, topk=5, dim=8).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 7}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        adcs = [r["adc"] for r in rows]
+        assert adcs == sorted(adcs)
+        assert all(r["vec_id"] != qid for r in rows)
+        # SQ8 at 255 levels over a [0, 10] span quantizes at ~0.04
+        # resolution — the 5 nearest must be the query's own group
+        assert {r["vec_id"] // 6 for r in rows} == {qid // 6}
+
+
+def test_sq8_topk_matches_exact_l2_on_wide_margins(spark):
+    """With 255 quantization levels and group separation 100× the
+    jitter, SQ8's neighbor SET AND ORDER must equal the exact L2
+    ranking — near-full recall is the SQ8 contract."""
+    from incubator_hugegraph_computer_spark.functions.similarity import sq8_topk
+
+    emb = _toy_embeddings(spark)
+    queries = emb.where(F.col("vec_id") < 2)
+    approx = [
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in sq8_topk(emb, queries, topk=5, dim=8).collect()
+    ]
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    exact = []
+    for qid in (0, 1):
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(rows[qid], v)), vid)
+            for vid, v in rows.items()
+            if vid != qid
+        )
+        exact += [(qid, rank + 1, vid) for rank, (_, vid) in enumerate(d[:5])]
+    assert sorted(approx) == sorted(exact)
+
+
 def test_ivfpq_topk_recovers_groups(spark):
     from incubator_hugegraph_computer_spark.functions.similarity import ivfpq_topk
 
