@@ -363,6 +363,25 @@ def _q_sssp_weighted(spark, sf_dir):
     return r.select("id", F.round("dist", 6).alias("dist"))
 
 
+def _q_widest_path(spark, sf_dir):
+    """Widest-path (maximin bottleneck) from the SSSP source — the
+    max-min semiring swap of weighted SSSP (message = min(cap, w),
+    combine = MAX), run on the same derived (src+dst)%5+1 weights.
+    Fixed superstep budget on both sides so the level-unrolled oracle
+    replays the recurrence exactly."""
+    from incubator_hugegraph_computer_spark.operators.sssp import widest_path
+
+    weighted = _weighted(orders_graph(spark, sf_dir))
+    r = widest_path(
+        weighted,
+        source=SSSP_SOURCE,
+        weight_col="weight",
+        max_supersteps=SSSP_PATH_ITERS,
+        count_messages=False,
+    )
+    return r.select("id", F.round("cap", 6).alias("cap"))
+
+
 def _q_sssp_weighted_path(spark, sf_dir):
     """Full Java SSSP surface: weighted edges (derived (src+dst)%5+1 —
     SQL-expressible, strictly positive), value carries the path IdList;
@@ -2528,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": _q_kcore,
         "graph_sssp": _q_sssp,
         "graph_sssp_weighted": _q_sssp_weighted,
+        "graph_widest_path": _q_widest_path,
         "graph_sssp_weighted_path": _q_sssp_weighted_path,
         "graph_ppr": _q_ppr,
         "graph_ppr_sweep": _q_ppr_sweep,
@@ -3895,6 +3915,32 @@ def _sssp_dist_sql(source: int, iters: int) -> str:
     return "\n".join(parts) + f"\nSELECT id, ROUND(d, 6) AS dist FROM l{iters}"
 
 
+def _widest_path_sql(source: int, iters: int) -> str:
+    """Level-unrolled max-min (bottleneck) recurrence: candidate caps =
+    previous state ∪ min(cap, w) relaxations, winner = MAX per vertex —
+    the semiring mirror of ``_sssp_dist_sql``. Source cap = 'infinity'
+    so its first hop carries the pure edge weight; the source row is
+    excluded from output on both sides."""
+    parts = [
+        f"WITH {_G},",
+        "we AS MATERIALIZED (SELECT src, dst, CAST((src + dst) % 5 + 1 AS DOUBLE) AS w FROM e),",
+        f"l0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS id, CAST('infinity' AS DOUBLE) AS c),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k-1}"
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT id, MAX(c) AS c FROM ("
+            f"SELECT id, c FROM {p} UNION ALL "
+            f"SELECT we.dst AS id, LEAST(p.c, we.w) AS c FROM {p} p JOIN we ON we.src = p.id"
+            f") GROUP BY id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    return (
+        "\n".join(parts)
+        + f"\nSELECT id, ROUND(c, 6) AS cap FROM l{iters} WHERE id <> {source}"
+    )
+
+
 def _sssp_path_sql(source: int, iters: int) -> str:
     """Level-unrolled Bellman-Ford with path tracking, mirroring the
     BSP recurrence exactly: level k candidates = level k-1 state rows ∪
@@ -4203,6 +4249,7 @@ FROM v LEFT JOIN d USING(id)
     o["graph_kcore"] = _kcore_sql(KCORE_K, KCORE_ROUNDS)
     o["graph_kcore_wcc"] = _kcore_wcc_sql(KCORE_K, KCORE_ROUNDS)
     o["graph_sssp_weighted"] = _sssp_dist_sql(SSSP_SOURCE, SSSP_PATH_ITERS)
+    o["graph_widest_path"] = _widest_path_sql(SSSP_SOURCE, SSSP_PATH_ITERS)
     o["graph_sssp_weighted_path"] = _sssp_path_sql(SSSP_SOURCE, SSSP_PATH_ITERS)
     o["docs_simhash"] = _simhash_sql(32)
 

@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
             "pagerank", "pagerank_classic", "pagerank_weighted", "wcc", "lpa", "lpa_sync",
             "triangle_count", "degree", "kcore", "scc", "clustering_coefficient",
             "rings", "random_walk", "betweenness", "closeness", "louvain",
-            "sssp", "sssp_paths", "ppr", "slpa", "depth", "jaccard",
+            "sssp", "sssp_paths", "widest_path", "ppr", "slpa", "depth", "jaccard",
             "cycle_detection", "mis", "scan", "bowtie", "k4", "bipartite",
             "embeddedness", "rich_club", "host_quotient", "trustrank",
             "spam_mass", "hostrank", "opic", "crawl_schedule",
@@ -268,7 +268,7 @@ def run(args: argparse.Namespace) -> dict:
         elif args.algorithm in ("pagerank_classic", "pagerank_weighted",
                                 "trustrank", "spam_mass", "hostrank"):
             iter_kwargs["max_iterations"] = args.max_supersteps
-        elif args.algorithm in ("sssp", "sssp_paths"):
+        elif args.algorithm in ("sssp", "sssp_paths", "widest_path"):
             step_kwargs["max_supersteps"] = args.max_supersteps
         elif args.algorithm in ("ppr", "ppr_sweep"):
             step_kwargs["max_iterations"] = args.max_supersteps
@@ -297,6 +297,7 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.scc import scc
     from incubator_hugegraph_computer_spark.operators.sssp import sssp as _sssp
     from incubator_hugegraph_computer_spark.operators.sssp import sssp_paths as _sssp_paths
+    from incubator_hugegraph_computer_spark.operators.sssp import widest_path as _widest_path
     from incubator_hugegraph_computer_spark.operators.rings import (
         cycle_detection as _cycle_detection,
     )
@@ -396,6 +397,20 @@ def run(args: argparse.Namespace) -> dict:
         "mis": lambda: _mis(graph, seed=args.seed),
         "sssp": lambda: _sssp(
             graph, source=args.source, **step_kwargs, **engine_kwargs
+        ),
+        # bottleneck capacity = edge weight when present (MULTIPLE-mode
+        # import multiplicity), else uniform 1.0
+        "widest_path": lambda: _widest_path(
+            Graph(
+                graph.vertices,
+                graph.edges
+                if "weight" in graph.edges.columns
+                else graph.edges.withColumn("weight", F.lit(1.0)),
+                prepartitioned=True,
+            ),
+            source=args.source,
+            **step_kwargs,
+            **engine_kwargs,
         ),
         "sssp_paths": lambda: _sssp_paths(
             graph,

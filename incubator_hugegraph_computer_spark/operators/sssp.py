@@ -91,6 +91,78 @@ def sssp(
     return state.where(F.col("dist").isNotNull()).select("id", "dist")
 
 
+class WidestPathProgram(BspProgram):
+    """Single-source WIDEST path (maximin / bottleneck): the path whose
+    narrowest edge is widest — the max-min semiring swap of
+    ``SsspProgram`` (message = min(cap, w) instead of dist + w, combine
+    = MAX instead of MIN), demonstrating the BSP engine is
+    semiring-generic: same driver loop, same frontier pruning, same
+    termination rule. On a code-dependency graph with edge capacities
+    (e.g. co-change confidence) this answers "what is the most reliable
+    dependency chain from X to every module". Caps only ever increase
+    and are drawn from the finite edge-weight set, so the fixpoint
+    exists and the no-active rule fires at it."""
+
+    name = "widest_path"
+
+    def __init__(self, source: int, weight_col: str = "weight"):
+        self.source = source
+        self.weight_col = weight_col
+
+    def initial_state(self, graph: Graph) -> DataFrame:
+        return graph.vertices.select(
+            "id",
+            # source cap = +∞ (its bottleneck is undefined); null = unreached
+            F.when(F.col("id") == self.source, F.lit(float("inf"))).alias("cap"),
+            (F.col("id") == self.source).alias("active"),
+        )
+
+    def messages(self, state: DataFrame, graph: Graph, ctx: SuperstepContext) -> DataFrame:
+        w = F.coalesce(F.col(self.weight_col).cast("double"), F.lit(1.0))
+        return (
+            state.where(F.col("active"))
+            .select(F.col("id").alias("src"), "cap")
+            .hint("shuffle_hash")
+            .join(graph.edges, "src")
+            .select("dst", F.least(F.col("cap"), w).alias("msg"))
+        )
+
+    def combine(self, messages: DataFrame) -> DataFrame:
+        return messages.groupBy(F.col("dst").alias("id")).agg(F.max("msg").alias("msg"))
+
+    def update(self, state: DataFrame, inbox: DataFrame, ctx: SuperstepContext) -> DataFrame:
+        improved = F.col("msg").isNotNull() & (
+            F.col("cap").isNull() | (F.col("msg") > F.col("cap"))
+        )
+        return state.join(inbox, "id", "left").select(
+            "id",
+            F.when(improved, F.col("msg")).otherwise(F.col("cap")).alias("cap"),
+            improved.alias("active"),
+        )
+
+    def agg_exprs(self, ctx: SuperstepContext) -> dict[str, Any]:
+        return {"reached": F.sum(F.col("cap").isNotNull().cast("long"))}
+
+
+def widest_path(
+    graph: Graph,
+    source: int,
+    weight_col: str = "weight",
+    max_supersteps: int = 100,
+    **engine_kwargs,
+) -> DataFrame:
+    """(id, cap) — widest-path bottleneck capacity from ``source`` for
+    every reachable vertex; the source itself (cap = ∞) is excluded,
+    unreachable vertices are omitted (the '∞ not emitted' convention of
+    :func:`sssp`)."""
+    resume = engine_kwargs.pop("resume", False)
+    engine = BspEngine(graph, max_supersteps=max_supersteps, **engine_kwargs)
+    state, _ = engine.run(WidestPathProgram(source, weight_col), resume=resume)
+    return state.where(
+        F.col("cap").isNotNull() & (F.col("id") != source)
+    ).select("id", "cap")
+
+
 class SsspPathProgram(BspProgram):
     """Full Java SSSP surface
     (``computer-algorithm/.../path/shortest/SingleSourceShortestPath.java:40-285``):

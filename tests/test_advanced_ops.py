@@ -292,6 +292,26 @@ def test_sssp_paths_fixture(spark):
     assert got_u == {1: 0.0, 2: 1.0, 3: 1.0, 4: 2.0}
 
 
+def test_widest_path_fixture(spark):
+    """Maximin bottleneck: the wide detour must beat the short narrow
+    edge — the case that separates widest path from shortest path."""
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from incubator_hugegraph_computer_spark.operators.sssp import widest_path
+
+    # 1->4 direct but narrow (cap 2); 1->2->3->4 longer but wide
+    # (caps 10, 8, 9 -> bottleneck 8). Widest 1->4 = 8, shortest would
+    # have picked the direct edge.
+    edges = spark.createDataFrame(
+        [(1, 4, 2.0), (1, 2, 10.0), (2, 3, 8.0), (3, 4, 9.0), (2, 4, 5.0)],
+        "src long, dst long, weight double",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    g = Graph(verts, edges, num_partitions=4)
+    got = {r["id"]: r["cap"] for r in widest_path(g, source=1).collect()}
+    # vertex 5 unreachable -> omitted; source excluded
+    assert got == {2: 10.0, 3: 8.0, 4: 8.0}
+
+
 def test_sssp_paths_targets_early_stop(spark):
     """Once every listed target is reached, target vertices stop
     forwarding (isAllTargetsReached gate) — downstream vertices keep
