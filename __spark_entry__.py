@@ -519,6 +519,16 @@ def _q_build_layers(spark, sf_dir):
     return build_layers(orders_graph(spark, sf_dir))
 
 
+def _q_critical_path(spark, sf_dir):
+    """Weighted critical-path (PERT) schedule over the SCC condensation:
+    est = earliest start, finish = est + component cost; max(finish) is
+    the parallel-build wall-clock lower bound. Synthetic (id%7)+1 costs
+    keep the schedule SQL-replayable."""
+    from incubator_hugegraph_computer_spark.operators.code_graph import critical_path
+
+    return critical_path(orders_graph(spark, sf_dir))
+
+
 def _q_coupling(spark, sf_dir):
     from incubator_hugegraph_computer_spark.operators.code_graph import coupling_metrics
 
@@ -2560,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rings": _q_rings,
         "graph_scc": _q_scc,
         "graph_build_layers": _q_build_layers,
+        "graph_critical_path": _q_critical_path,
         "graph_coupling": _q_coupling,
         "graph_impact": _q_impact,
         "graph_sparsify": _q_sparsify,
@@ -4782,6 +4793,41 @@ cl(node, d) AS (
 SELECT s.id, s.scc, CAST(MAX(cl.d) AS BIGINT) AS layer
 FROM sccm s JOIN cl ON cl.node = s.scc
 GROUP BY s.id, s.scc
+"""
+
+    # critical path: same SCC/condensation CTEs as build_layers, with
+    # the max-plus recursion carrying summed component costs instead of
+    # +1 hops; integer arithmetic end to end (SUM cast to BIGINT — the
+    # HUGEINT-vs-bigint oracle-type lesson from round 2)
+    o["graph_critical_path"] = f"""
+WITH RECURSIVE {_G},
+r(a, b) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b
+),
+sccm AS (
+    SELECT x.a AS id, MIN(x.b) AS scc
+    FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+    GROUP BY x.a
+),
+csum AS (SELECT scc, CAST(SUM(id % 7 + 1) AS BIGINT) AS w FROM sccm GROUP BY scc),
+ce AS (
+    SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+    FROM e JOIN sccm sa ON sa.id = e.src JOIN sccm sb ON sb.id = e.dst
+    WHERE sa.scc <> sb.scc
+),
+cp(node, f, d) AS (
+    SELECT scc, w, 0 FROM csum
+    UNION
+    SELECT ce.dst, cp.f + c.w, cp.d + 1
+    FROM cp JOIN ce ON ce.src = cp.node JOIN csum c ON c.scc = ce.dst
+    WHERE cp.d < 200
+),
+fin AS (SELECT node, MAX(f) AS finish FROM cp GROUP BY node)
+SELECT s.id, s.scc, CAST(fin.finish - c.w AS BIGINT) AS est,
+       CAST(fin.finish AS BIGINT) AS finish
+FROM sccm s JOIN fin ON fin.node = s.scc JOIN csum c ON c.scc = s.scc
 """
 
     o["graph_coupling"] = f"""

@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
             "spam_mass", "hostrank", "opic", "crawl_schedule",
             "ktruss", "trussness", "ppr_sweep", "voterank",
             "leiden", "matching", "coarsen", "edge_betweenness",
-            "build_layers", "coupling", "impact", "sparsify", "cascade",
+            "build_layers", "critical_path", "coupling", "impact", "sparsify", "cascade",
             "bridges", "two_edge_components", "percolation", "percolation4",
             "transitive_reduction", "attack_tolerance", "eccentricity",
         ],
@@ -326,6 +326,7 @@ def run(args: argparse.Namespace) -> dict:
     from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
     from incubator_hugegraph_computer_spark.operators.code_graph import (
         build_layers as _build_layers,
+        critical_path as _critical_path,
         coupling_metrics as _coupling,
         impact_set as _impact,
     )
@@ -458,6 +459,7 @@ def run(args: argparse.Namespace) -> dict:
             graph, sample_rate=0.05, per_edge=True
         ),
         "build_layers": lambda: _build_layers(graph),
+        "critical_path": lambda: _critical_path(graph),
         "bridges": lambda: _bridges(graph),
         "two_edge_components": lambda: _two_ecc(graph),
         "percolation": lambda: _percolation(graph),

@@ -96,6 +96,88 @@ def build_layers(graph: Graph, max_depth: int = 200) -> DataFrame:
     return out
 
 
+def critical_path(
+    graph: Graph, costs: DataFrame | None = None, max_depth: int = 200
+) -> DataFrame:
+    """(id, scc, est, finish) — weighted critical-path (PERT) schedule
+    over the SCC condensation: ``est`` = earliest start (max finish of
+    any dependency chain into the vertex's component), ``finish`` =
+    est + component cost. max(finish) over the table is the critical
+    chain's length — the lower bound on wall-clock for a maximally
+    parallel build; the argmax chain is the critical path itself.
+
+    ``costs``: optional (id, cost) per-vertex cost table (e.g. measured
+    compile seconds, or bytes as a proxy); defaults to the
+    SQL-replayable ``(id % 7) + 1`` synthetic cost so the schedule is
+    oracle-checkable. Component cost = sum of member costs (a cycle
+    must build together). Same max-plus superstep loop as
+    :func:`build_layers` with (+ component cost) instead of (+1);
+    integer arithmetic throughout, so the oracle match is exact.
+
+    100 TB shape: identical to build_layers — the loop runs on the
+    condensation; the only full-width work is the final label join.
+    """
+    labels = scc(graph).persist()
+    if costs is None:
+        costs = graph.vertices.select(
+            "id", ((F.col("id") % 7) + 1).cast("long").alias("cost")
+        )
+    csum = (
+        labels.join(costs, "id")
+        .groupBy("scc")
+        .agg(F.sum("cost").alias("w"))
+        .withColumnRenamed("scc", "cid")
+        .persist()
+    )
+    cedges = condensation_edges(graph, labels).persist()
+    state = csum.select(
+        "cid", F.col("w").alias("finish"), F.lit(True).alias("chg")
+    ).persist()
+    for _ in range(max_depth):
+        msgs = (
+            state.where("chg")
+            .select(F.col("cid").alias("src"), "finish")
+            .join(cedges, "src")
+            .groupBy(F.col("dst").alias("cid"))
+            .agg(F.max("finish").alias("m"))
+        )
+        new = (
+            state.join(msgs, "cid", "left")
+            .join(csum, "cid")
+            .select(
+                "cid",
+                F.greatest(
+                    F.col("finish"), F.coalesce(F.col("m") + F.col("w"), F.col("finish"))
+                ).alias("finish"),
+                (
+                    F.coalesce(F.col("m") + F.col("w"), F.lit(-1)) > F.col("finish")
+                ).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        state.unpersist()
+        state = new
+        if state.where("chg").isEmpty():
+            break
+    out = (
+        labels.join(
+            state.select(F.col("cid").alias("scc"), "finish"), "scc"
+        )
+        .join(csum.select(F.col("cid").alias("scc"), "w"), "scc")
+        .select(
+            "id",
+            "scc",
+            (F.col("finish") - F.col("w")).alias("est"),
+            "finish",
+        )
+        .localCheckpoint(eager=True)
+    )
+    cedges.unpersist()
+    csum.unpersist()
+    labels.unpersist()
+    return out
+
+
 def coupling_metrics(graph: Graph) -> DataFrame:
     """(id, ca, ce, instability): Martin coupling per vertex. Ca =
     distinct in-neighbors (dependents), Ce = distinct out-neighbors

@@ -36,6 +36,29 @@ def test_build_layers_longest_path_wins(spark):
     assert rows[4] == 3
 
 
+def test_critical_path_weighted_schedule(spark):
+    """PERT over the condensation: cycle builds as one unit (summed
+    cost), est = max finish over dependency chains, and a heavier long
+    chain must beat a shorter direct edge."""
+    from incubator_hugegraph_computer_spark.operators.code_graph import critical_path
+
+    # costs (id%7)+1: 1->2, 2->3, 3->4, 4->5, 5->6
+    # cycle {1,2} (cost 2+3=5) -> 3 (4) -> 4 (5); also 1->4 direct;
+    # 5 isolated (cost 6)
+    g = Graph(
+        spark.createDataFrame([(i,) for i in range(1, 6)], "id long"),
+        spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 4), (1, 4)], "src long, dst long"
+        ),
+        num_partitions=4,
+    )
+    rows = {r["id"]: (r["scc"], r["est"], r["finish"]) for r in critical_path(g).collect()}
+    assert rows[1] == (1, 0, 5) and rows[2] == (1, 0, 5)  # cycle, summed cost
+    assert rows[3] == (3, 5, 9)          # starts after the cycle
+    assert rows[4] == (4, 9, 14)         # chain (9) beats direct edge (5)
+    assert rows[5] == (5, 0, 6)          # no deps: est 0
+
+
 def test_coupling_metrics(spark):
     g = _g(spark, [(1, 2), (1, 3), (2, 3), (3, 1)])
     rows = {r["id"]: r for r in coupling_metrics(g).collect()}
