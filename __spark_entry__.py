@@ -82,6 +82,13 @@ COPURCHASE_K = 100
 # convergence at sf0.01; the budget is declared semantics, replayed by
 # the oracle (post-convergence rounds are no-ops on both sides).
 COLOR_ROUNDS = 20
+# 1-WL color refinement: 3 rounds distinguishes depth-3 rooted trees —
+# the standard role-discovery horizon; the oracle unrolls the identical
+# md5 recurrence, so any round count is bit-replayable.
+WL_ROUNDS = 3
+# vertex-cut grid: 4×4 = 16 shards (replication bound R+C-1 = 7)
+VCUT_ROWS = 4
+VCUT_COLS = 4
 HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
 # Luby-MIS round budget: declared semantics replayed exactly by the
 # oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
@@ -2543,6 +2550,31 @@ def _q_feature_smooth(spark, sf_dir):
     return s.select("id", F.round("x", 6).alias("x"))
 
 
+def _q_wl_refine(spark, sf_dir):
+    """1-WL color refinement: md5-hash recurrence over sorted neighbor
+    color multisets — fully deterministic, oracle replays every round."""
+    from incubator_hugegraph_computer_spark.operators.wl import wl_refine
+
+    return wl_refine(orders_graph(spark, sf_dir), rounds=WL_ROUNDS)
+
+
+def _q_triad_census(spark, sf_dir):
+    """Closed-form undirected triad census (empty/one-edge/path/
+    triangle) from degree + triangle aggregates — never enumerates the
+    O(V³) triple space."""
+    from incubator_hugegraph_computer_spark.operators.motifs import triad_census
+
+    return triad_census(orders_graph(spark, sf_dir))
+
+
+def _q_vertex_cut(spark, sf_dir):
+    """PowerGraph-style 2-D grid edge placement vs 1-D edge hash:
+    max shard load + mean vertex replication (×10⁶, exact integer)."""
+    from incubator_hugegraph_computer_spark.operators.stats import vertex_cut_stats
+
+    return vertex_cut_stats(orders_graph(spark, sf_dir), rows=VCUT_ROWS, cols=VCUT_COLS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -2722,6 +2754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": _q_events_transitions,
         "events_sequences": _q_events_sequences,
         "events_heavy_hitters": _q_events_heavy_hitters,
+        "graph_wl_refine": _q_wl_refine,
+        "graph_triad_census": _q_triad_census,
+        "graph_vertex_cut": _q_vertex_cut,
     }
 
 
@@ -3362,6 +3397,32 @@ def _salsa_sql(iters: int) -> str:
         f"FROM a{iters} a JOIN h{iters} h ON h.id = a.id)"
     )
     return "\n".join(parts) + "\nSELECT id, auth, hub FROM fin"
+
+
+def _wl_sql(rounds: int) -> str:
+    """Unrolled 1-WL refinement matching operators/wl.py: c0 =
+    md5(degree), c_{t+1} = md5(c_t || '|' || sorted neighbor colors
+    joined by ',') — string-exact on both engines (md5 hex is
+    lowercase everywhere; hex strings sort identically under binary
+    collation)."""
+    parts = [
+        f"WITH {_G},",
+        "wdeg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),",
+        "wc0 AS MATERIALIZED (SELECT v.id, md5(COALESCE(wdeg.d, 0)::VARCHAR) AS c "
+        "FROM v LEFT JOIN wdeg USING(id)),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"wn{r} AS (SELECT e.src AS id, string_agg(p.c, ',' ORDER BY p.c) AS ns "
+            f"FROM sym e JOIN wc{r-1} p ON p.id = e.dst GROUP BY e.src),"
+        )
+        parts.append(
+            f"wc{r} AS MATERIALIZED (SELECT c.id, "
+            f"md5(c.c || '|' || COALESCE(n.ns, '')) AS c "
+            f"FROM wc{r-1} c LEFT JOIN wn{r} n USING(id)),"
+        )
+    parts.append(f"fin AS (SELECT id, c AS wl_color FROM wc{rounds})")
+    return "\n".join(parts) + "\nSELECT id, wl_color FROM fin"
 
 
 def _coloring_sql(rounds: int) -> str:
@@ -5438,6 +5499,66 @@ FROM ne, nr
 
     o["graph_salsa"] = _salsa_sql(SALSA_ITERS)
     o["graph_coloring"] = _coloring_sql(COLOR_ROUNDS)
+    o["graph_wl_refine"] = _wl_sql(WL_ROUNDS)
+
+    o["graph_triad_census"] = f"""
+WITH {_G},
+u AS MATERIALIZED (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b
+     FROM e WHERE src <> dst),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t3 FROM
+      (SELECT 1 FROM u e1 JOIN u e2 ON e2.a = e1.b
+       JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM u),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices FROM v),
+deg AS (SELECT id, COUNT(*) AS d FROM
+        (SELECT a AS id FROM u UNION ALL SELECT b FROM u) GROUP BY id),
+w AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS w FROM deg),
+agg AS (SELECT n.n_vertices, m.n_edges, w.w, t.t3,
+        CAST(w.w - 3 * t.t3 AS BIGINT) AS path,
+        CAST(m.n_edges * (n.n_vertices - 2)
+             - 2 * (w.w - 3 * t.t3) - 3 * t.t3 AS BIGINT) AS one
+        FROM n, m, w, t)
+SELECT n_vertices, n_edges,
+       CAST(n_vertices * (n_vertices - 1) * (n_vertices - 2) // 6
+            - one - path - t3 AS BIGINT) AS triads_empty,
+       one AS triads_one_edge, path AS triads_path,
+       t3 AS triads_triangle
+FROM agg
+"""
+
+    o["graph_vertex_cut"] = f"""
+WITH {_G},
+grid AS MATERIALIZED (SELECT src, dst,
+     (('0x' || substr(md5(src::VARCHAR || ':r'), 1, 8))::BIGINT % {VCUT_ROWS})
+       * {VCUT_COLS}
+     + (('0x' || substr(md5(dst::VARCHAR || ':c'), 1, 8))::BIGINT % {VCUT_COLS})
+     AS shard FROM e),
+oned AS MATERIALIZED (SELECT src, dst,
+     ('0x' || substr(md5(src::VARCHAR || '-' || dst::VARCHAR || ':e'), 1, 8))::BIGINT
+       % {VCUT_ROWS * VCUT_COLS} AS shard FROM e),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM v),
+g_mx AS (SELECT CAST(MAX(m) AS BIGINT) AS max_shard_edges FROM
+         (SELECT shard, COUNT(*) AS m FROM grid GROUP BY shard)),
+g_cp AS (SELECT CAST(COUNT(*) AS BIGINT) AS copies FROM
+         (SELECT DISTINCT id, shard FROM
+          (SELECT src AS id, shard FROM grid
+           UNION ALL SELECT dst, shard FROM grid))),
+o_mx AS (SELECT CAST(MAX(m) AS BIGINT) AS max_shard_edges FROM
+         (SELECT shard, COUNT(*) AS m FROM oned GROUP BY shard)),
+o_cp AS (SELECT CAST(COUNT(*) AS BIGINT) AS copies FROM
+         (SELECT DISTINCT id, shard FROM
+          (SELECT src AS id, shard FROM oned
+           UNION ALL SELECT dst, shard FROM oned)))
+SELECT 'grid2d' AS strategy, CAST({VCUT_ROWS * VCUT_COLS} AS BIGINT) AS n_shards,
+       g_mx.max_shard_edges,
+       CAST(g_cp.copies * 1000000 // nv.nv AS BIGINT) AS replication_x1m
+FROM g_mx, g_cp, nv
+UNION ALL
+SELECT 'edge_hash_1d', CAST({VCUT_ROWS * VCUT_COLS} AS BIGINT),
+       o_mx.max_shard_edges,
+       CAST(o_cp.copies * 1000000 // nv.nv AS BIGINT)
+FROM o_mx, o_cp, nv
+"""
 
     o["graph_motifs"] = f"""
 WITH {_G},

@@ -97,3 +97,73 @@ def motif_census(graph: Graph) -> DataFrame:
         "cyclic_triangles",
         "transitive_triangles",
     )
+
+
+def triad_census(graph: Graph) -> DataFrame:
+    """Undirected triad census in closed form — one row
+    (n_vertices, n_edges, triads_empty, triads_one_edge, triads_path,
+    triads_triangle).
+
+    Enumerating the O(V³) triple space is impossible at any scale; the
+    census follows from three O(E) aggregates by inclusion-exclusion
+    (Batagelj-Mrvar's subtraction scheme restricted to the undirected
+    4 classes):
+
+        W  = Σ_v C(deg_v, 2)            (wedges, closed or open)
+        T  = triangle count
+        Σ over triads of (#edges)  =  m·(n-2)
+        path (exactly 2 edges)     =  W - 3T
+        one-edge                   =  m·(n-2) - 2·(W-3T) - 3T
+        empty                      =  C(n,3) - rest
+
+    Physical shape: one degree groupBy (map-side combined) + the
+    degree-oriented triangle join from ``triangle_count.triangles`` —
+    nothing here grows faster than the triangle kernel, so the census
+    inherits its 100 TB story verbatim. All counts are exact longs
+    (C(n,3) overflows int64 only past n ≈ 3.8M·10³ — n itself would
+    exceed 10¹² vertices first).
+    """
+    from incubator_hugegraph_computer_spark.operators.triangle_count import (
+        triangles,
+        undirected_edges,
+    )
+
+    und = undirected_edges(graph.edges).localCheckpoint(eager=True)
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n = graph.vertices.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / F.lit(2)).cast("long"))
+        .cast("long")
+        .alias("w")
+    )
+    tri = triangles(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("t3"))  # one row per triangle
+
+    out = n.crossJoin(m).crossJoin(wedges).crossJoin(tri)  # one-row × one-row
+    t = F.coalesce(F.col("t3"), F.lit(0))
+    w = F.coalesce(F.col("w"), F.lit(0))
+    path = (w - 3 * t).cast("long")
+    one = (F.col("n_edges") * (F.col("n_vertices") - 2) - 2 * path - 3 * t).cast(
+        "long"
+    )
+    total = (
+        F.col("n_vertices")
+        * (F.col("n_vertices") - 1)
+        * (F.col("n_vertices") - 2)
+        / F.lit(6)
+    ).cast("long")
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        (total - one - path - t).cast("long").alias("triads_empty"),
+        one.alias("triads_one_edge"),
+        path.alias("triads_path"),
+        t.alias("triads_triangle"),
+    )

@@ -234,3 +234,80 @@ def partition_stats(graph: Graph, assignment=None, k: int = 32) -> DataFrame:
         F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
         F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
     )
+
+
+def vertex_cut_stats(graph: Graph, rows: int = 4, cols: int = 4) -> DataFrame:
+    """Vertex-cut (PowerGraph-style) placement quality vs. the 1-D
+    edge-hash baseline — one row per strategy:
+    (strategy, n_shards, max_shard_edges, replication_x1m).
+
+    Edge-partitioning is the standard answer to power-law skew that
+    edge-CUT placement (``partition_stats``) can't fix: a hub vertex's
+    edges are SPLIT across shards and its state replicated.  The 2-D
+    grid rule shards edge (u,v) → (h(u) mod R, h(v) mod C), bounding
+    every vertex's replication by R+C-1 regardless of degree — the
+    property that makes supersteps survive 10⁹-degree hubs at 10¹²
+    edges. The 1-D baseline (shard = h(u,v) mod R·C) bounds nothing:
+    a hub replicates onto min(deg, R·C) shards.
+
+    ``replication_x1m`` is the average number of shard copies per
+    vertex ×10⁶ as an exact long (sum_of_distinct_shard_memberships,
+    scaled — kept integral so the oracle comparison is float-free).
+    Hashes are md5-derived, replayed bit-identically by the oracle.
+
+    Scale shape: two map-only projections + groupBy distinct on
+    (vertex, shard) — map-side combined, no joins at all; the report
+    itself costs one pass over E.
+    """
+    from pyspark.sql import functions as F
+
+    p = rows * cols
+
+    def h(col, salt):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", col.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    e = graph.edges.select("src", "dst")
+    grid = e.select(
+        "src",
+        "dst",
+        ((h(F.col("src"), "r") % rows) * cols + (h(F.col("dst"), "c") % cols)).alias(
+            "shard"
+        ),
+    )
+    oned = e.select(
+        "src",
+        "dst",
+        (h(F.concat_ws("-", F.col("src"), F.col("dst")), "e") % p).alias("shard"),
+    )
+
+    def report(tagged, name):
+        load = tagged.groupBy("shard").agg(F.count(F.lit(1)).alias("m"))
+        mx = load.agg(F.max("m").cast("long").alias("max_shard_edges"))
+        members = (
+            tagged.select(F.col("src").alias("id"), "shard")
+            .unionAll(tagged.select(F.col("dst").alias("id"), "shard"))
+            .distinct()
+        )
+        rep = members.groupBy("id").agg(F.count(F.lit(1)).alias("r"))
+        nv = graph.vertices.agg(F.count(F.lit(1)).alias("nv"))
+        avg = rep.agg(F.sum("r").cast("long").alias("copies"))
+        return (
+            mx.crossJoin(avg)
+            .crossJoin(nv)  # one-row × one-row
+            .select(
+                F.lit(name).alias("strategy"),
+                F.lit(p).cast("long").alias("n_shards"),
+                "max_shard_edges",
+                # integer DIV: floor semantics match DuckDB's // exactly
+                # (a double divide + cast would round vs truncate apart)
+                F.expr("copies * CAST(1000000 AS BIGINT) DIV nv").alias(
+                    "replication_x1m"
+                ),
+            )
+        )
+
+    return report(grid, "grid2d").unionAll(report(oned, "edge_hash_1d"))
