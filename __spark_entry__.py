@@ -89,6 +89,18 @@ WL_ROUNDS = 3
 # vertex-cut grid: 4×4 = 16 shards (replication bound R+C-1 = 7)
 VCUT_ROWS = 4
 VCUT_COLS = 4
+# FastRP exact-integer variant: 8 dims, 3 propagation rounds, dyadic
+# iteration weights — every intermediate is an exact int64 on both
+# engines (see operators/embeddings.py:fastrp_embed)
+FASTRP_DIM = 8
+FASTRP_ITERS = 3
+FASTRP_SEED = 42
+FASTRP_WEIGHTS = (1, 4, 16)
+# temporal reachability: derived edge timestamp rule (SQL-expressible,
+# replayed by the oracle) + hop budget
+TREACH_TS_SQL = "(src * 7 + dst * 13) % 100"
+TREACH_HOPS = 8
+PMI_MIN_PAIR = 5  # PMI collocation graph: minimum co-document count
 HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
 # Luby-MIS round budget: declared semantics replayed exactly by the
 # oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
@@ -2575,6 +2587,46 @@ def _q_vertex_cut(spark, sf_dir):
     return vertex_cut_stats(orders_graph(spark, sf_dir), rows=VCUT_ROWS, cols=VCUT_COLS)
 
 
+def _q_fastrp(spark, sf_dir):
+    """FastRP structural embeddings, exact-integer variant — every
+    value an int64 so the unrolled oracle is float-free."""
+    from incubator_hugegraph_computer_spark.operators.embeddings import fastrp_embed
+
+    return fastrp_embed(
+        orders_graph(spark, sf_dir),
+        dim=FASTRP_DIM,
+        iters=FASTRP_ITERS,
+        seed=FASTRP_SEED,
+        weights=FASTRP_WEIGHTS,
+    )
+
+
+def _q_temporal_reach(spark, sf_dir):
+    """Earliest-arrival time-respecting reachability from the SSSP
+    source under the declared edge-timestamp rule."""
+    from incubator_hugegraph_computer_spark.operators.bfs import temporal_reachability
+
+    g = orders_graph(spark, sf_dir)
+    from incubator_hugegraph_computer_spark.graph import Graph
+
+    tg = Graph(
+        g.vertices,
+        g.edges.withColumn(
+            "ts", ((F.col("src") * 7 + F.col("dst") * 13) % 100).cast("long")
+        ),
+        prepartitioned=True,
+    )
+    return temporal_reachability(tg, source=SSSP_SOURCE, max_hops=TREACH_HOPS)
+
+
+def _q_docs_pmi_graph(spark, sf_dir):
+    """PMI token-collocation edge table over the documents corpus."""
+    from incubator_hugegraph_computer_spark.functions.text import pmi_cooccurrence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_cooccurrence(docs, min_pair=PMI_MIN_PAIR)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -2757,6 +2809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wl_refine": _q_wl_refine,
         "graph_triad_census": _q_triad_census,
         "graph_vertex_cut": _q_vertex_cut,
+        "graph_fastrp": _q_fastrp,
+        "graph_temporal_reach": _q_temporal_reach,
+        "docs_pmi_graph": _q_docs_pmi_graph,
     }
 
 
@@ -3423,6 +3478,63 @@ def _wl_sql(rounds: int) -> str:
         )
     parts.append(f"fin AS (SELECT id, c AS wl_color FROM wc{rounds})")
     return "\n".join(parts) + "\nSELECT id, wl_color FROM fin"
+
+
+def _fastrp_sql(dim: int, iters: int, seed: int, weights: tuple) -> str:
+    """Unrolled exact-integer FastRP matching
+    operators/embeddings.py:fastrp_embed — md5-seeded sparse signs,
+    SUM-aggregated propagation, integer iteration weights; every value
+    is an int64 on both engines."""
+    parts = [
+        f"WITH {_G},",
+        f"dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS d),",
+        f"f0 AS MATERIALIZED (SELECT v.id, dims.d, CAST(CASE "
+        f"(('0x' || substr(md5(v.id::VARCHAR || ':' || dims.d::VARCHAR || "
+        f"':{seed}'), 1, 8))::BIGINT % 6) "
+        f"WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS BIGINT) AS x "
+        f"FROM v, dims),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT b.id, b.d, "
+            f"CAST(COALESCE(a.sx, 0) AS BIGINT) AS x FROM "
+            f"(SELECT id, d FROM f0) b LEFT JOIN "
+            f"(SELECT e.src AS id, s.d, SUM(s.x) AS sx FROM sym e "
+            f"JOIN f{t-1} s ON s.id = e.dst GROUP BY e.src, s.d) a "
+            f"USING (id, d)),"
+        )
+    terms = " + ".join(
+        f"f{t}.x * {int(weights[t - 1])}" for t in range(1, iters + 1)
+    )
+    joins = " ".join(f"JOIN f{t} USING (id, d)" for t in range(2, iters + 1))
+    parts.append(
+        f"fin AS (SELECT f1.id, f1.d, CAST({terms} AS BIGINT) AS f "
+        f"FROM f1 {joins})"
+    )
+    return "\n".join(parts) + "\nSELECT id, d, f FROM fin"
+
+
+def _treach_sql(hops: int) -> str:
+    """Unrolled earliest-arrival temporal reachability matching
+    operators/bfs.py:temporal_reachability under the declared
+    timestamp rule (src*7 + dst*13) % 100."""
+    parts = [
+        f"WITH {_G},",
+        f"te AS MATERIALIZED (SELECT src, dst, "
+        f"CAST({TREACH_TS_SQL} AS BIGINT) AS ts FROM e),",
+        f"a0 AS (SELECT CAST({SSSP_SOURCE} AS BIGINT) AS id, "
+        f"CAST(-1 AS BIGINT) AS arrival),",
+    ]
+    for r in range(1, hops + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT id, CAST(MIN(arrival) AS BIGINT) "
+            f"AS arrival FROM ("
+            f"SELECT id, arrival FROM a{r-1} UNION ALL "
+            f"SELECT t.dst, t.ts FROM te t JOIN a{r-1} p "
+            f"ON p.id = t.src AND t.ts >= p.arrival) GROUP BY id),"
+        )
+    parts.append(f"fin AS (SELECT id, arrival FROM a{hops})")
+    return "\n".join(parts) + "\nSELECT id, arrival FROM fin"
 
 
 def _coloring_sql(rounds: int) -> str:
@@ -5500,6 +5612,26 @@ FROM ne, nr
     o["graph_salsa"] = _salsa_sql(SALSA_ITERS)
     o["graph_coloring"] = _coloring_sql(COLOR_ROUNDS)
     o["graph_wl_refine"] = _wl_sql(WL_ROUNDS)
+    o["graph_fastrp"] = _fastrp_sql(
+        FASTRP_DIM, FASTRP_ITERS, FASTRP_SEED, FASTRP_WEIGHTS
+    )
+    o["graph_temporal_reach"] = _treach_sql(TREACH_HOPS)
+
+    o["docs_pmi_graph"] = f"""
+WITH {_TOKS},
+toksd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(l) AS tok FROM toks),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+tdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toksd GROUP BY tok),
+pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+          CAST(COUNT(*) AS BIGINT) AS n_pair
+          FROM toksd a JOIN toksd b ON b.doc_id = a.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_PAIR})
+SELECT p.tok_a, p.tok_b, p.n_pair,
+       ROUND(LN(p.n_pair * nd.n / (da.df * db.df)), 6) AS pmi
+FROM pairs p
+JOIN tdf da ON da.tok = p.tok_a
+JOIN tdf db ON db.tok = p.tok_b, nd
+"""
 
     o["graph_triad_census"] = f"""
 WITH {_G},

@@ -597,3 +597,57 @@ def winnow_fingerprints(
         .distinct()
     )
     return picked
+
+
+def pmi_cooccurrence(
+    documents: DataFrame, min_pair: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Pointwise-mutual-information token co-occurrence graph —
+    (tok_a, tok_b, n_pair, pmi), one row per unordered token pair that
+    co-occurs (document-level presence) in >= ``min_pair`` documents.
+
+    pmi = ln(P(a,b) / (P(a)·P(b))) = ln(n_pair·N / (df_a·df_b)) over
+    document frequencies — the classic collocation / topic-graph edge
+    weight; the output IS an edge table, feeding the graph operators
+    (e.g. louvain over PMI edges = topic clustering).
+
+    Physical shape: explode per-doc DISTINCT tokens (bounded by doc
+    length), self-join within doc_id for pairs (quadratic in per-doc
+    vocab, linear in corpus), map-side-combined counts, broadcast of
+    the one-row N. ``min_pair`` prunes the long tail BEFORE the df
+    join. At 100 TB add a df floor on single tokens first — same
+    pattern as tfidf's vocabulary pruning.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok")
+    ).localCheckpoint(eager=True)
+    n_docs = documents.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    pairs = (
+        toks.alias("a")
+        .join(toks.alias("b"), "doc_id")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair)
+    )
+    return (
+        pairs.join(df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a")), "tok_a")
+        .join(df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b")), "tok_b")
+        .crossJoin(F.broadcast(n_docs))  # one-row scalar
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    * F.col("n")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -128,3 +128,60 @@ def eccentricity(
         F.coalesce("ecc", F.lit(0).cast("long")).alias("ecc"),
         F.coalesce("n_reached", F.lit(0).cast("long")).alias("n_reached"),
     )
+
+
+def temporal_reachability(
+    graph: Graph,
+    source: int,
+    ts_col: str = "ts",
+    max_hops: int = 8,
+) -> DataFrame:
+    """Earliest-arrival time-respecting reachability — (id, arrival)
+    for every vertex reachable from ``source`` along directed paths
+    whose edge timestamps are non-decreasing, within ``max_hops``.
+
+    The temporal analogue of SSSP (``vermeer/algorithms/sssp.go`` is
+    the static case): an edge (u, v, ts) is traversable only when
+    ts >= arrival(u), and arrival(v) relaxes to the minimum such ts.
+    Earliest-arrival is label-correcting, so the superstep recurrence
+
+        arr_{t+1}(v) = min(arr_t(v), min{ts : (u,v,ts) ∈ E, ts >= arr_t(u)})
+
+    converges in <= max_hops rounds for hop-bounded semantics (declared
+    budget, replayed by the oracle). The source starts at arrival -1
+    (may leave on any edge).
+
+    Scale: per round one |E|-row hash join + min-combine — identical
+    shuffle shape to one SSSP superstep; state is one long per reached
+    vertex, lineage cut per round. Monotone (arrivals only decrease,
+    reached set only grows), so no frontier bookkeeping is needed for
+    correctness; rounds after convergence are no-ops.
+    """
+    from pyspark.sql import functions as F
+
+    edges = graph.edges.select("src", "dst", ts_col).localCheckpoint(eager=True)
+    arr = graph.vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(-1)).cast("long").alias("arrival"),
+    ).where(F.col("arrival").isNotNull())
+    for _ in range(max_hops):
+        relax = (
+            edges.join(arr.withColumnRenamed("id", "src"), "src")
+            .where(F.col(ts_col) >= F.col("arrival"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(ts_col).cast("long").alias("cand"))
+        )
+        arr = (
+            arr.join(relax, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("arrival", F.lit(2**62)),
+                    F.coalesce("cand", F.lit(2**62)),
+                )
+                .cast("long")
+                .alias("arrival"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return arr

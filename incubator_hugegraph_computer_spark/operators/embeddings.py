@@ -81,3 +81,92 @@ def node2vec_embeddings(
         F.col("word").cast("long").alias("id"),
         vector_to_array(F.col("vector")).alias("embedding"),
     )
+
+
+def fastrp_embed(
+    graph: Graph,
+    dim: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+    weights: tuple = (1, 4, 16),
+) -> DataFrame:
+    """FastRP-style structural embeddings (Chen et al. 2019), exact-
+    integer variant — (id, d, f) long-format, one row per vertex-dim.
+
+    r0 = sparse random sign projection (md5-seeded: +1/-1 each w.p.
+    1/6, else 0); r_t = A·r_{t-1} over the symmetrized adjacency
+    (SUM aggregator, not mean); output = Σ_t weights[t-1]·r_t. Using
+    the un-normalized sum aggregator with integer weights keeps every
+    intermediate an exact int64, so the unrolled SQL oracle matches
+    bit-for-bit with no float rounding anywhere — the degree
+    normalization and final L2 step of the paper only rescale each
+    vertex's vector, which downstream cosine similarity ignores.
+
+    Scale: each iteration is ONE message-pass shuffle of |E|·dim rows
+    (same join-aggregate as a PageRank superstep, dim-fold wider) with
+    map-side combine; state is V·dim longs, lineage cut per round.
+    This is the cheap embedding path vs node2vec (no walks, no ML fit)
+    — the standard choice at 10¹²-edge scale.
+    """
+    from pyspark.sql import functions as F
+
+    sym = graph.symmetrized().edges.select("src", "dst").localCheckpoint(eager=True)
+    dims = F.array(*[F.lit(j).cast("long") for j in range(dim)])
+    bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("id").cast("string"),
+                    F.col("d").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long") % 6
+    state = (
+        graph.vertices.select("id", F.explode(dims).alias("d"))
+        .select(
+            "id",
+            "d",
+            F.when(bucket == 0, F.lit(1))
+            .when(bucket == 1, F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    vd = state.select("id", "d")
+    acc = None
+    for t in range(min(iters, len(weights))):
+        nxt = (
+            sym.join(
+                state.select(
+                    F.col("id").alias("dst"), "d", F.col("x").alias("nx")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "d")
+            .agg(F.sum("nx").cast("long").alias("x"))
+        )
+        state = (
+            vd.join(nxt, ["id", "d"], "left")
+            .select("id", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        w = int(weights[t])
+        term = state.select("id", "d", (F.col("x") * F.lit(w)).alias("wx"))
+        if acc is None:
+            acc = term
+        else:
+            acc = (
+                acc.join(term.withColumnRenamed("wx", "wx2"), ["id", "d"])
+                .select("id", "d", (F.col("wx") + F.col("wx2")).alias("wx"))
+                .localCheckpoint(eager=True)
+            )
+    return acc.select("id", "d", F.col("wx").cast("long").alias("f"))
