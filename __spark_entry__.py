@@ -101,6 +101,14 @@ FASTRP_WEIGHTS = (1, 4, 16)
 TREACH_TS_SQL = "(src * 7 + dst * 13) % 100"
 TREACH_HOPS = 8
 PMI_MIN_PAIR = 5  # PMI collocation graph: minimum co-document count
+# batched multi-source PPR: seed set = every vertex with id <= 8 (the
+# landmark convention), same damping/iteration contract as graph_ppr
+PPRB_SEED_MAX = 8
+PIC_ITERS = 6  # power-iteration-clustering embedding steps
+# containment dedup: 3-gram shingles, Broder containment >= 0.6, same
+# df cap as the jaccard path
+CONTAIN_TAU = 0.6
+CONTAIN_MAXDF = 1000
 HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
 # Luby-MIS round budget: declared semantics replayed exactly by the
 # oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
@@ -2627,6 +2635,39 @@ def _q_docs_pmi_graph(spark, sf_dir):
     return pmi_cooccurrence(docs, min_pair=PMI_MIN_PAIR)
 
 
+def _q_ppr_batch(spark, sf_dir):
+    """Batched landmark PPR: all seeds advance in ONE superstep
+    sequence (sparse (seed, id) state) — |S| sequential barrier
+    chains collapsed into one."""
+    from incubator_hugegraph_computer_spark.operators.ppr import ppr_batch
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") <= PPRB_SEED_MAX).select(
+        F.col("id").alias("seed")
+    )
+    out = ppr_batch(g, seeds, iterations=PPR_ITERS)
+    return out.select("seed", "id", F.round("rank", 6).alias("rank"))
+
+
+def _q_pic(spark, sf_dir):
+    """Power-iteration-clustering embedding (Lin & Cohen): truncated
+    power iteration on D⁻¹A with L1 renormalization."""
+    from incubator_hugegraph_computer_spark.operators.pic import pic_scores
+
+    return pic_scores(orders_graph(spark, sf_dir), iterations=PIC_ITERS)
+
+
+def _q_docs_containment(spark, sf_dir):
+    """Broder containment pairs — the asymmetric dedup filter that
+    catches sub-document inclusion Jaccard misses."""
+    from incubator_hugegraph_computer_spark.functions.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(
+        docs, n=3, threshold=CONTAIN_TAU, max_shingle_freq=CONTAIN_MAXDF
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -2812,6 +2853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_fastrp": _q_fastrp,
         "graph_temporal_reach": _q_temporal_reach,
         "docs_pmi_graph": _q_docs_pmi_graph,
+        "graph_ppr_batch": _q_ppr_batch,
+        "graph_pic": _q_pic,
+        "docs_containment": _q_docs_containment,
     }
 
 
@@ -3512,6 +3556,76 @@ def _fastrp_sql(dim: int, iters: int, seed: int, weights: tuple) -> str:
         f"FROM f1 {joins})"
     )
     return "\n".join(parts) + "\nSELECT id, d, f FROM fin"
+
+
+def _ppr_batch_sql(iters: int, seed_max: int, damping: float = 0.85) -> str:
+    """Unrolled batched multi-source PPR matching operators/ppr.py:
+    ppr_batch — sparse (seed, id) state, per-seed dangling return,
+    identical recurrence to _ppr_ctes per seed."""
+    parts = [
+        f"WITH {_G},",
+        f"seeds AS MATERIALIZED (SELECT id AS seed FROM v WHERE id <= {seed_max}),",
+        "deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "q0 AS MATERIALIZED (SELECT seed, seed AS id, 1.0 AS rank FROM seeds),",
+    ]
+    for k in range(1, iters + 1):
+        p = f"q{k-1}"
+        parts.append(
+            f"bm{k} AS MATERIALIZED (SELECT p.seed, e.dst AS id, "
+            f"SUM(p.rank/d.outdeg) AS s FROM {p} p "
+            f"JOIN deg d ON d.id=p.id JOIN e ON e.src=p.id GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"bd{k} AS (SELECT s.seed, COALESCE(x.dm, 0) AS dm FROM seeds s "
+            f"LEFT JOIN (SELECT p.seed, SUM(p.rank) AS dm FROM {p} p "
+            f"LEFT JOIN deg d ON d.id=p.id WHERE d.id IS NULL GROUP BY 1) x "
+            f"USING (seed)),"
+        )
+        parts.append(
+            f"sup{k} AS (SELECT seed, id FROM bm{k} "
+            f"UNION SELECT seed, seed FROM seeds),"
+        )
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT u.seed, u.id, "
+            f"(1.0-{damping})*(CASE WHEN u.id=u.seed THEN 1.0 ELSE 0.0 END) + "
+            f"{damping}*(COALESCE(m.s, 0.0) + d.dm*"
+            f"(CASE WHEN u.id=u.seed THEN 1.0 ELSE 0.0 END)) AS rank "
+            f"FROM sup{k} u LEFT JOIN bm{k} m ON m.seed=u.seed AND m.id=u.id "
+            f"JOIN bd{k} d ON d.seed=u.seed),"
+        )
+    parts.append(
+        f"fin AS (SELECT seed, id, ROUND(rank, 6) AS rank FROM q{iters} "
+        f"WHERE rank > 0)"
+    )
+    return "\n".join(parts) + "\nSELECT seed, id, rank FROM fin"
+
+
+def _pic_sql(iters: int) -> str:
+    """Unrolled PIC matching operators/pic.py: v0 = deg/vol, one
+    D⁻¹A message pass + L1 renormalization per step."""
+    parts = [
+        f"WITH {_G},",
+        "pdeg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),",
+        "pvol AS (SELECT CAST(SUM(d) AS DOUBLE) AS vol FROM pdeg),",
+        "pv0 AS MATERIALIZED (SELECT id, d, d / (SELECT vol FROM pvol) AS x "
+        "FROM pdeg),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"pw{t} AS (SELECT e.src AS id, SUM(p.x) AS s FROM sym e "
+            f"JOIN pv{t-1} p ON p.id = e.dst GROUP BY 1),"
+        )
+        parts.append(
+            f"px{t} AS MATERIALIZED (SELECT v.id, v.d, w.s / v.d AS x "
+            f"FROM pv{t-1} v JOIN pw{t} w USING (id)),"
+        )
+        parts.append(f"pn{t} AS (SELECT SUM(x) AS n1 FROM px{t}),")
+        parts.append(
+            f"pv{t} AS MATERIALIZED (SELECT id, d, "
+            f"x / (SELECT n1 FROM pn{t}) AS x FROM px{t}),"
+        )
+    parts.append(f"fin AS (SELECT id, ROUND(x, 6) AS pic FROM pv{iters})")
+    return "\n".join(parts) + "\nSELECT id, pic FROM fin"
 
 
 def _treach_sql(hops: int) -> str:
@@ -5616,6 +5730,28 @@ FROM ne, nr
         FASTRP_DIM, FASTRP_ITERS, FASTRP_SEED, FASTRP_WEIGHTS
     )
     o["graph_temporal_reach"] = _treach_sql(TREACH_HOPS)
+    o["graph_ppr_batch"] = _ppr_batch_sql(PPR_ITERS, PPRB_SEED_MAX)
+    o["graph_pic"] = _pic_sql(PIC_ITERS)
+
+    o["docs_containment"] = f"""
+WITH {_TOKS},
+{_TOKPOS},
+{_SHINGLES},
+okdf AS (SELECT shingle FROM
+         (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1)
+         WHERE c <= {CONTAIN_MAXDF}),
+shf AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh
+                     JOIN okdf USING (shingle)),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM shf a JOIN shf b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(i AS DOUBLE) / sa.n_sh, 6) AS containment
+FROM inter JOIN sz sa ON sa.doc_id = doc_a
+WHERE CAST(i AS DOUBLE) / sa.n_sh >= {CONTAIN_TAU}
+"""
 
     o["docs_pmi_graph"] = f"""
 WITH {_TOKS},

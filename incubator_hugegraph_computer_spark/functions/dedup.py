@@ -665,3 +665,58 @@ def lsh_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, containment) — ordered pairs where containment =
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold, a ≠ b.
+
+    The ASYMMETRIC companion to ``ngram_jaccard_pairs``: Jaccard misses
+    sub-document inclusion (a paragraph quoted inside a much longer
+    page scores near 0 Jaccard but containment ≈ 1 from the paragraph's
+    side) — the standard filter for boilerplate inclusion and quote
+    chains in web-scale corpora (Broder's containment, the other half
+    of the resemblance/containment pair that MinHash was built for).
+
+    Same frequency-filtered shingle space discipline as
+    ``ngram_jaccard_pairs`` (both numerator and denominator exclude
+    saturated shingles), same bucket-then-verify scale shape — the
+    candidate join touches only co-shingled pairs.
+    """
+    sh = shingles(documents, n, text_col).persist()
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_shingle_freq)
+        .select("shingle")
+    )
+    sh_f = sh.join(freq_ok, "shingle", "left_semi")
+    sizes = sh_f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_f.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_f.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("size_a"))
+    out = (
+        inter.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter").cast("double") / F.col("size_a")).alias("c"),
+        )
+        .where(F.col("c") >= threshold)
+        .select("doc_a", "doc_b", F.round("c", 6).alias("containment"))
+        .localCheckpoint(eager=True)  # then release the shingle cache
+    )
+    sh.unpersist()
+    return out

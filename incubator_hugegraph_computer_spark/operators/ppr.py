@@ -161,3 +161,77 @@ def ppr_sweep(
     denom = F.least(F.col("vol"), F.lit(vol_total) - F.col("vol"))
     phi = F.when(denom > 0, F.col("cut").cast("double") / denom.cast("double"))
     return curve.select("pos", "id", F.round(phi, 6).alias("phi"))
+
+
+def ppr_batch(
+    graph: Graph,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Batched multi-source personalized PageRank — (seed, id, rank)
+    for every (seed, vertex) pair with rank > 0 after ``iterations``
+    fixed supersteps. ``seeds``: a one-column (seed) DataFrame.
+
+    The landmark-PPR building block (proximity features, personalized
+    search, seed-set expansion): instead of |S| sequential PPR runs,
+    ONE iteration space keyed by (seed, id) runs all sources
+    simultaneously — the classic batching trick that turns |S| barrier
+    sequences into one, cutting superstep count |S|-fold (the same
+    argument as the stride schedules in BENCH.md, applied across
+    queries instead of within one).
+
+    State is SPARSE: only (seed, id) pairs with nonzero rank
+    materialize (rank mass reaches a vertex only along edges, so
+    support = reached set). Per superstep: one |E|⋈|state| hash join
+    (message pass), one per-seed dangling aggregate (map-side
+    combined, |S| rows), one support union. Per-vertex allclose to the
+    sequential ``ppr`` at every seed by construction — identical
+    recurrence, identical float order class.
+
+    Scale: state rows ≤ Σ_s |reach_s|; for hub-free seeds this stays
+    near |S|·avg-reach. Skew concentrates on (seed, hub) rows — AQE
+    skew-join handles the message pass exactly as for single-source.
+    """
+    e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    seeds = seeds.select(F.col(seeds.columns[0]).alias("seed")).localCheckpoint(
+        eager=True
+    )
+    state = seeds.select("seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        wd = state.join(deg, "id", "left")
+        msg = (
+            wd.where(F.col("outdeg").isNotNull())
+            .join(e, wd["id"] == e["src"])
+            .groupBy("seed", F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("s"))
+        )
+        dang = seeds.join(
+            wd.where(F.col("outdeg").isNull()).groupBy("seed").agg(
+                F.sum("rank").alias("dm")
+            ),
+            "seed",
+            "left",
+        ).select("seed", F.coalesce("dm", F.lit(0.0)).alias("dm"))
+        sup = (
+            msg.select("seed", "id")
+            .union(seeds.select("seed", F.col("seed").alias("id")))
+            .distinct()
+        )
+        is_seed = (F.col("id") == F.col("seed")).cast("double")
+        state = (
+            sup.join(msg, ["seed", "id"], "left")
+            .join(dang, "seed")
+            .select(
+                "seed",
+                "id",
+                (
+                    F.lit(1.0 - damping) * is_seed
+                    + F.lit(damping)
+                    * (F.coalesce("s", F.lit(0.0)) + F.col("dm") * is_seed)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.where(F.col("rank") > 0)
