@@ -109,6 +109,13 @@ PIC_ITERS = 6  # power-iteration-clustering embedding steps
 # df cap as the jaccard path
 CONTAIN_TAU = 0.6
 CONTAIN_MAXDF = 1000
+# continuous label spreading: same seed rule as seeded LPA
+# (id <= SEEDED_MAX, class = id % SEEDED_CLASSES), dyadic alpha
+LS_ROUNDS = 5
+LS_ALPHA = 0.5
+# bit-parallel multi-source BFS: seeds = id <= 32, bit = id % 63
+MSBFS_SEED_MAX = 32
+MSBFS_HOPS = 8
 HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
 # Luby-MIS round budget: declared semantics replayed exactly by the
 # oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
@@ -2668,6 +2675,29 @@ def _q_docs_containment(spark, sf_dir):
     )
 
 
+def _q_label_spread(spark, sf_dir):
+    """Continuous (Zhu-Ghahramani) label spreading under the seeded-LPA
+    seed rule; long-format class scores, no argmax (ULP-safe)."""
+    from incubator_hugegraph_computer_spark.operators.smoothing import label_spread
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") <= SEEDED_MAX).select(
+        "id", (F.col("id") % SEEDED_CLASSES).cast("long").alias("c")
+    )
+    out = label_spread(g, seeds, rounds=LS_ROUNDS, alpha=LS_ALPHA)
+    return out.select("id", "c", F.round("f", 6).alias("f"))
+
+
+def _q_msbfs(spark, sf_dir):
+    """Bit-parallel multi-source BFS: 32 seeds in one wavefront via
+    int64 masks + bit_or combiner — exact integers end-to-end."""
+    from incubator_hugegraph_computer_spark.operators.bfs import msbfs_reach
+
+    return msbfs_reach(
+        orders_graph(spark, sf_dir), seed_max=MSBFS_SEED_MAX, max_hops=MSBFS_HOPS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -2856,6 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr_batch": _q_ppr_batch,
         "graph_pic": _q_pic,
         "docs_containment": _q_docs_containment,
+        "graph_label_spread": _q_label_spread,
+        "graph_msbfs": _q_msbfs,
     }
 
 
@@ -3626,6 +3658,65 @@ def _pic_sql(iters: int) -> str:
         )
     parts.append(f"fin AS (SELECT id, ROUND(x, 6) AS pic FROM pv{iters})")
     return "\n".join(parts) + "\nSELECT id, pic FROM fin"
+
+
+def _label_spread_sql(
+    rounds: int, seed_max: int, classes: int, alpha: float
+) -> str:
+    """Unrolled continuous label spreading matching
+    operators/smoothing.py:label_spread (clamped seeds, sym adjacency,
+    per-class degree-normalized sums)."""
+    parts = [
+        f"WITH {_G},",
+        "ldeg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),",
+        f"lseeds AS MATERIALIZED (SELECT id, CAST(id % {classes} AS BIGINT) AS c, "
+        f"1.0 AS y FROM v WHERE id <= {seed_max}),",
+        "l0 AS MATERIALIZED (SELECT id, c, y AS f FROM lseeds),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"lm{r} AS MATERIALIZED (SELECT e.dst AS id, p.c, "
+            f"SUM(p.f / d.deg) AS s FROM l{r-1} p "
+            f"JOIN ldeg d ON d.id = p.id JOIN sym e ON e.src = p.id "
+            f"GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"lsup{r} AS (SELECT id, c FROM lm{r} "
+            f"UNION SELECT id, c FROM lseeds),"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT u.id, u.c, "
+            f"{alpha}*COALESCE(m.s, 0.0) + {1.0 - alpha}*COALESCE(y.y, 0.0) AS f "
+            f"FROM lsup{r} u LEFT JOIN lm{r} m ON m.id = u.id AND m.c = u.c "
+            f"LEFT JOIN lseeds y ON y.id = u.id AND y.c = u.c),"
+        )
+    parts.append(
+        f"fin AS (SELECT id, c, ROUND(f, 6) AS f FROM l{rounds} WHERE f > 0)"
+    )
+    return "\n".join(parts) + "\nSELECT id, c, f FROM fin"
+
+
+def _msbfs_sql(hops: int, seed_max: int) -> str:
+    """Unrolled bit-parallel multi-source BFS matching
+    operators/bfs.py:msbfs_reach — int64 masks, bit_or combiner."""
+    parts = [
+        f"WITH {_G},",
+        f"r0 AS MATERIALIZED (SELECT id, "
+        f"(1::BIGINT << CAST(id % 63 AS INT)) AS mask "
+        f"FROM v WHERE id <= {seed_max}),",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT id, CAST(bit_or(mask) AS BIGINT) "
+            f"AS mask FROM (SELECT id, mask FROM r{k-1} UNION ALL "
+            f"SELECT e.dst, p.mask FROM e JOIN r{k-1} p ON p.id = e.src) "
+            f"GROUP BY id),"
+        )
+    parts.append(
+        f"fin AS (SELECT id, mask AS reach_mask, "
+        f"CAST(bit_count(mask) AS BIGINT) AS n_src FROM r{hops})"
+    )
+    return "\n".join(parts) + "\nSELECT id, reach_mask, n_src FROM fin"
 
 
 def _treach_sql(hops: int) -> str:
@@ -5732,6 +5823,10 @@ FROM ne, nr
     o["graph_temporal_reach"] = _treach_sql(TREACH_HOPS)
     o["graph_ppr_batch"] = _ppr_batch_sql(PPR_ITERS, PPRB_SEED_MAX)
     o["graph_pic"] = _pic_sql(PIC_ITERS)
+    o["graph_label_spread"] = _label_spread_sql(
+        LS_ROUNDS, SEEDED_MAX, SEEDED_CLASSES, LS_ALPHA
+    )
+    o["graph_msbfs"] = _msbfs_sql(MSBFS_HOPS, MSBFS_SEED_MAX)
 
     o["docs_containment"] = f"""
 WITH {_TOKS},

@@ -185,3 +185,57 @@ def temporal_reachability(
             .localCheckpoint(eager=True)
         )
     return arr
+
+
+def msbfs_reach(
+    graph: Graph,
+    seed_max: int = 32,
+    max_hops: int = 8,
+) -> DataFrame:
+    """Bit-parallel multi-source BFS (MS-BFS, Then et al. VLDB'14) —
+    (id, reach_mask, n_src) for every vertex reached by at least one
+    seed, where bit (s % 63) of ``reach_mask`` is set iff seed s
+    (every vertex with id <= seed_max) reaches the vertex within
+    ``max_hops`` directed hops.
+
+    One BFS wavefront carries ALL sources as a single int64 bitmask
+    with bit_or as the combiner — 63 BFS traversals for the shuffle
+    cost of one. This is the batching primitive behind the sampled
+    closeness/betweenness estimators; exact integers end-to-end, so
+    the unrolled oracle replays it bit-for-bit.
+
+    Scale: per round one |E| hash join + bit_or map-side combine;
+    state one long per reached vertex. Monotone (masks only gain
+    bits), so converged rounds are no-ops. For >63 sources, run
+    ⌈S/63⌉ passes — still S/63× fewer shuffles than one-at-a-time.
+    """
+    from pyspark.sql import functions as F
+
+    e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    state = (
+        graph.vertices.where(F.col("id") <= seed_max)
+        .select(
+            "id",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 63 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        msg = (
+            e.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.expr("bit_or(mask)").alias("mask"))
+        )
+        state = (
+            state.union(msg)
+            .groupBy("id")
+            .agg(F.expr("bit_or(mask)").cast("long").alias("mask"))
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "id",
+        F.col("mask").alias("reach_mask"),
+        F.bit_count("mask").cast("long").alias("n_src"),
+    )

@@ -62,3 +62,58 @@ def smooth_feature(
             .localCheckpoint(eager=True)  # truncate the k-round lineage
         )
     return state
+
+
+def label_spread(
+    graph: Graph,
+    seeds: DataFrame,
+    rounds: int = 5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Zhu-Ghahramani-style continuous label spreading — (id, c, f)
+    sparse class scores after ``rounds`` of
+
+        f_{t+1}(v,c) = α·Σ_{u~v} f_t(u,c)/deg(u) + (1-α)·y(v,c)
+
+    over the symmetrized adjacency, where y clamps every seed to score
+    1.0 on its class forever. ``seeds``: (id, c) — one class per seed.
+
+    The CONTINUOUS companion to seeded LPA (``operators/lpa.py``
+    discrete majority vote): scores carry confidence, so downstream
+    can threshold instead of committing to a hard argmax. Output stays
+    long-format (id, class, score) rather than argmax-ing — two
+    classes within float noise of each other would make the winner an
+    ULP coin-flip; the caller owns that decision.
+
+    Scale: state is (reached × classes) rows; each round is one
+    |E|-row join + map-side-combined sum per class — the PageRank
+    superstep plan, classes-fold wider. α = 0.5 keeps the mix weights
+    exactly representable (dyadic), so cross-engine float drift is
+    summation-order-only.
+    """
+    sym = graph.symmetrized().edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    y = seeds.select("id", "c", F.lit(1.0).alias("y")).localCheckpoint(eager=True)
+    state = y.select("id", "c", F.col("y").alias("f"))
+    for _ in range(rounds):
+        msg = (
+            state.join(deg, "id")
+            .join(sym, state["id"] == sym["src"])
+            .groupBy(F.col("dst").alias("id"), "c")
+            .agg(F.sum(F.col("f") / F.col("deg")).alias("s"))
+        )
+        sup = msg.select("id", "c").union(y.select("id", "c")).distinct()
+        state = (
+            sup.join(msg, ["id", "c"], "left")
+            .join(y, ["id", "c"], "left")
+            .select(
+                "id",
+                "c",
+                (
+                    F.lit(alpha) * F.coalesce("s", F.lit(0.0))
+                    + F.lit(1.0 - alpha) * F.coalesce("y", F.lit(0.0))
+                ).alias("f"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.where(F.col("f") > 0)
