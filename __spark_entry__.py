@@ -116,6 +116,10 @@ LS_ALPHA = 0.5
 # bit-parallel multi-source BFS: seeds = id <= 32, bit = id % 63
 MSBFS_SEED_MAX = 32
 MSBFS_HOPS = 8
+# HyperBall: 16 portable md5 registers, 4 hop budget (raw HLL estimate,
+# no small-range correction — declared estimator semantics)
+HLL_REGISTERS = 16
+HLL_HOPS = 4
 HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
 # Luby-MIS round budget: declared semantics replayed exactly by the
 # oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
@@ -2698,6 +2702,28 @@ def _q_msbfs(spark, sf_dir):
     )
 
 
+def _q_anf_hll(spark, sf_dir):
+    """HyperBall with portable md5 registers — the oracle replays the
+    REGISTERS bit-for-bit (cell-exact, like the count-min sketch)."""
+    from incubator_hugegraph_computer_spark.operators.neighborhood import (
+        hyperball_reach,
+    )
+
+    return hyperball_reach(
+        orders_graph(spark, sf_dir), hops=HLL_HOPS, registers=HLL_REGISTERS
+    )
+
+
+def _q_emb_mips_topk(spark, sf_dir):
+    """Exact top-k by inner product (MIPS) — magnitude-aware retrieval."""
+    from incubator_hugegraph_computer_spark.functions.similarity import mips_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    t = mips_topk(emb, queries_df, k=TOPK)
+    return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -2888,6 +2914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment": _q_docs_containment,
         "graph_label_spread": _q_label_spread,
         "graph_msbfs": _q_msbfs,
+        "graph_anf_hll": _q_anf_hll,
+        "emb_mips_topk": _q_emb_mips_topk,
     }
 
 
@@ -3717,6 +3745,39 @@ def _msbfs_sql(hops: int, seed_max: int) -> str:
         f"CAST(bit_count(mask) AS BIGINT) AS n_src FROM r{hops})"
     )
     return "\n".join(parts) + "\nSELECT id, reach_mask, n_src FROM fin"
+
+
+def _hyperball_sql(hops: int, registers: int, seed: str = "anf") -> str:
+    """Unrolled HyperBall matching operators/neighborhood.py:
+    hyperball_reach — identical md5 register derivation, MAX combiner,
+    raw HLL estimate."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        registers, 0.7213 / (1 + 1.079 / registers)
+    )
+    parts = [
+        f"WITH {_G},",
+        f"hbh AS (SELECT id, md5(id::VARCHAR || ':{seed}') AS hx FROM v),",
+        f"hbown AS (SELECT id, ('0x' || substr(hx, 1, 2))::BIGINT % {registers} AS j, "
+        f"CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0 THEN 33 "
+        f"ELSE 33 - length(bin(('0x' || substr(hx, 3, 8))::BIGINT)) END AS m "
+        f"FROM hbh),",
+        f"hbr AS (SELECT unnest(generate_series(0, {registers - 1})) AS j),",
+        "hb0 AS MATERIALIZED (SELECT v.id, hbr.j, "
+        "CAST(COALESCE(o.m, 0) AS BIGINT) AS m FROM v CROSS JOIN hbr "
+        "LEFT JOIN hbown o ON o.id = v.id AND o.j = hbr.j),",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"hb{k} AS MATERIALIZED (SELECT id, j, CAST(MAX(m) AS BIGINT) AS m "
+            f"FROM (SELECT id, j, m FROM hb{k-1} UNION ALL "
+            f"SELECT e.src, p.j, p.m FROM e JOIN hb{k-1} p ON p.id = e.dst) "
+            f"GROUP BY id, j),"
+        )
+    parts.append(
+        f"fin AS (SELECT id, ROUND({alpha} * {float(registers * registers)} / "
+        f"SUM(POWER(2.0, -m)), 6) AS reach_est FROM hb{hops} GROUP BY id)"
+    )
+    return "\n".join(parts) + "\nSELECT id, reach_est FROM fin"
 
 
 def _treach_sql(hops: int) -> str:
@@ -5827,6 +5888,18 @@ FROM ne, nr
         LS_ROUNDS, SEEDED_MAX, SEEDED_CLASSES, LS_ALPHA
     )
     o["graph_msbfs"] = _msbfs_sql(MSBFS_HOPS, MSBFS_SEED_MAX)
+    o["graph_anf_hll"] = _hyperball_sql(HLL_HOPS, HLL_REGISTERS)
+
+    o["emb_mips_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT q.query_id, c.vec_id, list_dot_product(c.v, q.qv) AS score
+      FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+r AS (SELECT query_id, vec_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank FROM r WHERE rank <= {TOPK}
+"""
 
     o["docs_containment"] = f"""
 WITH {_TOKS},

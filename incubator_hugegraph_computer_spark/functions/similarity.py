@@ -778,3 +778,39 @@ def ivfpq_topk(
     resid.unpersist()
     emb.unpersist()
     return out
+
+
+def mips_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, score, rank) — exact top-k by INNER PRODUCT
+    (MIPS) per query. The retrieval objective when embeddings encode
+    magnitude as importance (recommendation / learned retrievers);
+    cosine's normalization erases exactly that signal. Same broadcast-
+    small-queries brute-force contract and determinism (ties by
+    vec_id) as ``cosine_topk``; at scale, reduce MIPS to cosine by the
+    norm-augmentation transform and reuse the IVF/LSH paths.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _dot(F.col("vec"), F.col("qvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

@@ -95,3 +95,78 @@ def effective_diameter(
     return means.select(
         eff.alias("eff_diameter"), F.col(f"m{max_h}").alias("avg_reach")
     )
+
+
+def hyperball_reach(
+    graph: Graph,
+    hops: int = 4,
+    registers: int = 16,
+    seed: str = "anf",
+) -> DataFrame:
+    """HyperBall (Boldi-Vigna) with PORTABLE md5 registers —
+    (id, reach_est) ≈ |{u : d(id → u) ≤ hops}| (self included).
+
+    The ``neighborhood_function(exact=False)`` path uses Spark's
+    DataSketches HLL, whose register layout no other engine
+    reproduces; this variant derives every register from md5 (idx =
+    first hex byte mod m, ρ = leading-zeros+1 of the next 32 hash
+    bits), so the DuckDB oracle replays the REGISTERS bit-for-bit and
+    the estimate to float-sum noise — the same cell-exact contract as
+    the count-min sketch (``functions/sketches.py``).
+
+    State is long-format (id, j, m): V·m rows of small ints; per hop
+    one |E| join + MAX combine per register — the PageRank superstep
+    plan, m-fold wider, with NO dependence on reachability-set size
+    (the property that makes HyperBall the 10¹²-vertex diameter tool;
+    exact ANF state grows with reached PAIRS). Estimate = raw HLL
+    E = α_m·m²/Σ 2^(-M_j) — small-range correction deliberately
+    omitted (declared estimator semantics, replayed by the oracle;
+    at web scale the raw regime is the operating point anyway).
+    """
+    from pyspark.sql import functions as F
+
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(registers, 0.7213 / (1 + 1.079 / registers))
+    e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    hexcol = F.md5(F.concat_ws(":", F.col("id").cast("string"), F.lit(seed)))
+    x = F.conv(F.substring(hexcol, 3, 8), 16, 10).cast("long")
+    own = graph.vertices.select(
+        "id",
+        (F.conv(F.substring(hexcol, 1, 2), 16, 10).cast("long") % registers).alias(
+            "j"
+        ),
+        F.when(x == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(x)))
+        .cast("long")
+        .alias("m"),
+    )
+    # dense register space: every (id, j) exists with m >= 0 so the
+    # final sum runs over exactly `registers` terms per vertex
+    regs = F.array(*[F.lit(j).cast("long") for j in range(registers)])
+    state = (
+        graph.vertices.select("id", F.explode(regs).alias("j"))
+        .join(own, ["id", "j"], "left")
+        .select("id", "j", F.coalesce("m", F.lit(0)).cast("long").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(hops):
+        msg = (
+            e.join(state.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "j")
+            .agg(F.max("m").alias("m"))
+        )
+        state = (
+            state.union(msg)
+            .groupBy("id", "j")
+            .agg(F.max("m").cast("long").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        state.groupBy("id")
+        .agg(F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z"))
+        .select(
+            "id",
+            F.round(
+                F.lit(alpha) * F.lit(float(registers * registers)) / F.col("z"), 6
+            ).alias("reach_est"),
+        )
+    )

@@ -56,6 +56,7 @@ _SCALAR_PARENTS = re.compile(
 # cannot express — keep this list SHORT and name the bound.
 WAIVED = {
     "emb_cosine_topk": "broadcast query set: vec_id < QUERY_MAX (≤5 rows by contract)",
+    "emb_mips_topk": "broadcast query set: vec_id < QUERY_MAX (≤5 rows by contract)",
     "emb_ivf_trained_topk": (
         "broadcast sides are the trained k-means centroid frame "
         "(createDataFrame of K=8 driver rows from fit_kmeans_centroids) and "
