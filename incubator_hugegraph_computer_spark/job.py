@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
             "build_layers", "critical_path", "coupling", "impact", "sparsify", "cascade",
             "bridges", "two_edge_components", "percolation", "percolation4",
             "transitive_reduction", "attack_tolerance", "eccentricity",
+            "wl_refine", "fastrp", "pic", "label_spread", "msbfs",
+            "hyperball", "temporal_reach", "triad_census", "vertex_cut",
+            "ppr_batch",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -338,6 +341,30 @@ def run(args: argparse.Namespace) -> dict:
     )
     from incubator_hugegraph_computer_spark.operators.slpa import slpa as _slpa
     from incubator_hugegraph_computer_spark.operators.bfs import bfs_depth as _bfs_depth
+    from incubator_hugegraph_computer_spark.operators.bfs import (
+        msbfs_reach as _msbfs,
+        temporal_reachability as _treach,
+    )
+    from incubator_hugegraph_computer_spark.operators.wl import wl_refine as _wl
+    from incubator_hugegraph_computer_spark.operators.embeddings import (
+        fastrp_embed as _fastrp,
+    )
+    from incubator_hugegraph_computer_spark.operators.pic import pic_scores as _pic
+    from incubator_hugegraph_computer_spark.operators.smoothing import (
+        label_spread as _label_spread,
+    )
+    from incubator_hugegraph_computer_spark.operators.neighborhood import (
+        hyperball_reach as _hyperball,
+    )
+    from incubator_hugegraph_computer_spark.operators.motifs import (
+        triad_census as _triad_census,
+    )
+    from incubator_hugegraph_computer_spark.operators.stats import (
+        vertex_cut_stats as _vertex_cut,
+    )
+    from incubator_hugegraph_computer_spark.operators.ppr import (
+        ppr_batch as _ppr_batch,
+    )
     from incubator_hugegraph_computer_spark.operators.jaccard import jaccard as _jaccard
     from incubator_hugegraph_computer_spark.operators.mis import (
         maximal_independent_set as _mis,
@@ -493,6 +520,37 @@ def run(args: argparse.Namespace) -> dict:
         "ppr_sweep": lambda: _ppr_sweep(
             graph, source=args.source, sweep_max=args.sweep_max,
             **step_kwargs, **engine_kwargs
+        ),
+        "wl_refine": lambda: _wl(graph, rounds=3),
+        "fastrp": lambda: _fastrp(graph, dim=8, iters=3),
+        "pic": lambda: _pic(graph, iterations=6),
+        "label_spread": lambda: _label_spread(
+            graph,
+            graph.spark.createDataFrame(
+                [(int(s), i) for i, s in enumerate(args.trust_seeds.split(","))],
+                "id long, c long",
+            ),
+        ),
+        "msbfs": lambda: _msbfs(graph, seed_max=args.source or 32),
+        "hyperball": lambda: _hyperball(graph),
+        # derived demo timestamp rule when the edge table carries none
+        "temporal_reach": lambda: _treach(
+            Graph(
+                graph.vertices,
+                graph.edges.withColumn(
+                    "ts", ((F.col("src") * 7 + F.col("dst") * 13) % 100).cast("long")
+                ),
+                prepartitioned=True,
+            ),
+            source=args.source,
+        ),
+        "triad_census": lambda: _triad_census(graph),
+        "vertex_cut": lambda: _vertex_cut(graph),
+        "ppr_batch": lambda: _ppr_batch(
+            graph,
+            graph.spark.createDataFrame(
+                [(int(s),) for s in args.trust_seeds.split(",")], "seed long"
+            ),
         ),
         "crawl_schedule": lambda: _crawl_schedule(
             graph,
