@@ -120,6 +120,10 @@ MSBFS_HOPS = 8
 # no small-range correction — declared estimator semantics)
 HLL_REGISTERS = 16
 HLL_HOPS = 4
+BF_CAP = 256  # butterfly census: shared-target in-degree cap (as BIBC_CAP)
+# collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
+# non-binding at gate SFs where max sym degree ≈ 25)
+CI_DEG_CAP = 64
 HARMONIC_SEED_MAX = 60  # harmonic/WF sources (state is O(V·sources))
 # Luby-MIS round budget: declared semantics replayed exactly by the
 # oracle (expected O(log V); the alive set empties in ~6 at sf0.01)
@@ -2724,6 +2728,46 @@ def _q_emb_mips_topk(spark, sf_dir):
     return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
 
 
+def _q_butterflies(spark, sf_dir):
+    """Bipartite 4-cycle census over the directed incidence — the
+    co-citation density signal (spam blocks, copy farms)."""
+    from incubator_hugegraph_computer_spark.operators.projection import (
+        butterfly_count,
+    )
+
+    return butterfly_count(orders_graph(spark, sf_dir), max_hub=BF_CAP)
+
+
+def _q_ari(spark, sf_dir):
+    """ARI + NMI agreement between the two LPA variants (sync-Vermeer
+    vs directed-Java) — pair-counting from the contingency table only.
+    Both labelings are multi-class at every SF, so the entropies and
+    the adjusted index are well-defined."""
+    from incubator_hugegraph_computer_spark.operators.lpa import lpa, lpa_sync
+    from incubator_hugegraph_computer_spark.operators.stats import (
+        clustering_agreement,
+    )
+
+    g = orders_graph(spark, sf_dir)
+    a = lpa_sync(
+        g, max_supersteps=LPA_SYNC_ITERS, fixed=True, count_messages=False
+    ).select("id", F.col("label").alias("la"))
+    b = lpa(g, max_supersteps=LPA_ROUNDS, count_messages=False).select(
+        "id", F.col("label").alias("lb")
+    )
+    return clustering_agreement(a, b)
+
+
+def _q_collective_influence(spark, sf_dir):
+    """Morone-Makse collective influence at ℓ=2 — optimal-percolation
+    seed scores, exact int64."""
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        collective_influence,
+    )
+
+    return collective_influence(orders_graph(spark, sf_dir), hub_cap=CI_DEG_CAP)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -2916,6 +2960,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_msbfs": _q_msbfs,
         "graph_anf_hll": _q_anf_hll,
         "emb_mips_topk": _q_emb_mips_topk,
+        "graph_butterflies": _q_butterflies,
+        "graph_ari": _q_ari,
+        "graph_collective_influence": _q_collective_influence,
     }
 
 
@@ -5889,6 +5936,64 @@ FROM ne, nr
     )
     o["graph_msbfs"] = _msbfs_sql(MSBFS_HOPS, MSBFS_SEED_MAX)
     o["graph_anf_hll"] = _hyperball_sql(HLL_HOPS, HLL_REGISTERS)
+
+    o["graph_butterflies"] = f"""
+WITH {_G},
+bgi AS MATERIALIZED (SELECT DISTINCT dst AS g, src AS item FROM e),
+bsz AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM bgi GROUP BY 1)
+        WHERE c <= {BF_CAP}),
+bf AS (SELECT a.item AS s1, b.item AS s2, COUNT(*) AS w
+       FROM bgi a JOIN bsz ON bsz.g = a.g
+       JOIN bgi b ON b.g = a.g AND a.item < b.item
+       GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS wedge_pairs,
+       CAST(COALESCE(SUM((w * (w - 1)) // 2), 0) AS BIGINT) AS butterflies
+FROM bf
+"""
+
+    o["graph_ari"] = f"""
+WITH
+ala AS MATERIALIZED (SELECT id, label AS la FROM ({_lpa_sync_sql(LPA_SYNC_ITERS)})),
+alb AS MATERIALIZED (SELECT id, label AS lb FROM ({_lpa_directed_sql(LPA_ROUNDS)})),
+aj AS MATERIALIZED (SELECT ala.la, alb.lb FROM ala JOIN alb USING (id)),
+cont AS (SELECT la, lb, COUNT(*) AS nij FROM aj GROUP BY 1, 2),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM aj),
+sij AS (SELECT CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS sij FROM cont),
+mai AS (SELECT la, CAST(SUM(nij) AS BIGINT) AS ai FROM cont GROUP BY 1),
+mbj AS (SELECT lb, CAST(SUM(nij) AS BIGINT) AS bj FROM cont GROUP BY 1),
+sa AS (SELECT CAST(SUM((ai * (ai - 1)) // 2) AS BIGINT) AS sa FROM mai),
+sb AS (SELECT CAST(SUM((bj * (bj - 1)) // 2) AS BIGINT) AS sb FROM mbj),
+mi AS (SELECT SUM((c.nij / nn.n) * LN(nn.n * c.nij / (a.ai * b.bj))) AS mi
+       FROM cont c JOIN mai a USING (la) JOIN mbj b USING (lb), nn),
+eha AS (SELECT SUM(-(ai / nn.n) * LN(ai / nn.n)) AS ha FROM mai, nn),
+ehb AS (SELECT SUM(-(bj / nn.n) * LN(bj / nn.n)) AS hb FROM mbj, nn)
+SELECT nn.n,
+       ROUND((sij.sij - (CAST(sa.sa AS DOUBLE) * sb.sb
+                         / ((nn.n * (nn.n - 1)) // 2)))
+             / ((sa.sa + sb.sb) / 2.0
+                - (CAST(sa.sa AS DOUBLE) * sb.sb
+                   / ((nn.n * (nn.n - 1)) // 2))), 6) AS ari,
+       ROUND(mi.mi / SQRT(eha.ha * ehb.hb), 6) AS nmi
+FROM nn, sij, sa, sb, mi, eha, ehb
+"""
+
+    o["graph_collective_influence"] = f"""
+WITH {_G},
+cdeg AS (SELECT src AS id, COUNT(*) AS k FROM sym GROUP BY 1),
+cmid AS (SELECT id AS x FROM cdeg WHERE k <= {CI_DEG_CAP}),
+ctwo AS (SELECT DISTINCT s1.src AS v, s2.dst AS u
+         FROM sym s1 JOIN cmid ON cmid.x = s1.dst
+         JOIN sym s2 ON s2.src = s1.dst
+         WHERE s1.src <> s2.dst),
+cexa AS (SELECT t.v, t.u FROM ctwo t
+         LEFT JOIN sym d ON d.src = t.v AND d.dst = t.u
+         WHERE d.src IS NULL),
+cbnd AS (SELECT t.v AS id, CAST(SUM(d.k - 1) AS BIGINT) AS bsum
+         FROM cexa t JOIN cdeg d ON d.id = t.u GROUP BY 1)
+SELECT v.id,
+       CAST((COALESCE(d.k, 0) - 1) * COALESCE(b.bsum, 0) AS BIGINT) AS ci
+FROM v LEFT JOIN cdeg d USING (id) LEFT JOIN cbnd b USING (id)
+"""
 
     o["emb_mips_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

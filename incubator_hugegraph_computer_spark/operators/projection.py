@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from incubator_hugegraph_computer_spark.graph import Graph
+
 
 def project(
     pairs: DataFrame,
@@ -49,4 +51,37 @@ def project(
         .where(F.col("src") < F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def butterfly_count(graph: Graph, max_hub: int = 256) -> DataFrame:
+    """One row (wedge_pairs, butterflies): the bipartite 4-cycle census
+    of the directed edge incidence (src side ⋈ shared dsts).
+
+    A butterfly = two sources both linking to the same two targets —
+    the bipartite analogue of the triangle, the density signal for
+    co-citation spam blocks and copy-farms. butterflies =
+    Σ_{src pairs} C(co_degree, 2) over the dst-grouped projection;
+    ``max_hub`` caps the shared target's in-degree exactly like the
+    bibliographic-coupling projection (a target cited by everyone
+    contributes no pairwise signal and quadratic cost — declared
+    semantics, replayed by the oracle; non-binding at gate SFs).
+
+    Scale: inherits ``project``'s co-degree bound — the per-target
+    pair fan-out is ≤ C(max_hub, 2); counts are exact longs.
+    """
+    pairs = project(
+        graph.edges.select("src", "dst"),
+        group_col="dst",
+        item_col="src",
+        max_group_size=max_hub,
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("wedge_pairs"),
+        F.coalesce(
+            F.sum((F.col("weight") * (F.col("weight") - 1) / F.lit(2)).cast("long")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("butterflies"),
     )

@@ -311,3 +311,73 @@ def vertex_cut_stats(graph: Graph, rows: int = 4, cols: int = 4) -> DataFrame:
         )
 
     return report(grid, "grid2d").unionAll(report(oned, "edge_hash_1d"))
+
+
+def clustering_agreement(
+    a: DataFrame, b: DataFrame, la: str = "la", lb: str = "lb"
+) -> DataFrame:
+    """One row (n, ari, nmi): Adjusted Rand Index and Normalized Mutual
+    Information between two vertex labelings — the standard agreement
+    metrics for comparing community structures (louvain vs lpa, crawl
+    vs crawl, algorithm vs ground truth) WITHOUT materializing the
+    O(n²) pair space: both reduce to the (label_a, label_b) contingency
+    table (bounded by distinct label pairs), pair counts via C(·,2).
+
+    ``a``: (id, la), ``b``: (id, lb) over the same id set. ARI's
+    pair-count sums are exact longs; the two final ratios and NMI's
+    log terms are the only floats (summed per contingency cell —
+    same summation-order ULP class as every other float oracle here).
+
+    Scale: one co-partitioned join + three map-side-combined groupBys;
+    no windows, no collects, nothing grows with pair count.
+    """
+    from pyspark.sql import functions as F
+
+    j = a.select("id", la).join(b.select("id", lb), "id")
+    cont = j.groupBy(la, lb).agg(F.count(F.lit(1)).alias("nij"))
+    n_row = j.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def c2(col):
+        return (col * (col - 1) / F.lit(2)).cast("long")
+
+    sum_ij = cont.agg(F.sum(c2(F.col("nij"))).cast("long").alias("sij"))
+    ai = cont.groupBy(la).agg(F.sum("nij").alias("ai"))
+    bj = cont.groupBy(lb).agg(F.sum("nij").alias("bj"))
+    sum_a = ai.agg(F.sum(c2(F.col("ai"))).cast("long").alias("sa"))
+    sum_b = bj.agg(F.sum(c2(F.col("bj"))).cast("long").alias("sb"))
+
+    # NMI terms: per-cell mutual information + marginal entropies
+    cm = cont.join(ai, la).join(bj, lb).crossJoin(F.broadcast(n_row))
+    mi = cm.agg(
+        F.sum(
+            (F.col("nij") / F.col("n"))
+            * F.log(
+                F.col("n") * F.col("nij") / (F.col("ai") * F.col("bj"))
+            )
+        ).alias("mi")
+    )
+    ha = (
+        ai.crossJoin(F.broadcast(n_row))
+        .agg(F.sum(-(F.col("ai") / F.col("n")) * F.log(F.col("ai") / F.col("n"))).alias("ha"))
+    )
+    hb = (
+        bj.crossJoin(F.broadcast(n_row))
+        .agg(F.sum(-(F.col("bj") / F.col("n")) * F.log(F.col("bj") / F.col("n"))).alias("hb"))
+    )
+
+    out = (
+        n_row.crossJoin(sum_ij)  # one-row × one-row chain
+        .crossJoin(sum_a)
+        .crossJoin(sum_b)
+        .crossJoin(mi)
+        .crossJoin(ha)
+        .crossJoin(hb)
+    )
+    cn2 = (F.col("n") * (F.col("n") - 1) / F.lit(2)).cast("long")
+    expected = F.col("sa").cast("double") * F.col("sb") / cn2
+    max_idx = (F.col("sa") + F.col("sb")) / F.lit(2.0)
+    return out.select(
+        "n",
+        F.round((F.col("sij") - expected) / (max_idx - expected), 6).alias("ari"),
+        F.round(F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")), 6).alias("nmi"),
+    )

@@ -260,3 +260,56 @@ def attack_tolerance(
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def collective_influence(graph: Graph, hub_cap: int = 64) -> DataFrame:
+    """(id, ci) — Morone-Makse collective influence at radius ℓ=2 over
+    the undirected graph: CI(v) = (k_v − 1) · Σ_{u ∈ ∂B(v,2)} (k_u − 1),
+    the optimal-percolation influence score that finds the hubs whose
+    removal actually fragments the network (plain degree misses
+    low-degree bridges between hub clusters).
+
+    ∂B(v,2) = vertices at distance EXACTLY 2 (2-hop distinct set minus
+    direct neighbors minus self). ``hub_cap`` bounds the wedge
+    intermediary's degree exactly like the link-prediction projection
+    (non-binding at gate SFs where max sym degree ≈ 25; declared and
+    oracle-replayed where it binds). All arithmetic is exact int64.
+
+    Scale: one wedge self-join bounded by Σ deg(x≤cap)² + two
+    anti-joins — the common-neighbor plan shape, with the cap as the
+    explicit skew guard.
+    """
+    from pyspark.sql import functions as F
+
+    sym = graph.symmetrized().edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("k"))
+    mid_ok = deg.where(F.col("k") <= hub_cap).select(F.col("id").alias("x"))
+    two = (
+        sym.select(F.col("src").alias("v"), F.col("dst").alias("x"))
+        .join(mid_ok, "x")
+        .join(sym.select(F.col("src").alias("x"), F.col("dst").alias("u")), "x")
+        .select("v", "u")
+        .where(F.col("v") != F.col("u"))
+        .distinct()
+        .join(
+            sym.select(F.col("src").alias("v"), F.col("dst").alias("u")),
+            ["v", "u"],
+            "left_anti",
+        )
+    )
+    boundary = (
+        two.join(deg.select(F.col("id").alias("u"), F.col("k").alias("ku")), "u")
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(F.col("ku") - 1).cast("long").alias("bsum"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .join(boundary, "id", "left")
+        .select(
+            "id",
+            (
+                (F.coalesce("k", F.lit(0)) - 1) * F.coalesce("bsum", F.lit(0))
+            ).cast("long").alias("ci"),
+        )
+    )
