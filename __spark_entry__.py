@@ -121,6 +121,9 @@ MSBFS_HOPS = 8
 HLL_REGISTERS = 16
 HLL_HOPS = 4
 BF_CAP = 256  # butterfly census: shared-target in-degree cap (as BIBC_CAP)
+# SlashBurn shatter profile: top-k hub slash per round, GCC recursion
+SB_K = 16
+SB_ROUNDS = 3
 # collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
 # non-binding at gate SFs where max sym degree ≈ 25)
 CI_DEG_CAP = 64
@@ -2768,6 +2771,14 @@ def _q_collective_influence(spark, sf_dir):
     return collective_influence(orders_graph(spark, sf_dir), hub_cap=CI_DEG_CAP)
 
 
+def _q_slashburn(spark, sf_dir):
+    """SlashBurn hub-removal shatter profile — deterministic hub and
+    GCC selection, replayed per round by the oracle."""
+    from incubator_hugegraph_computer_spark.operators.structure import slashburn
+
+    return slashburn(orders_graph(spark, sf_dir), k=SB_K, rounds=SB_ROUNDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -2963,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_butterflies": _q_butterflies,
         "graph_ari": _q_ari,
         "graph_collective_influence": _q_collective_influence,
+        "graph_slashburn": _q_slashburn,
     }
 
 
@@ -3792,6 +3804,83 @@ def _msbfs_sql(hops: int, seed_max: int) -> str:
         f"CAST(bit_count(mask) AS BIGINT) AS n_src FROM r{hops})"
     )
     return "\n".join(parts) + "\nSELECT id, reach_mask, n_src FROM fin"
+
+
+def _slashburn_sql(k: int, rounds: int) -> str:
+    """Unrolled SlashBurn matching operators/structure.py:slashburn —
+    per round: top-k hub slash (degree DESC, id ASC), recursive-CTE
+    components of the remainder, GCC by (size DESC, comp ASC)."""
+    parts = [
+        f"WITH RECURSIVE {_G},",
+        "sv1 AS (SELECT id FROM v), se1 AS (SELECT src, dst FROM e),",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"ssm{r} AS (SELECT DISTINCT src, dst FROM ("
+            f"SELECT src, dst FROM se{r} UNION ALL "
+            f"SELECT dst, src FROM se{r}) WHERE src <> dst),"
+        )
+        parts.append(
+            f"sdg{r} AS (SELECT sv.id, COALESCE(d.d, 0) AS d FROM sv{r} sv "
+            f"LEFT JOIN (SELECT src AS id, COUNT(*) AS d FROM ssm{r} "
+            f"GROUP BY 1) d USING (id)),"
+        )
+        parts.append(
+            f"shb{r} AS MATERIALIZED (SELECT id FROM sdg{r} "
+            f"ORDER BY d DESC, id ASC LIMIT {k}),"
+        )
+        parts.append(
+            f"srv{r} AS MATERIALIZED (SELECT id FROM sv{r} "
+            f"WHERE id NOT IN (SELECT id FROM shb{r})),"
+        )
+        parts.append(
+            f"sre{r} AS MATERIALIZED (SELECT src, dst FROM se{r} "
+            f"WHERE src IN (SELECT id FROM srv{r}) "
+            f"AND dst IN (SELECT id FROM srv{r})),"
+        )
+        parts.append(
+            f"ssr{r} AS (SELECT DISTINCT src, dst FROM ("
+            f"SELECT src, dst FROM sre{r} UNION ALL "
+            f"SELECT dst, src FROM sre{r}) WHERE src <> dst),"
+        )
+        parts.append(
+            f"scc{r}(id, anc) AS (SELECT id, id FROM srv{r} UNION "
+            f"SELECT s.dst, scc{r}.anc FROM scc{r} "
+            f"JOIN ssr{r} s ON s.src = scc{r}.id),"
+        )
+        parts.append(
+            f"scp{r} AS MATERIALIZED (SELECT id, MIN(anc) AS comp "
+            f"FROM scc{r} GROUP BY id),"
+        )
+        parts.append(
+            f"ssz{r} AS (SELECT comp, COUNT(*) AS n FROM scp{r} GROUP BY 1),"
+        )
+        parts.append(
+            f"spk{r} AS MATERIALIZED (SELECT comp, n FROM ssz{r} "
+            f"ORDER BY n DESC, comp ASC LIMIT 1),"
+        )
+        parts.append(
+            f"row{r} AS (SELECT CAST({r} AS BIGINT) AS \"round\", "
+            f"CAST((SELECT COUNT(*) FROM shb{r}) AS BIGINT) AS hubs_removed, "
+            f"CAST((SELECT COUNT(*) FROM srv{r}) - "
+            f"COALESCE((SELECT n FROM spk{r}), 0) AS BIGINT) AS spokes_removed, "
+            f"CAST(COALESCE((SELECT n FROM spk{r}), 0) AS BIGINT) AS gcc_size),"
+        )
+        parts.append(
+            f"sv{r+1} AS MATERIALIZED (SELECT id FROM scp{r} "
+            f"WHERE comp = (SELECT comp FROM spk{r})),"
+        )
+        parts.append(
+            f"se{r+1} AS MATERIALIZED (SELECT src, dst FROM sre{r} "
+            f"WHERE src IN (SELECT id FROM sv{r+1}) "
+            f"AND dst IN (SELECT id FROM sv{r+1})),"
+        )
+    union = " UNION ALL ".join(
+        f'SELECT "round", hubs_removed, spokes_removed, gcc_size FROM row{r}'
+        for r in range(1, rounds + 1)
+    )
+    parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + union
 
 
 def _hyperball_sql(hops: int, registers: int, seed: str = "anf") -> str:
@@ -5936,6 +6025,7 @@ FROM ne, nr
     )
     o["graph_msbfs"] = _msbfs_sql(MSBFS_HOPS, MSBFS_SEED_MAX)
     o["graph_anf_hll"] = _hyperball_sql(HLL_HOPS, HLL_REGISTERS)
+    o["graph_slashburn"] = _slashburn_sql(SB_K, SB_ROUNDS)
 
     o["graph_butterflies"] = f"""
 WITH {_G},

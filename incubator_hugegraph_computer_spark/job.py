@@ -50,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
             "transitive_reduction", "attack_tolerance", "eccentricity",
             "wl_refine", "fastrp", "pic", "label_spread", "msbfs",
             "hyperball", "temporal_reach", "triad_census", "vertex_cut",
-            "ppr_batch",
+            "ppr_batch", "slashburn", "collective_influence", "butterflies",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -324,6 +324,11 @@ def run(args: argparse.Namespace) -> dict:
     )
     from incubator_hugegraph_computer_spark.operators.structure import (
         attack_tolerance as _attack,
+        collective_influence as _collective_influence,
+        slashburn as _slashburn,
+    )
+    from incubator_hugegraph_computer_spark.operators.projection import (
+        butterfly_count as _butterflies,
     )
     from incubator_hugegraph_computer_spark.operators.bfs import eccentricity as _ecc
     from incubator_hugegraph_computer_spark.operators.ktruss import trussness as _trussness
@@ -521,6 +526,9 @@ def run(args: argparse.Namespace) -> dict:
             graph, source=args.source, sweep_max=args.sweep_max,
             **step_kwargs, **engine_kwargs
         ),
+        "slashburn": lambda: _slashburn(graph),
+        "collective_influence": lambda: _collective_influence(graph),
+        "butterflies": lambda: _butterflies(graph),
         "wl_refine": lambda: _wl(graph, rounds=3),
         "fastrp": lambda: _fastrp(graph, dim=8, iters=3),
         "pic": lambda: _pic(graph, iterations=6),

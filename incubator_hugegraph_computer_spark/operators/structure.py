@@ -313,3 +313,98 @@ def collective_influence(graph: Graph, hub_cap: int = 64) -> DataFrame:
             ).cast("long").alias("ci"),
         )
     )
+
+
+def slashburn(graph: Graph, k: int = 16, rounds: int = 3) -> DataFrame:
+    """SlashBurn (Kang & Faloutsos ICDM'11) hub-removal profile —
+    one row per round: (round, hubs_removed, spokes_removed, gcc_size).
+
+    The web-graph compression/ordering insight: power-law graphs have
+    no good cuts, but slashing the top-k hubs shatters the rest into a
+    giant component plus tiny "spokes". Repeating on the GCC yields
+    the hub⁺spoke ordering that makes 10¹²-edge adjacency matrices
+    block-diagonal-ish (compression, cache locality, partitioning).
+    This operator reports the shatter profile — how fast the GCC
+    collapses — which IS the compressibility measure (wing width ratio).
+
+    Deterministic end-to-end: hubs by (degree DESC, id ASC); GCC by
+    (size DESC, comp ASC); both replayed by the oracle. Per round: one
+    degree groupBy + a k-row TakeOrdered (broadcast back) + one WCC on
+    the shrinking remainder + two semi-joins — the expensive part is
+    the per-round WCC, which uses the contract method's O(log n)
+    rounds at scale.
+    """
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.graph import Graph as _Graph
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc as _wcc
+
+    verts = graph.vertices.select("id").localCheckpoint(eager=True)
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    out = None
+    for r in range(1, rounds + 1):
+        sym = (
+            edges.select("src", "dst")
+            .unionAll(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        deg = verts.join(
+            sym.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("d")
+            ),
+            "id",
+            "left",
+        ).select("id", F.coalesce("d", F.lit(0)).alias("d"))
+        hubs = deg.orderBy(F.desc("d"), F.asc("id")).limit(k).select("id")
+        rem_v = verts.join(hubs, "id", "left_anti").localCheckpoint(eager=True)
+        rem_e = (
+            edges.join(rem_v.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(rem_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        comp = _wcc(
+            _Graph(rem_v, rem_e, prepartitioned=True), count_messages=False
+        ).localCheckpoint(eager=True)
+        sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+        # NOT lineage-cut: the one-row aggregate must stay in-plan so
+        # the broadcast build side is provably bounded (keys=[] agg);
+        # comp is checkpointed above, so recomputing pick is one groupBy
+        pick = sizes.agg(
+            F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("gcc_size"),
+            F.expr("max_by(comp, struct(n, -comp))").alias("gcc_comp"),
+        )
+        n_hubs = hubs.agg(F.count(F.lit(1)).cast("long").alias("hubs_removed"))
+        n_rem = rem_v.agg(F.count(F.lit(1)).alias("n_rem"))
+        row = (
+            n_hubs.crossJoin(n_rem)  # one-row × one-row chain
+            .crossJoin(pick)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "hubs_removed",
+                (F.col("n_rem") - F.col("gcc_size")).cast("long").alias(
+                    "spokes_removed"
+                ),
+                "gcc_size",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+        verts = (
+            comp.join(
+                F.broadcast(pick.select(F.col("gcc_comp").alias("comp"))),
+                "comp",
+                "left_semi",
+            )
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            rem_e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return out
