@@ -124,6 +124,7 @@ BF_CAP = 256  # butterfly census: shared-target in-degree cap (as BIBC_CAP)
 # SlashBurn shatter profile: top-k hub slash per round, GCC recursion
 SB_K = 16
 SB_ROUNDS = 3
+NEWMAN_ITERS = 6  # modularity-matrix power iteration steps
 # collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
 # non-binding at gate SFs where max sym degree ≈ 25)
 CI_DEG_CAP = 64
@@ -2779,6 +2780,33 @@ def _q_slashburn(spark, sf_dir):
     return slashburn(orders_graph(spark, sf_dir), k=SB_K, rounds=SB_ROUNDS)
 
 
+def _q_newman_vector(spark, sf_dir):
+    """Matrix-free power iteration on Newman's modularity matrix —
+    the spectral 2-way community signal, B never materialized."""
+    from incubator_hugegraph_computer_spark.operators.eigenvector import (
+        newman_leading_vector,
+    )
+
+    return newman_leading_vector(orders_graph(spark, sf_dir), iterations=NEWMAN_ITERS)
+
+
+def _q_events_users_hll(spark, sf_dir):
+    """Hourly distinct users via portable md5 HLL registers, exact
+    count alongside (the CMS est-vs-exact reporting pattern)."""
+    from incubator_hugegraph_computer_spark.functions.sketches import hll_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    )
+    est = hll_distinct(events, "user_id", ["hour"], registers=HLL_REGISTERS)
+    exact = events.groupBy("hour").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    return est.join(exact, "hour").select(
+        "hour", F.col("est_distinct").alias("est_users"), "n_users"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -2975,6 +3003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ari": _q_ari,
         "graph_collective_influence": _q_collective_influence,
         "graph_slashburn": _q_slashburn,
+        "graph_newman_vector": _q_newman_vector,
+        "events_users_hll": _q_events_users_hll,
     }
 
 
@@ -3881,6 +3911,38 @@ def _slashburn_sql(k: int, rounds: int) -> str:
     )
     parts[-1] = parts[-1].rstrip(",")
     return "\n".join(parts) + "\n" + union
+
+
+def _newman_sql(iters: int) -> str:
+    """Unrolled modularity-matrix power iteration matching
+    operators/eigenvector.py:newman_leading_vector."""
+    parts = [
+        f"WITH {_G},",
+        "ndeg AS (SELECT src AS id, COUNT(*) AS k FROM sym GROUP BY 1),",
+        "nm2 AS (SELECT CAST(SUM(k) AS DOUBLE) AS m2 FROM ndeg),",
+        "nv0 AS MATERIALIZED (SELECT id, k, CASE WHEN "
+        "('0x' || substr(md5(id::VARCHAR || ':nv'), 1, 8))::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END AS x FROM ndeg),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"nav{t} AS (SELECT e.src AS id, SUM(p.x) AS av FROM sym e "
+            f"JOIN nv{t-1} p ON p.id = e.dst GROUP BY 1),"
+        )
+        parts.append(f"nkv{t} AS (SELECT SUM(k * x) AS kv FROM nv{t-1}),")
+        parts.append(
+            f"nbv{t} AS MATERIALIZED (SELECT v.id, v.k, "
+            f"COALESCE(a.av, 0.0) - v.k * (SELECT kv FROM nkv{t}) / "
+            f"(SELECT m2 FROM nm2) AS bx "
+            f"FROM nv{t-1} v LEFT JOIN nav{t} a USING (id)),"
+        )
+        parts.append(f"nnm{t} AS (SELECT SUM(ABS(bx)) AS n1 FROM nbv{t}),")
+        parts.append(
+            f"nv{t} AS MATERIALIZED (SELECT id, k, "
+            f"bx / (SELECT n1 FROM nnm{t}) AS x FROM nbv{t}),"
+        )
+    parts.append(f"fin AS (SELECT id, ROUND(x, 6) AS bscore FROM nv{iters})")
+    return "\n".join(parts) + "\nSELECT id, bscore FROM fin"
 
 
 def _hyperball_sql(hops: int, registers: int, seed: str = "anf") -> str:
@@ -6026,6 +6088,29 @@ FROM ne, nr
     o["graph_msbfs"] = _msbfs_sql(MSBFS_HOPS, MSBFS_SEED_MAX)
     o["graph_anf_hll"] = _hyperball_sql(HLL_HOPS, HLL_REGISTERS)
     o["graph_slashburn"] = _slashburn_sql(SB_K, SB_ROUNDS)
+    o["graph_newman_vector"] = _newman_sql(NEWMAN_ITERS)
+
+    o["events_users_hll"] = f"""
+WITH ev AS MATERIALIZED (SELECT
+     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+     user_id,
+     md5(user_id::VARCHAR || ':hll') AS hx FROM events),
+hper AS (SELECT hour,
+         ('0x' || substr(hx, 1, 2))::BIGINT % {HLL_REGISTERS} AS j,
+         MAX(CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0 THEN 33
+             ELSE 33 - length(bin(('0x' || substr(hx, 3, 8))::BIGINT)) END) AS mv
+         FROM ev GROUP BY 1, 2),
+hreg AS (SELECT unnest(generate_series(0, {HLL_REGISTERS - 1})) AS j),
+hdense AS (SELECT h.hour, hreg.j, COALESCE(p.mv, 0) AS mv
+           FROM (SELECT DISTINCT hour FROM ev) h CROSS JOIN hreg
+           LEFT JOIN hper p ON p.hour = h.hour AND p.j = hreg.j),
+hest AS (SELECT hour, ROUND(0.673 * {float(HLL_REGISTERS**2)} /
+         SUM(POWER(2.0, -mv)), 6) AS est_users FROM hdense GROUP BY 1),
+hexa AS (SELECT hour, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM ev GROUP BY 1)
+SELECT hest.hour, hest.est_users, hexa.n_users
+FROM hest JOIN hexa USING (hour)
+"""
 
     o["graph_butterflies"] = f"""
 WITH {_G},

@@ -127,3 +127,62 @@ def bloom_probe(
         .groupBy("key")
         .agg((F.sum(F.coalesce(F.col("_set"), F.lit(0))) == k_hashes).alias("maybe_member"))
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    registers: int = 16,
+    seed: str = "hll",
+) -> DataFrame:
+    """(group_cols..., est_distinct) — grouped approximate distinct
+    count via PORTABLE md5-derived HyperLogLog registers (idx = first
+    hex byte mod m, ρ = leading-zeros+1 of the next 32 hash bits; raw
+    HLL estimate, no small-range correction — declared estimator
+    semantics, same register contract as ``hyperball_reach``).
+
+    Spark's ``approx_count_distinct`` is the production path; THIS one
+    exists because its registers are engine-portable — the oracle (or
+    any other system sharing the md5 rule) reproduces them bit-for-bit
+    and the sketch rows are addition-free and mergeable by per-register
+    MAX, so a streaming job can maintain them per micro-batch exactly
+    like the count-min sketch.
+
+    Scale: one map-only projection + one (groups × m)-row MAX groupBy
+    — map-side combined, no joins until the dense-register fill.
+    """
+    m = registers
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    hexcol = F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(seed)))
+    x = F.conv(F.substring(hexcol, 3, 8), 16, 10).cast("long")
+    per = (
+        df.select(
+            *group_cols,
+            (F.conv(F.substring(hexcol, 1, 2), 16, 10).cast("long") % m).alias("j"),
+            F.when(x == 0, F.lit(33))
+            .otherwise(F.lit(33) - F.length(F.bin(x)))
+            .cast("long")
+            .alias("mv"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("mv").alias("mv"))
+    )
+    regs = F.array(*[F.lit(j).cast("long") for j in range(m)])
+    dense = (
+        df.select(*group_cols)
+        .distinct()
+        .select(*group_cols, F.explode(regs).alias("j"))
+        .join(per, [*group_cols, "j"], "left")
+        .select(*group_cols, "j", F.coalesce("mv", F.lit(0)).alias("mv"))
+    )
+    return (
+        dense.groupBy(*group_cols)
+        .agg(F.sum(F.pow(F.lit(2.0), -F.col("mv"))).alias("z"))
+        .select(
+            *group_cols,
+            F.round(F.lit(alpha) * F.lit(float(m * m)) / F.col("z"), 6).alias(
+                "est_distinct"
+            ),
+        )
+    )
