@@ -125,6 +125,8 @@ BF_CAP = 256  # butterfly census: shared-target in-degree cap (as BIBC_CAP)
 SB_K = 16
 SB_ROUNDS = 3
 NEWMAN_ITERS = 6  # modularity-matrix power iteration steps
+# bond percolation retention coins: first md5 byte < threshold
+BP_THRESH = ("40", "80", "c0")  # ≈ 25% / 50% / 75%
 # collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
 # non-binding at gate SFs where max sym degree ≈ 25)
 CI_DEG_CAP = 64
@@ -2807,6 +2809,28 @@ def _q_events_users_hll(spark, sf_dir):
     )
 
 
+def _q_harmonic_hll(spark, sf_dir):
+    """HyperBall harmonic centrality — all vertices at once from the
+    portable HLL registers (the 100 TB closeness path)."""
+    from incubator_hugegraph_computer_spark.operators.neighborhood import (
+        hyperball_harmonic,
+    )
+
+    return hyperball_harmonic(
+        orders_graph(spark, sf_dir), hops=HLL_HOPS, registers=HLL_REGISTERS
+    )
+
+
+def _q_bond_percolation(spark, sf_dir):
+    """Edge-retention resilience curve — deterministic md5 coins, one
+    WCC per retention level."""
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        bond_percolation,
+    )
+
+    return bond_percolation(orders_graph(spark, sf_dir), thresholds=BP_THRESH)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -3005,6 +3029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_slashburn": _q_slashburn,
         "graph_newman_vector": _q_newman_vector,
         "events_users_hll": _q_events_users_hll,
+        "graph_harmonic_hll": _q_harmonic_hll,
+        "graph_bond_percolation": _q_bond_percolation,
     }
 
 
@@ -3910,6 +3936,99 @@ def _slashburn_sql(k: int, rounds: int) -> str:
         for r in range(1, rounds + 1)
     )
     parts[-1] = parts[-1].rstrip(",")
+    return "\n".join(parts) + "\n" + union
+
+
+def _hyperball_ctes(hops: int, registers: int, seed: str = "anf") -> list[str]:
+    """The shared register-evolution CTE chain hb0..hb{hops}."""
+    parts = [
+        f"hbh AS (SELECT id, md5(id::VARCHAR || ':{seed}') AS hx FROM v),",
+        f"hbown AS (SELECT id, ('0x' || substr(hx, 1, 2))::BIGINT % {registers} AS j, "
+        f"CASE WHEN ('0x' || substr(hx, 3, 8))::BIGINT = 0 THEN 33 "
+        f"ELSE 33 - length(bin(('0x' || substr(hx, 3, 8))::BIGINT)) END AS m "
+        f"FROM hbh),",
+        f"hbr AS (SELECT unnest(generate_series(0, {registers - 1})) AS j),",
+        "hb0 AS MATERIALIZED (SELECT v.id, hbr.j, "
+        "CAST(COALESCE(o.m, 0) AS BIGINT) AS m FROM v CROSS JOIN hbr "
+        "LEFT JOIN hbown o ON o.id = v.id AND o.j = hbr.j),",
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f"hb{k} AS MATERIALIZED (SELECT id, j, CAST(MAX(m) AS BIGINT) AS m "
+            f"FROM (SELECT id, j, m FROM hb{k-1} UNION ALL "
+            f"SELECT e.src, p.j, p.m FROM e JOIN hb{k-1} p ON p.id = e.dst) "
+            f"GROUP BY id, j),"
+        )
+    return parts
+
+
+def _hyperball_harmonic_sql(hops: int, registers: int, seed: str = "anf") -> str:
+    """Unrolled HyperBall harmonic centrality matching
+    operators/neighborhood.py:hyperball_harmonic — per-hop ball-size
+    deltas over the shared register chain, left-associative sum."""
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        registers, 0.7213 / (1 + 1.079 / registers)
+    )
+    parts = [f"WITH {_G},"] + _hyperball_ctes(hops, registers, seed)
+    for k in range(0, hops + 1):
+        parts.append(
+            f"hbe{k} AS (SELECT id, {alpha} * {float(registers * registers)} / "
+            f"SUM(POWER(2.0, -m)) AS est FROM hb{k} GROUP BY id),"
+        )
+    terms = " + ".join(
+        f"(e{k}.est - e{k-1}.est) / {float(k)}" for k in range(1, hops + 1)
+    )
+    joins = " ".join(f"JOIN hbe{k} e{k} USING (id)" for k in range(1, hops + 1))
+    parts.append(
+        f"fin AS (SELECT e0.id, ROUND({terms}, 6) AS harmonic_est "
+        f"FROM hbe0 e0 {joins})"
+    )
+    return "\n".join(parts) + "\nSELECT id, harmonic_est FROM fin"
+
+
+def _bond_percolation_sql(thresholds: tuple, seed: str = "bp") -> str:
+    """Unrolled bond percolation matching
+    operators/structure.py:bond_percolation — md5 edge coins + one
+    recursive-CTE component pass per retention level."""
+    parts = [
+        f"WITH RECURSIVE {_G},",
+        "bund AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e WHERE src <> dst),",
+    ]
+    for i, thr in enumerate(thresholds):
+        parts.append(
+            f"bk{i} AS MATERIALIZED (SELECT a, b FROM bund WHERE "
+            f"substr(md5(a::VARCHAR || '-' || b::VARCHAR || ':{seed}'), 1, 2) "
+            f"< '{thr}'),"
+        )
+        parts.append(
+            f"bs{i} AS (SELECT a AS src, b AS dst FROM bk{i} "
+            f"UNION ALL SELECT b, a FROM bk{i}),"
+        )
+        parts.append(
+            f"bc{i}(id, anc) AS (SELECT id, id FROM v UNION "
+            f"SELECT s.dst, bc{i}.anc FROM bc{i} "
+            f"JOIN bs{i} s ON s.src = bc{i}.id),"
+        )
+        parts.append(
+            f"bcp{i} AS (SELECT id, MIN(anc) AS comp FROM bc{i} GROUP BY id),"
+        )
+        parts.append(
+            f"bsz{i} AS MATERIALIZED (SELECT comp, COUNT(*) AS n FROM bcp{i} "
+            f"GROUP BY 1),"
+        )
+        parts.append(
+            f"brow{i} AS (SELECT '{thr}' AS retain_hex, "
+            f"CAST((SELECT COUNT(*) FROM bk{i}) AS BIGINT) AS kept_edges, "
+            f"CAST((SELECT COUNT(*) FROM bsz{i}) AS BIGINT) AS n_components, "
+            f"CAST(COALESCE((SELECT MAX(n) FROM bsz{i}), 0) AS BIGINT) "
+            f"AS gcc_size),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    union = " UNION ALL ".join(
+        f"SELECT retain_hex, kept_edges, n_components, gcc_size FROM brow{i}"
+        for i in range(len(thresholds))
+    )
     return "\n".join(parts) + "\n" + union
 
 
@@ -6089,6 +6208,8 @@ FROM ne, nr
     o["graph_anf_hll"] = _hyperball_sql(HLL_HOPS, HLL_REGISTERS)
     o["graph_slashburn"] = _slashburn_sql(SB_K, SB_ROUNDS)
     o["graph_newman_vector"] = _newman_sql(NEWMAN_ITERS)
+    o["graph_harmonic_hll"] = _hyperball_harmonic_sql(HLL_HOPS, HLL_REGISTERS)
+    o["graph_bond_percolation"] = _bond_percolation_sql(BP_THRESH)
 
     o["events_users_hll"] = f"""
 WITH ev AS MATERIALIZED (SELECT

@@ -170,3 +170,89 @@ def hyperball_reach(
             ).alias("reach_est"),
         )
     )
+
+
+def hyperball_harmonic(
+    graph: Graph,
+    hops: int = 4,
+    registers: int = 16,
+    seed: str = "anf",
+) -> DataFrame:
+    """(id, harmonic_est) — HyperBall harmonic centrality (Boldi-Vigna
+    "In-Core Computation of Geometric Centralities with HyperBall",
+    ICDMW'13): harmonic(v) ≈ Σ_h (|B(v,h)| − |B(v,h−1)|)/h with ball
+    sizes read from the SAME portable md5 HLL registers as
+    ``hyperball_reach``.
+
+    This is the centrality path that scales where the exact seeded
+    protocol (``operators/closeness.py``, state O(V·sources)) cannot:
+    O(V·registers) state total, ALL vertices at once, h supersteps.
+    The per-hop ball-size deltas come from one extra aggregate per hop
+    over state the loop already maintains. Direction: out-balls over
+    ``graph.edges`` (pass ``graph.symmetrized()`` for undirected).
+
+    Raw-HLL estimator semantics as everywhere (no small-range
+    correction); the h=0 baseline is the one-element raw estimate, so
+    deltas are exactly what the registers say — replayed bit-for-bit
+    by the oracle.
+    """
+    from pyspark.sql import functions as F
+
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        registers, 0.7213 / (1 + 1.079 / registers)
+    )
+    e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    hexcol = F.md5(F.concat_ws(":", F.col("id").cast("string"), F.lit(seed)))
+    x = F.conv(F.substring(hexcol, 3, 8), 16, 10).cast("long")
+    own = graph.vertices.select(
+        "id",
+        (F.conv(F.substring(hexcol, 1, 2), 16, 10).cast("long") % registers).alias(
+            "j"
+        ),
+        F.when(x == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(x)))
+        .cast("long")
+        .alias("m"),
+    )
+    regs = F.array(*[F.lit(j).cast("long") for j in range(registers)])
+    state = (
+        graph.vertices.select("id", F.explode(regs).alias("j"))
+        .join(own, ["id", "j"], "left")
+        .select("id", "j", F.coalesce("m", F.lit(0)).cast("long").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+
+    def est(s):
+        return s.groupBy("id").agg(
+            (
+                F.lit(alpha)
+                * F.lit(float(registers * registers))
+                / F.sum(F.pow(F.lit(2.0), -F.col("m")))
+            ).alias("est")
+        )
+
+    acc = est(state).select("id", F.col("est").alias("prev"), F.lit(0.0).alias("h"))
+    for hop in range(1, hops + 1):
+        msg = (
+            e.join(state.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "j")
+            .agg(F.max("m").alias("m"))
+        )
+        state = (
+            state.union(msg)
+            .groupBy("id", "j")
+            .agg(F.max("m").cast("long").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        acc = (
+            acc.join(est(state), "id")
+            .select(
+                "id",
+                F.col("est").alias("prev"),
+                (F.col("h") + (F.col("est") - F.col("prev")) / F.lit(float(hop))).alias(
+                    "h"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return acc.select("id", F.round("h", 6).alias("harmonic_est"))

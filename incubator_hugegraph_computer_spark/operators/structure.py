@@ -408,3 +408,75 @@ def slashburn(graph: Graph, k: int = 16, rounds: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return out
+
+
+def bond_percolation(
+    graph: Graph,
+    thresholds: tuple = ("40", "80", "c0"),
+    seed: str = "bp",
+) -> DataFrame:
+    """Bond-percolation profile — one row per edge-retention level:
+    (retain_hex, kept_edges, n_components, gcc_size).
+
+    The EDGE-removal resilience curve complementing the vertex-removal
+    profiles (``attack_tolerance`` slashes hubs, ``random_failure``
+    vertices): each undirected edge survives iff the first hex byte of
+    md5(a-b:seed) < threshold — '40'/'80'/'c0' ≈ 25/50/75% retention,
+    deterministic and bit-replayed by the oracle (the DOULION coin
+    pattern applied to connectivity instead of triangles). The GCC
+    trajectory across levels locates the percolation transition — how
+    much link loss the crawl graph absorbs before fragmenting.
+
+    Per level: one filter + one WCC over the surviving edges (contract
+    method at scale) + two aggregates. Isolated vertices count as
+    singleton components (the physics convention).
+    """
+    from pyspark.sql import functions as F
+
+    from incubator_hugegraph_computer_spark.graph import Graph as _Graph
+    from incubator_hugegraph_computer_spark.operators.triangle_count import (
+        undirected_edges,
+    )
+    from incubator_hugegraph_computer_spark.operators.wcc import wcc as _wcc
+
+    und = undirected_edges(graph.edges).localCheckpoint(eager=True)
+    coin = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.concat_ws("-", F.col("a"), F.col("b")),
+                F.lit(seed),
+            )
+        ),
+        1,
+        2,
+    )
+    out = None
+    for thr in thresholds:
+        kept = und.where(coin < F.lit(thr)).localCheckpoint(eager=True)
+        comp = _wcc(
+            _Graph(
+                graph.vertices.select("id"),
+                kept.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+                prepartitioned=True,
+            ),
+            count_messages=False,
+        )
+        sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+        row = (
+            kept.agg(F.count(F.lit(1)).cast("long").alias("kept_edges"))
+            .crossJoin(  # one-row × one-row aggregates stay in-plan
+                sizes.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_components"),
+                    F.coalesce(F.max("n"), F.lit(0)).cast("long").alias("gcc_size"),
+                )
+            )
+            .select(
+                F.lit(thr).alias("retain_hex"),
+                "kept_edges",
+                "n_components",
+                "gcc_size",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
