@@ -127,6 +127,8 @@ SB_ROUNDS = 3
 NEWMAN_ITERS = 6  # modularity-matrix power iteration steps
 # bond percolation retention coins: first md5 byte < threshold
 BP_THRESH = ("40", "80", "c0")  # ≈ 25% / 50% / 75%
+CDC_WINDOW = 8  # content-defined chunking: rolling window chars
+ZIPF_FMIN = 2  # Zipf MLE tail threshold (term frequency)
 # collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
 # non-binding at gate SFs where max sym degree ≈ 25)
 CI_DEG_CAP = 64
@@ -2831,6 +2833,37 @@ def _q_bond_percolation(spark, sf_dir):
     return bond_percolation(orders_graph(spark, sf_dir), thresholds=BP_THRESH)
 
 
+def _q_media_phash(spark, sf_dir):
+    """aHash perceptual fingerprints through the Arrow decode kernel —
+    the multimodal near-dup bucket step; oracle replays the bits."""
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        media_from_documents,
+        perceptual_hash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perceptual_hash(media_from_documents(docs)).withColumnRenamed(
+        "media_id", "doc_id"
+    )
+
+
+def _q_docs_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking — md5-gated boundaries, per-document
+    windows only (no global window)."""
+    from incubator_hugegraph_computer_spark.functions.text import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cdc_chunks(docs, window=CDC_WINDOW)
+
+
+def _q_docs_zipf(spark, sf_dir):
+    """Hill/MLE Zipf exponent of the corpus term-frequency tail."""
+    from incubator_hugegraph_computer_spark.functions.text import zipf_alpha
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_alpha(docs, fmin=ZIPF_FMIN)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -3031,6 +3064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_users_hll": _q_events_users_hll,
         "graph_harmonic_hll": _q_harmonic_hll,
         "graph_bond_percolation": _q_bond_percolation,
+        "media_phash": _q_media_phash,
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
+        "docs_zipf": _q_docs_zipf,
     }
 
 
@@ -6210,6 +6246,53 @@ FROM ne, nr
     o["graph_newman_vector"] = _newman_sql(NEWMAN_ITERS)
     o["graph_harmonic_hll"] = _hyperball_harmonic_sql(HLL_HOPS, HLL_REGISTERS)
     o["graph_bond_percolation"] = _bond_percolation_sql(BP_THRESH)
+
+    o["media_phash"] = """
+WITH pp AS MATERIALIZED (SELECT doc_id,
+     unnest(string_split(text, '')) AS c,
+     unnest(generate_series(1, strlen(text))) AS p,
+     strlen(text) AS n FROM documents),
+pv AS (SELECT doc_id, ascii(c) AS bval, ((p - 1) * 63) // n AS bkt, n FROM pp),
+pg AS (SELECT doc_id, CAST(SUM(bval) AS DOUBLE) / MAX(n) AS gmean
+       FROM pv GROUP BY 1),
+pb AS (SELECT doc_id, bkt, CAST(SUM(bval) AS DOUBLE) / COUNT(*) AS bmean
+       FROM pv GROUP BY 1, 2),
+psh AS (SELECT pb.doc_id,
+        CAST(COALESCE(SUM(CASE WHEN pb.bmean > pg.gmean
+             THEN 1::BIGINT << CAST(pb.bkt AS INT) ELSE 0 END), 0) AS BIGINT)
+        AS phash
+        FROM pb JOIN pg USING (doc_id) GROUP BY 1)
+SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+       COALESCE(psh.phash, 0) AS phash
+FROM documents d LEFT JOIN psh USING (doc_id)
+"""
+
+    o["docs_cdc_chunks"] = f"""
+WITH cpos AS MATERIALIZED (SELECT doc_id, text,
+     unnest(generate_series(1, strlen(text))) AS p FROM documents),
+cind AS (SELECT doc_id, text, p,
+         CASE WHEN p >= 2 AND p <= strlen(text) - {CDC_WINDOW - 1}
+              AND substr(md5(substr(text, p, {CDC_WINDOW})), 1, 1) = '0'
+         THEN 1 ELSE 0 END AS ib FROM cpos),
+ctag AS (SELECT doc_id, text, p,
+         SUM(ib) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS chunk_id FROM cind)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(MAX(p) - MIN(p) + 1 AS BIGINT) AS chunk_len,
+       md5(substr(ANY_VALUE(text), CAST(MIN(p) AS INT),
+           CAST(MAX(p) - MIN(p) + 1 AS INT))) AS chunk_md5
+FROM ctag GROUP BY doc_id, chunk_id
+"""
+
+    o["docs_zipf"] = f"""
+WITH {_TOKS},
+ztf AS (SELECT tok, COUNT(*) AS f FROM
+        (SELECT unnest(l) AS tok FROM toks) GROUP BY 1)
+SELECT CAST({ZIPF_FMIN} AS BIGINT) AS fmin,
+       CAST(COUNT(*) AS BIGINT) AS n_tail,
+       ROUND(1.0 + COUNT(*) / SUM(LN(f / {ZIPF_FMIN - 0.5})), 6) AS alpha
+FROM ztf WHERE f >= {ZIPF_FMIN}
+"""
 
     o["events_users_hll"] = f"""
 WITH ev AS MATERIALIZED (SELECT

@@ -254,3 +254,59 @@ def byte_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         kernel, schema="media_id long, n_bytes long, byte_sum long, byte_mean double"
     )
+
+
+def perceptual_hash(media: DataFrame, bits: int = 63) -> DataFrame:
+    """(media_id, n_bytes, phash) — aHash-style perceptual fingerprint
+    of the decoded sample grid via the same Arrow ``mapInPandas``
+    decode path as ``extract_features``: the grid is split into
+    ``bits`` contiguous buckets (bucket of index i = i·bits // n) and
+    bit b is set iff bucket b's mean exceeds the global mean. 63 bits
+    keeps the hash a non-negative int64.
+
+    The multimodal near-dup primitive: visually-identical media decode
+    to (nearly) the same grid → identical phash; grouping by phash is
+    the bucket step of image dedup (Hamming-distance verify follows in
+    a real deployment). Bucket/global means are exact-integer ratios
+    (byte inputs), so the bit pattern is deterministic and the oracle
+    replays it bit-for-bit from the same bytes.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, ph = [], [], []
+            for mid, payload, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
+                arr = _decode_stub(payload, kind)
+                n = len(arr)
+                ids.append(mid)
+                nb.append(n)
+                if n == 0:
+                    ph.append(0)
+                    continue
+                gmean = float(arr.sum(dtype=np.int64)) / n
+                idx = (np.arange(n, dtype=np.int64) * bits) // n
+                sums = np.zeros(bits, dtype=np.int64)
+                cnts = np.zeros(bits, dtype=np.int64)
+                np.add.at(sums, idx, arr.astype(np.int64))
+                np.add.at(cnts, idx, 1)
+                h = 0
+                for b in range(bits):
+                    if cnts[b] > 0 and (float(sums[b]) / float(cnts[b])) > gmean:
+                        h |= 1 << b
+                ph.append(h)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_bytes": nb, "phash": ph}
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, out_schema
+    )

@@ -10,7 +10,7 @@ query boundary).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Token = maximal run of alphanumerics (BPE-ish lower bound on tokens).
 TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
@@ -650,4 +650,87 @@ def pmi_cooccurrence(
                 6,
             ).alias("pmi"),
         )
+    )
+
+
+def cdc_chunks(
+    documents: DataFrame, window: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_len, chunk_md5) — content-defined
+    chunking: a chunk boundary opens at every position p ≥ 2 whose
+    ``window``-char substring hashes with a leading md5 nibble of '0'
+    (expected chunk length ≈ 16 chars; the FastCDC/rsync principle
+    with a portable hash so the oracle replays every boundary).
+
+    Content-defined beats fixed-width chunking for dedup because an
+    insertion only reshapes the ONE chunk it lands in — downstream,
+    grouping by chunk_md5 across documents finds shared spans whatever
+    their offset (the byte-level companion to ``span_dedup``'s
+    token-level positional shingles).
+
+    Physical shape: one position explode (rows = total chars), one
+    per-document window cumulative sum (PARTITIONED by doc_id — never
+    a global window), one groupBy per chunk + a substring/md5
+    projection. Everything is per-document local, so 100 TB shards
+    embarrassingly by doc.
+    """
+    n = F.length(F.col(text_col))
+    pos = documents.select(
+        "doc_id",
+        F.col(text_col).alias("__t"),
+        F.explode(F.sequence(F.lit(1), n)).alias("p"),
+    )
+    is_b = (
+        (F.col("p") >= 2)
+        & (F.col("p") <= F.length("__t") - (window - 1))
+        & (F.substring(F.md5(F.expr(f"substring(__t, p, {window})")), 1, 1) == "0")
+    ).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = pos.select(
+        "doc_id", "__t", "p", F.sum(is_b).over(w).alias("chunk_id")
+    )
+    return (
+        tagged.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.min("p").alias("__s"),
+            F.max("p").alias("__e"),
+            F.first("__t").alias("__t"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("__e") - F.col("__s") + 1).cast("long").alias("chunk_len"),
+            F.md5(F.expr("substring(__t, __s, __e - __s + 1)")).alias("chunk_md5"),
+        )
+    )
+
+
+def zipf_alpha(
+    documents: DataFrame, fmin: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """One row (fmin, n_tail, alpha) — Hill/MLE estimate of the Zipf
+    exponent of the corpus term-frequency distribution (the same
+    Clauset-Shalizi-Newman estimator ``powerlaw_alpha`` applies to
+    degrees, applied to vocabulary): alpha = 1 + n/Σ ln(f/(fmin−0.5))
+    over terms with frequency ≥ fmin. A healthy natural-language
+    corpus sits near alpha ≈ 2; synthetic/template-heavy corpora
+    deviate — a cheap corpus-quality fingerprint."""
+    tf = (
+        documents.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .where(F.col("f") >= fmin)
+    )
+    return tf.agg(
+        F.lit(fmin).cast("long").alias("fmin"),
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1)) / F.sum(F.log(F.col("f") / F.lit(fmin - 0.5))),
+            6,
+        ).alias("alpha"),
     )
