@@ -129,6 +129,13 @@ NEWMAN_ITERS = 6  # modularity-matrix power iteration steps
 BP_THRESH = ("40", "80", "c0")  # ≈ 25% / 50% / 75%
 CDC_WINDOW = 8  # content-defined chunking: rolling window chars
 ZIPF_FMIN = 2  # Zipf MLE tail threshold (term frequency)
+# GraphSAGE sampling: seeds id <= 16, per-layer fanouts, md5 draws
+SAGE_SEED_MAX = 16
+SAGE_FANOUTS = (5, 3)
+SAGE_SEED = 42
+# Matryoshka staged retrieval: 16-dim prefix scan, 50 candidates
+MRL_PREFIX = 16
+MRL_CAND = 50
 # collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
 # non-binding at gate SFs where max sym degree ≈ 25)
 CI_DEG_CAP = 64
@@ -2864,6 +2871,28 @@ def _q_docs_zipf(spark, sf_dir):
     return zipf_alpha(docs, fmin=ZIPF_FMIN)
 
 
+def _q_sage_sample(spark, sf_dir):
+    """Deterministic GraphSAGE neighbor sampling — bounded-fanout
+    minibatch subgraphs, md5 draws replayed by the oracle."""
+    from incubator_hugegraph_computer_spark.operators.embeddings import sage_sample
+
+    g = orders_graph(spark, sf_dir)
+    seeds = g.vertices.where(F.col("id") <= SAGE_SEED_MAX).select("id")
+    return sage_sample(g, seeds, fanouts=SAGE_FANOUTS, seed=SAGE_SEED)
+
+
+def _q_emb_mrl_topk(spark, sf_dir):
+    """Matryoshka staged retrieval: prefix-dim scan, full-dim re-rank."""
+    from incubator_hugegraph_computer_spark.functions.similarity import mrl_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    t = mrl_topk(
+        emb, queries_df, k=TOPK, prefix_dim=MRL_PREFIX, candidates=MRL_CAND
+    )
+    return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -3067,6 +3096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash": _q_media_phash,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_zipf": _q_docs_zipf,
+        "graph_sage_sample": _q_sage_sample,
+        "emb_mrl_topk": _q_emb_mrl_topk,
     }
 
 
@@ -4064,6 +4095,39 @@ def _bond_percolation_sql(thresholds: tuple, seed: str = "bp") -> str:
     union = " UNION ALL ".join(
         f"SELECT retain_hex, kept_edges, n_components, gcc_size FROM brow{i}"
         for i in range(len(thresholds))
+    )
+    return "\n".join(parts) + "\n" + union
+
+
+def _sage_sql(seed_max: int, fanouts: tuple, seed: int) -> str:
+    """Unrolled GraphSAGE sampling matching
+    operators/embeddings.py:sage_sample — per-layer md5-ranked
+    windows, frontier = previous layer's distinct targets."""
+    parts = [
+        f"WITH {_G},",
+        f"sgf0 AS (SELECT id FROM v WHERE id <= {seed_max}),",
+    ]
+    for layer, fanout in enumerate(fanouts, start=1):
+        parts.append(
+            f"sgc{layer} AS (SELECT e.src, e.dst, "
+            f"md5(e.src::VARCHAR || ':' || e.dst::VARCHAR || "
+            f"':{layer}:{seed}') AS r "
+            f"FROM e JOIN sgf{layer-1} f ON f.id = e.src),"
+        )
+        parts.append(
+            f"sgs{layer} AS MATERIALIZED (SELECT CAST({layer} AS BIGINT) "
+            f"AS layer, src, dst FROM "
+            f"(SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src "
+            f"ORDER BY r ASC, dst ASC) AS rn FROM sgc{layer}) "
+            f"WHERE rn <= {fanout}),"
+        )
+        parts.append(
+            f"sgf{layer} AS (SELECT DISTINCT dst AS id FROM sgs{layer}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    union = " UNION ALL ".join(
+        f"SELECT layer, src, dst FROM sgs{layer}"
+        for layer in range(1, len(fanouts) + 1)
     )
     return "\n".join(parts) + "\n" + union
 
@@ -6282,6 +6346,30 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        md5(substr(ANY_VALUE(text), CAST(MIN(p) AS INT),
            CAST(MAX(p) - MIN(p) + 1 AS INT))) AS chunk_md5
 FROM ctag GROUP BY doc_id, chunk_id
+"""
+
+    o["graph_sage_sample"] = _sage_sql(SAGE_SEED_MAX, SAGE_FANOUTS, SAGE_SEED)
+
+    o["emb_mrl_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+           (embedding::DOUBLE[])[1:{MRL_PREFIX}] AS qp
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS vv,
+      (embedding::DOUBLE[])[1:{MRL_PREFIX}] AS vp FROM embeddings),
+s1 AS (SELECT q.query_id, c.vec_id, c.vv, q.qv,
+       list_cosine_similarity(c.vp, q.qp) AS cs
+       FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+cand AS (SELECT query_id, vec_id, vv, qv FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cs DESC, vec_id ASC) AS crn FROM s1)
+         WHERE crn <= {MRL_CAND}),
+s2 AS (SELECT query_id, vec_id,
+       list_cosine_similarity(vv, qv) AS score FROM cand),
+r AS (SELECT query_id, vec_id, score,
+      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s2)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, rank
+FROM r WHERE rank <= {TOPK}
 """
 
     o["docs_zipf"] = f"""

@@ -814,3 +814,58 @@ def mips_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def mrl_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dim: int = 16,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, vec_id, score, rank) — Matryoshka-style staged
+    retrieval: stage 1 ranks the corpus by cosine over the FIRST
+    ``prefix_dim`` dimensions and keeps ``candidates`` per query;
+    stage 2 re-ranks only those by full-width cosine and returns the
+    top ``k``. With MRL-trained embeddings the prefix is itself a
+    valid low-dim embedding, so stage 1 reads 4× fewer floats per
+    row — the cheap-scan/exact-re-rank pattern that complements the
+    IVF/LSH bucket paths (those prune ROWS; this prunes WIDTH).
+
+    Same broadcast-small-queries contract and (score DESC, vec_id)
+    determinism as ``cosine_topk``.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("qpre"),
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("pre"),
+    )
+    coarse = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "vec",
+            "qvec",
+            cosine(F.col("pre"), F.col("qpre")).alias("cscore"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("vec_id"))
+    cand = coarse.withColumn("crn", F.row_number().over(w1)).where(
+        F.col("crn") <= candidates
+    )
+    rescored = cand.select(
+        "query_id", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )

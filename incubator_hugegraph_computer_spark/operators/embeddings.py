@@ -170,3 +170,52 @@ def fastrp_embed(
                 .localCheckpoint(eager=True)
             )
     return acc.select("id", "d", F.col("wx").cast("long").alias("f"))
+
+
+def sage_sample(
+    graph: Graph,
+    seeds: DataFrame,
+    fanouts: tuple = (5, 3),
+    seed: int = 42,
+) -> DataFrame:
+    """(layer, src, dst) — deterministic GraphSAGE neighbor sampling:
+    layer L keeps at most ``fanouts[L-1]`` out-neighbors per frontier
+    vertex, ranked by md5(src:dst:L:seed) with id tie-break — the
+    minibatch-subgraph builder for GNN training over the link graph
+    (Hamilton et al. NeurIPS'17), made md5-deterministic so the same
+    sample reproduces on any engine (and the oracle replays it).
+
+    ``seeds``: one-column (id) frame. Scale: per layer one join of the
+    frontier against the (pre-partitioned) adjacency + a PER-VERTEX
+    ranked window (partitioned by src — never global); frontier growth
+    is bounded by Π fanouts · |seeds| regardless of hub degrees, which
+    is the entire point of sampled aggregation at 10¹²-edge scale.
+    """
+    from pyspark.sql import Window, functions as F
+
+    e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    out = None
+    for layer, fanout in enumerate(fanouts, start=1):
+        coin = F.md5(
+            F.concat_ws(
+                ":",
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+                F.lit(str(layer)),
+                F.lit(str(seed)),
+            )
+        )
+        cand = e.join(frontier.withColumnRenamed("id", "src"), "src").select(
+            "src", "dst", coin.alias("r")
+        )
+        w = Window.partitionBy("src").orderBy(F.asc("r"), F.asc("dst"))
+        samp = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= fanout)
+            .select(F.lit(layer).cast("long").alias("layer"), "src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        out = samp if out is None else out.unionAll(samp)
+        frontier = samp.select(F.col("dst").alias("id")).distinct()
+    return out

@@ -57,6 +57,7 @@ _SCALAR_PARENTS = re.compile(
 WAIVED = {
     "emb_cosine_topk": "broadcast query set: vec_id < QUERY_MAX (≤5 rows by contract)",
     "emb_mips_topk": "broadcast query set: vec_id < QUERY_MAX (≤5 rows by contract)",
+    "emb_mrl_topk": "broadcast query set: vec_id < QUERY_MAX (≤5 rows by contract)",
     "emb_ivf_trained_topk": (
         "broadcast sides are the trained k-means centroid frame "
         "(createDataFrame of K=8 driver rows from fit_kmeans_centroids) and "
