@@ -51,6 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
             "wl_refine", "fastrp", "pic", "label_spread", "msbfs",
             "hyperball", "temporal_reach", "triad_census", "vertex_cut",
             "ppr_batch", "slashburn", "collective_influence", "butterflies",
+            "harmonic_hll", "bond_percolation", "newman_vector", "sage_sample",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -359,7 +360,17 @@ def run(args: argparse.Namespace) -> dict:
         label_spread as _label_spread,
     )
     from incubator_hugegraph_computer_spark.operators.neighborhood import (
+        hyperball_harmonic as _hyperball_harmonic,
         hyperball_reach as _hyperball,
+    )
+    from incubator_hugegraph_computer_spark.operators.structure import (
+        bond_percolation as _bond_percolation,
+    )
+    from incubator_hugegraph_computer_spark.operators.eigenvector import (
+        newman_leading_vector as _newman,
+    )
+    from incubator_hugegraph_computer_spark.operators.embeddings import (
+        sage_sample as _sage,
     )
     from incubator_hugegraph_computer_spark.operators.motifs import (
         triad_census as _triad_census,
@@ -525,6 +536,15 @@ def run(args: argparse.Namespace) -> dict:
         "ppr_sweep": lambda: _ppr_sweep(
             graph, source=args.source, sweep_max=args.sweep_max,
             **step_kwargs, **engine_kwargs
+        ),
+        "harmonic_hll": lambda: _hyperball_harmonic(graph),
+        "bond_percolation": lambda: _bond_percolation(graph),
+        "newman_vector": lambda: _newman(graph),
+        "sage_sample": lambda: _sage(
+            graph,
+            graph.spark.createDataFrame(
+                [(int(s),) for s in args.trust_seeds.split(",")], "id long"
+            ),
         ),
         "slashburn": lambda: _slashburn(graph),
         "collective_influence": lambda: _collective_influence(graph),
