@@ -136,6 +136,10 @@ SAGE_SEED = 42
 # Matryoshka staged retrieval: 16-dim prefix scan, 50 candidates
 MRL_PREFIX = 16
 MRL_CAND = 50
+# phash near-dup: 4 bands × 16 bits, Hamming verify threshold
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_MAX_HAMMING = 16
 # collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
 # non-binding at gate SFs where max sym degree ≈ 25)
 CI_DEG_CAP = 64
@@ -2893,6 +2897,33 @@ def _q_emb_mrl_topk(spark, sf_dir):
     return t.select("query_id", "vec_id", F.round("score", 6).alias("score"), "rank")
 
 
+def _q_media_phash_pairs(spark, sf_dir):
+    """Banded-LSH over perceptual hashes + Hamming verify — the
+    multimodal near-dup pair pass."""
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        media_from_documents,
+        phash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phash_near_duplicates(
+        media_from_documents(docs),
+        bands=PHASH_BANDS,
+        band_bits=PHASH_BAND_BITS,
+        max_hamming=PHASH_MAX_HAMMING,
+    )
+
+
+def _q_jdm(spark, sf_dir):
+    """Joint degree matrix over log2 buckets — degree-mixing
+    fingerprint, O(log² max_degree) rows at any scale."""
+    from incubator_hugegraph_computer_spark.operators.stats import (
+        joint_degree_matrix,
+    )
+
+    return joint_degree_matrix(orders_graph(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -3098,6 +3129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf": _q_docs_zipf,
         "graph_sage_sample": _q_sage_sample,
         "emb_mrl_topk": _q_emb_mrl_topk,
+        "media_phash_pairs": _q_media_phash_pairs,
+        "graph_jdm": _q_jdm,
     }
 
 
@@ -6370,6 +6403,40 @@ r AS (SELECT query_id, vec_id, score,
            ORDER BY score DESC, vec_id ASC) AS INT) AS rank FROM s2)
 SELECT query_id, vec_id, ROUND(score, 6) AS score, rank
 FROM r WHERE rank <= {TOPK}
+"""
+
+    o["media_phash_pairs"] = f"""
+WITH ph AS MATERIALIZED (SELECT doc_id AS media_id, phash FROM
+     ({{PHASH_INNER}})),
+pbd AS (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band),
+pbn AS (SELECT media_id, phash, band,
+        (phash >> CAST(band * {PHASH_BAND_BITS} AS INT))
+          & {(1 << PHASH_BAND_BITS) - 1} AS bval
+        FROM ph CROSS JOIN pbd),
+pcd AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        a.phash AS ha, b.phash AS hb
+        FROM pbn a JOIN pbn b
+        ON a.band = b.band AND a.bval = b.bval
+        AND a.media_id < b.media_id)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM pcd WHERE bit_count(xor(ha, hb)) <= {PHASH_MAX_HAMMING}
+"""
+    o["media_phash_pairs"] = o["media_phash_pairs"].replace(
+        "{PHASH_INNER}", o["media_phash"]
+    )
+
+    o["graph_jdm"] = f"""
+WITH {_G},
+ju AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+     GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+jd AS (SELECT id, COUNT(*) AS d FROM
+       (SELECT a AS id FROM ju UNION ALL SELECT b FROM ju) GROUP BY 1),
+jb AS (SELECT id, CAST(length(bin(d)) - 1 AS BIGINT) AS bk FROM jd)
+SELECT LEAST(x.bk, y.bk) AS dlo, GREATEST(x.bk, y.bk) AS dhi,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM ju JOIN jb x ON x.id = ju.a JOIN jb y ON y.id = ju.b
+GROUP BY 1, 2
 """
 
     o["docs_zipf"] = f"""

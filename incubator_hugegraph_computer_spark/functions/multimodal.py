@@ -310,3 +310,60 @@ def perceptual_hash(media: DataFrame, bits: int = 63) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         kernel, out_schema
     )
+
+
+def phash_near_duplicates(
+    media: DataFrame,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """(media_a, media_b, hamming) — perceptual near-duplicate pairs:
+    candidates share at least one exact ``band_bits``-bit band of
+    their ``perceptual_hash`` (banded LSH over the fingerprint, the
+    same band-then-verify shape as MinHash dedup), then verified by
+    full popcount(xor) ≤ ``max_hamming``. a < b, distinct pairs.
+
+    This closes the multimodal dedup loop: phash buckets exact
+    matches; the banded pass recalls fingerprints that differ in a few
+    bits (small crops / re-encodes under a real codec). Scale: the
+    band join touches only co-banded pairs — cap saturated bands
+    upstream exactly like hot LSH buckets if payload skew demands it.
+    """
+    h = perceptual_hash(media)
+    bands_arr = F.array(*[F.lit(i).cast("long") for i in range(bands)])
+    banded = h.select(
+        F.col("media_id"),
+        F.col("phash"),
+        F.explode(bands_arr).alias("band"),
+    ).select(
+        "media_id",
+        "phash",
+        "band",
+        F.expr(f"(phash >> (band * {band_bits})) & {(1 << band_bits) - 1}").alias(
+            "bval"
+        ),
+    )
+    a = banded.select(
+        F.col("media_id").alias("media_a"),
+        F.col("phash").alias("ha"),
+        "band",
+        "bval",
+    )
+    b = banded.select(
+        F.col("media_id").alias("media_b"),
+        F.col("phash").alias("hb"),
+        "band",
+        "bval",
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "media_a",
+        "media_b",
+        F.bit_count(F.expr("ha ^ hb")).cast("long").alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

@@ -381,3 +381,40 @@ def clustering_agreement(
         F.round((F.col("sij") - expected) / (max_idx - expected), 6).alias("ari"),
         F.round(F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")), 6).alias("nmi"),
     )
+
+
+def joint_degree_matrix(graph: Graph) -> DataFrame:
+    """(dlo, dhi, n_edges) — the joint degree matrix over log2 degree
+    buckets: for every undirected edge, bucket the two endpoint
+    degrees (b = floor(log2 d)) and count edges per unordered bucket
+    pair. THE null-model fingerprint of degree-degree mixing (finer
+    than the scalar assortativity: it shows WHERE hubs attach), and
+    the input to 2K-series graph generators used for synthetic
+    benchmark corpora.
+
+    One degree groupBy + one edge tag + one count — all map-side
+    combined; the output is O(log²(max_degree)) rows at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    und = undirected_edges(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # floor(log2 d) via the binary-string length — integer-exact on
+    # both engines (float log2 can land a hair under at powers of two)
+    bkt = (F.length(F.bin("d")) - 1).cast("long")
+    da = deg.select(F.col("id").alias("a"), bkt.alias("ba"))
+    db = deg.select(F.col("id").alias("b"), bkt.alias("bb"))
+    return (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.least("ba", "bb").alias("dlo"), F.greatest("ba", "bb").alias("dhi")
+        )
+        .groupBy("dlo", "dhi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
