@@ -2924,6 +2924,51 @@ def _q_jdm(spark, sf_dir):
     return joint_degree_matrix(orders_graph(spark, sf_dir))
 
 
+def _q_media_phash_recall(spark, sf_dir):
+    """Measured recall of the banded phash candidate generator vs the
+    all-pairs Hamming truth — the multimodal pre-flight tuning report."""
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        media_from_documents,
+        phash_recall_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phash_recall_report(
+        media_from_documents(docs),
+        bands=PHASH_BANDS,
+        band_bits=PHASH_BAND_BITS,
+        max_hamming=PHASH_MAX_HAMMING,
+    )
+
+
+def _q_docs_cdc_shared(spark, sf_dir):
+    """Cross-document shared spans from content-defined chunks —
+    the payoff query of cdc_chunks (offset-independent shared content)."""
+    from incubator_hugegraph_computer_spark.functions.text import cdc_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = cdc_chunks(docs, window=CDC_WINDOW)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("chunk_len").alias("chunk_len"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _q_motif_null(spark, sf_dir):
+    """Observed triangles vs configuration-model expectation — the
+    excess-clustering factor."""
+    from incubator_hugegraph_computer_spark.operators.motifs import (
+        triangle_null_model,
+    )
+
+    return triangle_null_model(orders_graph(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -3131,6 +3176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_mrl_topk": _q_emb_mrl_topk,
         "media_phash_pairs": _q_media_phash_pairs,
         "graph_jdm": _q_jdm,
+        "media_phash_recall": _q_media_phash_recall,
+        "docs_cdc_shared": _q_docs_cdc_shared,
+        "graph_motif_null": _q_motif_null,
     }
 
 
@@ -6425,6 +6473,72 @@ FROM pcd WHERE bit_count(xor(ha, hb)) <= {PHASH_MAX_HAMMING}
     o["media_phash_pairs"] = o["media_phash_pairs"].replace(
         "{PHASH_INNER}", o["media_phash"]
     )
+
+    o["media_phash_recall"] = f"""
+WITH ph AS MATERIALIZED (SELECT doc_id AS media_id, phash FROM
+     ({{PHASH_INNER}})),
+rt AS MATERIALIZED (SELECT a.media_id AS media_a, b.media_id AS media_b
+     FROM ph a JOIN ph b ON a.media_id < b.media_id
+     WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}),
+rbd AS (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS band),
+rbn AS (SELECT media_id, phash, band,
+        (phash >> CAST(band * {PHASH_BAND_BITS} AS INT))
+          & {(1 << PHASH_BAND_BITS) - 1} AS bval
+        FROM ph CROSS JOIN rbd),
+rcd AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        FROM rbn a JOIN rbn b
+        ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id),
+rcf AS (SELECT c.media_a, c.media_b FROM rcd c
+        JOIN ph x ON x.media_id = c.media_a
+        JOIN ph y ON y.media_id = c.media_b
+        WHERE bit_count(xor(x.phash, y.phash)) <= {PHASH_MAX_HAMMING}),
+rh AS (SELECT t.media_a, t.media_b FROM rt t
+       JOIN rcf USING (media_a, media_b))
+SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM rcf) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM rh) AS BIGINT) AS n_hits,
+       CASE WHEN (SELECT COUNT(*) FROM rt) > 0 THEN
+         ROUND((SELECT COUNT(*) FROM rh) * 1.0 /
+               (SELECT COUNT(*) FROM rt), 6) END AS recall
+"""
+    o["media_phash_recall"] = o["media_phash_recall"].replace(
+        "{PHASH_INNER}", o["media_phash"]
+    )
+
+    o["docs_cdc_shared"] = f"""
+WITH cdc AS MATERIALIZED ({{CDC_INNER}})
+SELECT chunk_md5,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(chunk_len) AS BIGINT) AS chunk_len
+FROM cdc GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+    o["docs_cdc_shared"] = o["docs_cdc_shared"].replace(
+        "{CDC_INNER}", o["docs_cdc_chunks"]
+    )
+
+    o["graph_motif_null"] = f"""
+WITH {_G},
+mu AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+     GREATEST(src, dst) AS b FROM e WHERE src <> dst),
+md AS (SELECT id, COUNT(*) AS d FROM
+       (SELECT a AS id FROM mu UNION ALL SELECT b FROM mu) GROUP BY 1),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(d) AS BIGINT) AS m2,
+       CAST(SUM(d * (d - 1)) AS BIGINT) AS s2 FROM md),
+mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_obs FROM
+       (SELECT 1 FROM mu e1 JOIN mu e2 ON e2.a = e1.b
+        JOIN mu e3 ON e3.a = e1.a AND e3.b = e2.b))
+SELECT mm.n_vertices, CAST(mm.m2 // 2 AS BIGINT) AS n_edges,
+       mt.t_obs AS triangles_obs,
+       ROUND((CAST(mm.s2 AS DOUBLE) * mm.s2 * mm.s2)
+             / (6.0 * CAST(mm.m2 AS DOUBLE) * mm.m2 * mm.m2), 6)
+         AS triangles_cfg_exp,
+       ROUND(mt.t_obs / ((CAST(mm.s2 AS DOUBLE) * mm.s2 * mm.s2)
+             / (6.0 * CAST(mm.m2 AS DOUBLE) * mm.m2 * mm.m2)), 6)
+         AS clustering_excess
+FROM mm, mt
+"""
 
     o["graph_jdm"] = f"""
 WITH {_G},

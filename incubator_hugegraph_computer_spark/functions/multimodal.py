@@ -367,3 +367,56 @@ def phash_near_duplicates(
         "media_b",
         F.bit_count(F.expr("ha ^ hb")).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def phash_recall_report(
+    media: DataFrame,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 16,
+) -> DataFrame:
+    """One row (n_true, n_candidates, n_hits, recall) — measured recall
+    of the banded phash candidate generator against the exact
+    all-pairs Hamming ≤ ``max_hamming`` truth set: the pre-flight
+    tuning report for the multimodal near-dup pass (the phash sibling
+    of ``dedup.lsh_recall_report`` / ``similarity.ivf_recall_report``).
+
+    By pigeonhole, Hamming < ``bands`` is ALWAYS recalled (some band
+    must match exactly); this report measures what the band layout
+    catches in the gray zone above it on YOUR corpus. The truth side
+    is an all-pairs self-join of the (small) fingerprint table — at
+    fleet scale, sample media rows first; fingerprints are 8 bytes, so
+    even 10⁸ sampled rows fit one shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    h = perceptual_hash(media).select("media_id", "phash").localCheckpoint(
+        eager=True
+    )
+    a = h.select(F.col("media_id").alias("media_a"), F.col("phash").alias("ha"))
+    b = h.select(F.col("media_id").alias("media_b"), F.col("phash").alias("hb"))
+    truth = (
+        a.crossJoin(b)
+        .where(F.col("media_a") < F.col("media_b"))
+        .where(F.bit_count(F.expr("ha ^ hb")) <= max_hamming)
+        .select("media_a", "media_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = phash_near_duplicates(
+        media, bands=bands, band_bits=band_bits, max_hamming=max_hamming
+    ).select("media_a", "media_b")
+    hits = truth.join(cand, ["media_a", "media_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hits") / F.col("n_true"), 6),
+            ).alias("recall"),
+        )
+    )

@@ -167,3 +167,61 @@ def triad_census(graph: Graph) -> DataFrame:
         path.alias("triads_path"),
         t.alias("triads_triangle"),
     )
+
+
+def triangle_null_model(graph: Graph) -> DataFrame:
+    """One row (n_vertices, n_edges, triangles_obs, triangles_cfg_exp,
+    clustering_excess) — the observed triangle count against its
+    configuration-model expectation
+
+        E[T] ≈ (Σ d(d−1))³ / (6 · (2m)³)
+
+    (Chung-Lu/configuration null with p_ij ≈ d_i d_j / 2m). The ratio
+    obs/exp is the excess-clustering factor — the single number that
+    says whether the graph's triangles are degree-sequence artifacts
+    (spam rings inflate it far above hub-induced expectation). Three
+    degree aggregates + the triangle kernel; nothing new at scale.
+    """
+    from incubator_hugegraph_computer_spark.operators.triangle_count import (
+        triangles,
+        undirected_edges,
+    )
+
+    und = undirected_edges(graph.edges).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    mom = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum("d").cast("long").alias("m2"),
+        F.sum((F.col("d") * (F.col("d") - 1)).cast("long")).cast("long").alias("s2"),
+    )
+    tri = triangles(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("t_obs"))
+    return (
+        mom.crossJoin(tri)  # one-row × one-row
+        .select(
+            "n_vertices",
+            (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+            F.col("t_obs").alias("triangles_obs"),
+            # cubes as explicit products: exact doubles on every
+            # engine (libm pow() is not guaranteed correctly rounded)
+            F.round(
+                (F.col("s2").cast("double") * F.col("s2") * F.col("s2"))
+                / (F.lit(6.0) * F.col("m2").cast("double") * F.col("m2") * F.col("m2")),
+                6,
+            ).alias("triangles_cfg_exp"),
+            F.round(
+                F.col("t_obs")
+                / (
+                    (F.col("s2").cast("double") * F.col("s2") * F.col("s2"))
+                    / (F.lit(6.0) * F.col("m2").cast("double") * F.col("m2") * F.col("m2"))
+                ),
+                6,
+            ).alias("clustering_excess"),
+        )
+    )
