@@ -140,6 +140,9 @@ MRL_CAND = 50
 PHASH_BANDS = 4
 PHASH_BAND_BITS = 16
 PHASH_MAX_HAMMING = 16
+# forward-push PPR: threshold eps·outdeg, synchronous push rounds
+PUSH_EPS = 1e-4
+PUSH_ROUNDS = 8
 # collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
 # non-binding at gate SFs where max sym degree ≈ 25)
 CI_DEG_CAP = 64
@@ -2969,6 +2972,20 @@ def _q_motif_null(spark, sf_dir):
     return triangle_null_model(orders_graph(spark, sf_dir))
 
 
+def _q_ppr_push(spark, sf_dir):
+    """ACL forward-push PPR: estimate + residual, touched state
+    proportional to the answer's support — the local-computation
+    primitive power iteration can't give."""
+    from incubator_hugegraph_computer_spark.operators.ppr import ppr_push
+
+    return ppr_push(
+        orders_graph(spark, sf_dir),
+        source=PPR_SOURCE,
+        eps=PUSH_EPS,
+        rounds=PUSH_ROUNDS,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -3179,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_recall": _q_media_phash_recall,
         "docs_cdc_shared": _q_docs_cdc_shared,
         "graph_motif_null": _q_motif_null,
+        "graph_ppr_push": _q_ppr_push,
     }
 
 
@@ -3879,6 +3897,66 @@ def _fastrp_sql(dim: int, iters: int, seed: int, weights: tuple) -> str:
         f"FROM f1 {joins})"
     )
     return "\n".join(parts) + "\nSELECT id, d, f FROM fin"
+
+
+def _ppr_push_sql(
+    source: int, eps: float, rounds: int, alpha: float = 0.15
+) -> str:
+    """Unrolled synchronous forward-push PPR matching
+    operators/ppr.py:ppr_push — round-9 threshold, dangling mass to
+    source; alpha/beta literals embedded via repr() so both engines
+    parse the identical doubles."""
+    a, b, ep = repr(alpha), repr(1.0 - alpha), repr(eps)
+    parts = [
+        f"WITH {_G},",
+        "ppdeg AS (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        f"pq0 AS (SELECT CAST({source} AS BIGINT) AS id, 0.0 AS p, 1.0 AS r),",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"pst{k} AS MATERIALIZED (SELECT s.id, s.p, s.r, d.outdeg "
+            f"FROM pq{k-1} s LEFT JOIN ppdeg d USING (id)),"
+        )
+        parts.append(
+            f"ph{k} AS MATERIALIZED (SELECT * FROM pst{k} "
+            f"WHERE ROUND(r, 9) > {ep} * COALESCE(outdeg, 1)),"
+        )
+        parts.append(
+            f"pk{k} AS (SELECT id, p, r FROM pst{k} "
+            f"WHERE NOT (ROUND(r, 9) > {ep} * COALESCE(outdeg, 1))),"
+        )
+        parts.append(f"pu{k} AS (SELECT id, p + {a} * r AS p2 FROM ph{k}),")
+        parts.append(
+            f"pf{k} AS (SELECT e.dst AS id, SUM({b} * h.r / h.outdeg) AS dr "
+            f"FROM ph{k} h JOIN e ON e.src = h.id "
+            f"WHERE h.outdeg IS NOT NULL GROUP BY 1),"
+        )
+        parts.append(
+            f"pd{k} AS (SELECT COALESCE(SUM({b} * r), 0.0) AS ddr "
+            f"FROM ph{k} WHERE outdeg IS NULL),"
+        )
+        parts.append(
+            f"psup{k} AS (SELECT id FROM pk{k} UNION SELECT id FROM pu{k} "
+            f"UNION SELECT id FROM pf{k} "
+            f"UNION SELECT CAST({source} AS BIGINT)),"
+        )
+        parts.append(
+            f"pq{k} AS MATERIALIZED (SELECT u.id, "
+            f"COALESCE(k.p, 0.0) + COALESCE(q.p2, 0.0) AS p, "
+            f"COALESCE(k.r, 0.0) + COALESCE(f.dr, 0.0) + "
+            f"CASE WHEN u.id = {source} THEN (SELECT ddr FROM pd{k}) "
+            f"ELSE 0.0 END AS r "
+            f"FROM psup{k} u LEFT JOIN pk{k} k USING (id) "
+            f"LEFT JOIN pu{k} q USING (id) LEFT JOIN pf{k} f USING (id)),"
+        )
+    parts.append(
+        f"fin AS (SELECT id, ROUND(p, 6) AS p, ROUND(r, 6) AS r "
+        f"FROM pq{rounds}) "
+    )
+    return (
+        "\n".join(parts)
+        + "\nSELECT id, p, r FROM fin WHERE p > 0 OR r > 0"
+    )
 
 
 def _ppr_batch_sql(iters: int, seed_max: int, damping: float = 0.85) -> str:
@@ -6381,6 +6459,7 @@ FROM ne, nr
     )
     o["graph_temporal_reach"] = _treach_sql(TREACH_HOPS)
     o["graph_ppr_batch"] = _ppr_batch_sql(PPR_ITERS, PPRB_SEED_MAX)
+    o["graph_ppr_push"] = _ppr_push_sql(PPR_SOURCE, PUSH_EPS, PUSH_ROUNDS)
     o["graph_pic"] = _pic_sql(PIC_ITERS)
     o["graph_label_spread"] = _label_spread_sql(
         LS_ROUNDS, SEEDED_MAX, SEEDED_CLASSES, LS_ALPHA

@@ -52,6 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
             "hyperball", "temporal_reach", "triad_census", "vertex_cut",
             "ppr_batch", "slashburn", "collective_influence", "butterflies",
             "harmonic_hll", "bond_percolation", "newman_vector", "sage_sample",
+            "ppr_push",
         ],
     )
     p.add_argument("--trust-seeds", default="0",
@@ -380,6 +381,7 @@ def run(args: argparse.Namespace) -> dict:
     )
     from incubator_hugegraph_computer_spark.operators.ppr import (
         ppr_batch as _ppr_batch,
+        ppr_push as _ppr_push,
     )
     from incubator_hugegraph_computer_spark.operators.jaccard import jaccard as _jaccard
     from incubator_hugegraph_computer_spark.operators.mis import (
@@ -537,6 +539,7 @@ def run(args: argparse.Namespace) -> dict:
             graph, source=args.source, sweep_max=args.sweep_max,
             **step_kwargs, **engine_kwargs
         ),
+        "ppr_push": lambda: _ppr_push(graph, source=args.source),
         "harmonic_hll": lambda: _hyperball_harmonic(graph),
         "bond_percolation": lambda: _bond_percolation(graph),
         "newman_vector": lambda: _newman(graph),

@@ -235,3 +235,106 @@ def ppr_batch(
             .localCheckpoint(eager=True)
         )
     return state.where(F.col("rank") > 0)
+
+
+def ppr_push(
+    graph: Graph,
+    source: int,
+    eps: float = 1e-4,
+    alpha: float = 0.15,
+    rounds: int = 8,
+) -> DataFrame:
+    """(id, p, r) — Andersen-Chung-Lang forward-push personalized
+    PageRank: estimate p plus residual r with the invariant
+    ppr(s) = p + Σ_v r(v)·ppr_v applied SYNCHRONOUSLY — every round
+    pushes ALL vertices whose residual exceeds eps·outdeg at once:
+
+        p(u)  += α·r(u)                        for u in the push set H
+        r'(v) += (1−α)·r(u)/outdeg(u)          per edge (u,v), u ∈ H
+        r(u)   = kept only for u ∉ H (+ incoming pushes)
+
+    Dangling pushes return their (1−α) mass to the source (the same
+    dangling rule as ``ppr``). THE work-efficient local primitive:
+    touched state stays proportional to the support of the answer
+    (O(1/(ε·α)) mass-bearing vertices), not to |V| — at 10¹² edges a
+    single-seed query runs in frontier-sized rounds while power
+    iteration would sweep the world. ``rounds`` is declared semantics
+    replayed by the oracle; the push threshold compares the residual
+    ROUNDED to 9 dp (the VoteRank round-before-compare rule) so the
+    set membership is ULP-flip-free across engines.
+    """
+    e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    state = (
+        graph.vertices.where(F.col("id") == source)
+        .select("id", F.lit(0.0).alias("p"), F.lit(1.0).alias("r"))
+        .localCheckpoint(eager=False)
+        .persist()
+    )
+    for _ in range(rounds):
+        st = state.join(deg, "id", "left")
+        push = F.round(F.col("r"), 9) > F.lit(eps) * F.coalesce(
+            "outdeg", F.lit(1)
+        )
+        hset = st.where(push)
+        keep = st.where(~push).select("id", "p", "r")
+        # pushed vertices: estimate grows, residual leaves
+        upd = hset.select("id", (F.col("p") + F.lit(alpha) * F.col("r")).alias("p"))
+        # residual flow along edges (dangling -> source)
+        flow = (
+            hset.where(F.col("outdeg").isNotNull())
+            .join(e, hset["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(F.lit(1.0 - alpha) * F.col("r") / F.col("outdeg")).alias(
+                    "dr"
+                )
+            )
+        )
+        dang = hset.where(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum(F.lit(1.0 - alpha) * F.col("r")), F.lit(0.0)).alias(
+                "ddr"
+            )
+        )
+        dflow = (
+            graph.vertices.where(F.col("id") == source)
+            .crossJoin(F.broadcast(dang))  # one-row scalar
+            .select("id", F.col("ddr").alias("dr2"))
+        )
+        sup = (
+            keep.select("id")
+            .union(upd.select("id"))
+            .union(flow.select("id"))
+            .union(dflow.select("id"))
+            .distinct()
+        )
+        new_state = (
+            sup.join(keep, "id", "left")
+            .join(upd.withColumnRenamed("p", "p2"), "id", "left")
+            .join(flow, "id", "left")
+            .join(dflow, "id", "left")
+            .select(
+                "id",
+                (
+                    F.coalesce("p", F.lit(0.0)) + F.coalesce("p2", F.lit(0.0))
+                ).alias("p"),
+                (
+                    F.coalesce("r", F.lit(0.0))
+                    + F.coalesce("dr", F.lit(0.0))
+                    + F.coalesce("dr2", F.lit(0.0))
+                ).alias("r"),
+            )
+            # the BSP loop's lineage discipline (plans/bsp.py:300-330):
+            # lazy truncation + persist + RELEASE of the previous round's
+            # cache. Chained EAGER localCheckpoints accumulate in the
+            # driver and hit a measured 2x-per-round wall from ~16
+            # rounds (OOM by ~60); this shape stays flat indefinitely.
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        new_state.count()
+        state.unpersist()
+        state = new_state
+    return state.select(
+        "id", F.round("p", 6).alias("p"), F.round("r", 6).alias("r")
+    ).where((F.col("p") > 0) | (F.col("r") > 0))
