@@ -171,9 +171,11 @@ def temporal_reachability(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min(ts_col).cast("long").alias("cand"))
         )
-        arr = (
-            arr.join(relax, "id", "full")
-            .select(
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        arr = advance(
+            arr,
+            arr.join(relax, "id", "full").select(
                 "id",
                 F.least(
                     F.coalesce("arrival", F.lit(2**62)),
@@ -181,8 +183,7 @@ def temporal_reachability(
                 )
                 .cast("long")
                 .alias("arrival"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
     return arr
 
@@ -228,11 +229,13 @@ def msbfs_reach(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.expr("bit_or(mask)").alias("mask"))
         )
-        state = (
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        state = advance(
+            state,
             state.union(msg)
             .groupBy("id")
-            .agg(F.expr("bit_or(mask)").cast("long").alias("mask"))
-            .localCheckpoint(eager=True)
+            .agg(F.expr("bit_or(mask)").cast("long").alias("mask")),
         )
     return state.select(
         "id",

@@ -128,9 +128,11 @@ def newman_leading_vector(graph: Graph, iterations: int = 6) -> DataFrame:
             )
         )
         norm = bv.agg(F.sum(F.abs(F.col("bx"))).alias("n1"))
-        v = (
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        v = advance(
+            v,
             bv.crossJoin(F.broadcast(norm))  # one-row scalar
-            .select("id", "k", (F.col("bx") / F.col("n1")).alias("x"))
-            .localCheckpoint(eager=True)
+            .select("id", "k", (F.col("bx") / F.col("n1")).alias("x")),
         )
     return v.select("id", F.round("x", 6).alias("bscore"))

@@ -154,20 +154,22 @@ def fastrp_embed(
             .groupBy(F.col("src").alias("id"), "d")
             .agg(F.sum("nx").cast("long").alias("x"))
         )
-        state = (
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        state = advance(
+            state,
             vd.join(nxt, ["id", "d"], "left")
-            .select("id", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
-            .localCheckpoint(eager=True)
+            .select("id", "d", F.coalesce("x", F.lit(0)).cast("long").alias("x")),
         )
         w = int(weights[t])
         term = state.select("id", "d", (F.col("x") * F.lit(w)).alias("wx"))
         if acc is None:
             acc = term
         else:
-            acc = (
+            acc = advance(
+                acc,
                 acc.join(term.withColumnRenamed("wx", "wx2"), ["id", "d"])
-                .select("id", "d", (F.col("wx") + F.col("wx2")).alias("wx"))
-                .localCheckpoint(eager=True)
+                .select("id", "d", (F.col("wx") + F.col("wx2")).alias("wx")),
             )
     return acc.select("id", "d", F.col("wx").cast("long").alias("f"))
 

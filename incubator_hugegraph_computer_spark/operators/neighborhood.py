@@ -154,11 +154,13 @@ def hyperball_reach(
             .groupBy(F.col("src").alias("id"), "j")
             .agg(F.max("m").alias("m"))
         )
-        state = (
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        state = advance(
+            state,
             state.union(msg)
             .groupBy("id", "j")
-            .agg(F.max("m").cast("long").alias("m"))
-            .localCheckpoint(eager=True)
+            .agg(F.max("m").cast("long").alias("m")),
         )
     return (
         state.groupBy("id")
@@ -238,21 +240,22 @@ def hyperball_harmonic(
             .groupBy(F.col("src").alias("id"), "j")
             .agg(F.max("m").alias("m"))
         )
-        state = (
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        state = advance(
+            state,
             state.union(msg)
             .groupBy("id", "j")
-            .agg(F.max("m").cast("long").alias("m"))
-            .localCheckpoint(eager=True)
+            .agg(F.max("m").cast("long").alias("m")),
         )
-        acc = (
-            acc.join(est(state), "id")
-            .select(
+        acc = advance(
+            acc,
+            acc.join(est(state), "id").select(
                 "id",
                 F.col("est").alias("prev"),
                 (F.col("h") + (F.col("est") - F.col("prev")) / F.lit(float(hop))).alias(
                     "h"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
     return acc.select("id", F.round("h", 6).alias("harmonic_est"))

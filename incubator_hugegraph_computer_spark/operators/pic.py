@@ -56,9 +56,11 @@ def pic_scores(graph: Graph, iterations: int = 6) -> DataFrame:
             "id", "d", (F.col("s") / F.col("d")).alias("x")
         )
         norm = wd.agg(F.sum("x").alias("n1"))
-        v = (
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        v = advance(
+            v,
             wd.crossJoin(F.broadcast(norm))  # one-row scalar
-            .select("id", "d", (F.col("x") / F.col("n1")).alias("x"))
-            .localCheckpoint(eager=True)
+            .select("id", "d", (F.col("x") / F.col("n1")).alias("x")),
         )
     return v.select("id", F.round("x", 6).alias("pic"))

@@ -220,7 +220,10 @@ def ppr_batch(
             .distinct()
         )
         is_seed = (F.col("id") == F.col("seed")).cast("double")
-        state = (
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        state = advance(
+            state,
             sup.join(msg, ["seed", "id"], "left")
             .join(dang, "seed")
             .select(
@@ -231,8 +234,7 @@ def ppr_batch(
                     + F.lit(damping)
                     * (F.coalesce("s", F.lit(0.0)) + F.col("dm") * is_seed)
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
     return state.where(F.col("rank") > 0)
 

@@ -103,7 +103,10 @@ def label_spread(
             .agg(F.sum(F.col("f") / F.col("deg")).alias("s"))
         )
         sup = msg.select("id", "c").union(y.select("id", "c")).distinct()
-        state = (
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        state = advance(
+            state,
             sup.join(msg, ["id", "c"], "left")
             .join(y, ["id", "c"], "left")
             .select(
@@ -113,7 +116,6 @@ def label_spread(
                     F.lit(alpha) * F.coalesce("s", F.lit(0.0))
                     + F.lit(1.0 - alpha) * F.coalesce("y", F.lit(0.0))
                 ).alias("f"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
     return state.where(F.col("f") > 0)

@@ -59,15 +59,16 @@ def wl_refine(graph: Graph, rounds: int = 3) -> DataFrame:
                 F.array_join(F.array_sort(F.collect_list("nc")), ",").alias("ns")
             )
         )
-        color = (
-            color.join(nbr, "id", "left")
-            .select(
+        from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+        color = advance(
+            color,
+            color.join(nbr, "id", "left").select(
                 "id",
                 F.md5(
                     F.concat(F.col("c"), F.lit("|"), F.coalesce("ns", F.lit("")))
                 ).alias("c"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
     return color.select("id", F.col("c").alias("wl_color"))
 
