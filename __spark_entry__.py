@@ -143,6 +143,11 @@ PHASH_MAX_HAMMING = 16
 # forward-push PPR: threshold eps·outdeg, synchronous push rounds
 PUSH_EPS = 1e-4
 PUSH_ROUNDS = 8
+# R-MAT generator: 20k edges over 2^10 vertices, Graph500 abcd
+RMAT_EDGES = 20000
+RMAT_LEVELS = 10
+RMAT_SEED = 42
+RMAT_A, RMAT_B, RMAT_C = 0.57, 0.19, 0.19
 # collective influence: wedge-intermediary degree cap (as LP_DEG_CAP —
 # non-binding at gate SFs where max sym degree ≈ 25)
 CI_DEG_CAP = 64
@@ -2986,6 +2991,19 @@ def _q_ppr_push(spark, sf_dir):
     )
 
 
+def _q_rmat_profile(spark, sf_dir):
+    """Deterministic R-MAT generation: the out-degree histogram proves
+    every generated edge bit-for-bit (integer-threshold draws, no
+    floats) — the engine's own 100 TB test-graph factory."""
+    from incubator_hugegraph_computer_spark.sources.generators import (
+        rmat_degree_profile,
+    )
+
+    return rmat_degree_profile(
+        spark, RMAT_EDGES, levels=RMAT_LEVELS, seed=RMAT_SEED
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_degree": _q_degree,
@@ -3197,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cdc_shared": _q_docs_cdc_shared,
         "graph_motif_null": _q_motif_null,
         "graph_ppr_push": _q_ppr_push,
+        "graph_rmat_profile": _q_rmat_profile,
     }
 
 
@@ -3897,6 +3916,40 @@ def _fastrp_sql(dim: int, iters: int, seed: int, weights: tuple) -> str:
         f"FROM f1 {joins})"
     )
     return "\n".join(parts) + "\nSELECT id, d, f FROM fin"
+
+
+def _rmat_sql(
+    n_edges: int, levels: int, seed: int, a: float, b: float, c: float
+) -> str:
+    """Unrolled R-MAT matching sources/generators.py:rmat_edges —
+    integer-threshold quadrant draws, zero floats."""
+    ta, tb, tc = int(a * 2**32), int((a + b) * 2**32), int((a + b + c) * 2**32)
+
+    def u(lvl):
+        return (
+            f"('0x' || substr(md5(edge_id::VARCHAR || ':{lvl}:{seed}'), 1, 8))"
+            f"::BIGINT"
+        )
+
+    sbits = ", ".join(
+        f"CASE WHEN {u(k)} < {tb} THEN 0 ELSE 1 END AS s{k}"
+        for k in range(levels)
+    )
+    dbits = ", ".join(
+        f"CASE WHEN {u(k)} < {ta} THEN 0 WHEN {u(k)} < {tb} THEN 1 "
+        f"WHEN {u(k)} < {tc} THEN 0 ELSE 1 END AS d{k}"
+        for k in range(levels)
+    )
+    src = " + ".join(f"s{k} * {2 ** (levels - 1 - k)}" for k in range(levels))
+    return f"""
+WITH rg AS (SELECT unnest(generate_series(0, {n_edges - 1})) AS edge_id),
+rb AS MATERIALIZED (SELECT edge_id, {sbits}, {dbits} FROM rg),
+re AS (SELECT edge_id, CAST({src} AS BIGINT) AS src FROM rb),
+rdeg AS (SELECT src, COUNT(*) AS out_degree FROM re GROUP BY 1)
+SELECT CAST(out_degree AS BIGINT) AS out_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM rdeg GROUP BY 1
+"""
 
 
 def _ppr_push_sql(
@@ -6460,6 +6513,9 @@ FROM ne, nr
     o["graph_temporal_reach"] = _treach_sql(TREACH_HOPS)
     o["graph_ppr_batch"] = _ppr_batch_sql(PPR_ITERS, PPRB_SEED_MAX)
     o["graph_ppr_push"] = _ppr_push_sql(PPR_SOURCE, PUSH_EPS, PUSH_ROUNDS)
+    o["graph_rmat_profile"] = _rmat_sql(
+        RMAT_EDGES, RMAT_LEVELS, RMAT_SEED, RMAT_A, RMAT_B, RMAT_C
+    )
     o["graph_pic"] = _pic_sql(PIC_ITERS)
     o["graph_label_spread"] = _label_spread_sql(
         LS_ROUNDS, SEEDED_MAX, SEEDED_CLASSES, LS_ALPHA
