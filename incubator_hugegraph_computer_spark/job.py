@@ -109,6 +109,13 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--input", help="path of the (repo,path,commit,lang,content,sha256) table")
     src.add_argument("--generate", type=_positive_int, metavar="NUM_FILES",
                      help="generate a deterministic synthetic corpus of this size")
+    src.add_argument("--generate-rmat", type=_positive_int, metavar="NUM_EDGES",
+                     help="generate a deterministic R-MAT edge table of this "
+                     "size instead of a file corpus (pure topology, "
+                     "Graph500-style power-law skew; --rmat-levels sets the "
+                     "2^levels vertex space)")
+    p.add_argument("--rmat-levels", type=int, default=16,
+                   help="--generate-rmat: log2 of the vertex id space")
     p.add_argument("--input-format", default="parquet", choices=["parquet", "iceberg", "csv"])
     p.add_argument("--output", required=True)
     p.add_argument(
@@ -219,7 +226,26 @@ def run(args: argparse.Namespace) -> dict:
         # the store keeps the human-readable vertex dims for output
         vertices = graph.vertices
     else:
-        if args.generate:
+        if args.generate_rmat:
+            from incubator_hugegraph_computer_spark.sources.generators import (
+                rmat_edges,
+            )
+
+            re_ = (
+                rmat_edges(
+                    spark, args.generate_rmat, levels=args.rmat_levels,
+                    seed=args.seed,
+                )
+                .select("src", "dst")
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            graph = Graph.from_edges(re_, num_partitions=args.partitions).cache()
+            vertices = graph.vertices
+            n_vertices, n_edges = graph.num_vertices(), graph.num_edges()
+            t_ingest = time.monotonic() - t0
+            files = None
+        elif args.generate:
             files = generate_repo_files(spark, args.generate, seed=args.seed)
         elif args.input_format == "iceberg":
             files = spark.read.table(args.input)
@@ -228,15 +254,18 @@ def run(args: argparse.Namespace) -> dict:
 
         # weighted pagerank rides the EdgeFrequency.MULTIPLE view:
         # weight = import multiplicity (extractor.py extract_edges)
-        vertices, edges = extract_edges(
-            files,
-            verify=not args.no_verify_sha,
-            weighted=args.algorithm == "pagerank_weighted",
-        )
-        graph = Graph(
-            vertices.select("id"), edges, num_partitions=args.partitions
-        ).cache()
-        if args.graph_store:
+        if files is None:
+            edges = None  # rmat path: graph already built above
+        else:
+            vertices, edges = extract_edges(
+                files,
+                verify=not args.no_verify_sha,
+                weighted=args.algorithm == "pagerank_weighted",
+            )
+            graph = Graph(
+                vertices.select("id"), edges, num_partitions=args.partitions
+            ).cache()
+        if args.graph_store and files is not None:
             from incubator_hugegraph_computer_spark.sources.graph_store import save_graph
 
             # save with the FULL vertex dims (repo/path/...) so later
@@ -252,8 +281,9 @@ def run(args: argparse.Namespace) -> dict:
                 args.graph_store,
                 buckets=args.graph_store_buckets,
             )
-    n_vertices, n_edges = graph.num_vertices(), graph.num_edges()
-    t_ingest = time.monotonic() - t0
+    if not getattr(args, "generate_rmat", None) or store_meta and _store_exists(store_meta):
+        n_vertices, n_edges = graph.num_vertices(), graph.num_edges()
+        t_ingest = time.monotonic() - t0
 
     engine_kwargs = {}
     if args.checkpoint_dir:
