@@ -155,6 +155,11 @@ def run_pass(spark, sf_dir: str, n_files: int, timings: dict[str, float],
         "docs_pack",
         "emb_cosine_topk",
         "events_asof",
+        # round-3 families: WL-hash refinement, integer FastRP, and the
+        # HLL register loop — one representative per new plan shape
+        "graph_wl_refine",
+        "graph_fastrp",
+        "graph_anf_hll",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 
