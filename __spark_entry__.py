@@ -3006,6 +3006,10 @@ def _q_rmat_profile(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- driver CORRECTNESS window: first 50 keys. Slots 1-30 are the
+        # pinned Sec-2-core regression canary; slots 31-50 rotate
+        # never-driver-checked keys into the window each round (r4: strid/uuid
+        # id parity, structural suite, docs_/emb_/events_/media_ families). ---
         "graph_degree": _q_degree,
         "graph_degree_weighted": _q_degree_weighted,
         "graph_pagerank": _q_pagerank,
@@ -3019,40 +3023,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": _q_sssp,
         "graph_sssp_weighted": _q_sssp_weighted,
         "graph_widest_path": _q_widest_path,
-        "graph_sssp_weighted_path": _q_sssp_weighted_path,
         "graph_ppr": _q_ppr,
-        "graph_ppr_sweep": _q_ppr_sweep,
         "graph_jaccard": _q_jaccard,
         "graph_kout": _q_kout,
         "graph_closeness": _q_closeness,
-        "graph_closeness_weighted": _q_closeness_weighted,
         "graph_top_degree": _q_top_degree,
         "graph_modularity": _q_modularity,
         "graph_rings": _q_rings,
+        "graph_rings_filter_dsl": _q_rings_filter_dsl,
         "graph_scc": _q_scc,
+        "graph_depth": _q_depth,
+        "graph_counts": _q_counts,
+        "graph_cycle_detection": _q_cycle_detection,
+        "graph_slpa": _q_slpa,
+        "graph_betweenness": _q_betweenness,
+        "graph_random_walk": _q_random_walk,
+        "graph_louvain": _q_louvain,
+        "graph_property_ingest": _q_property_ingest,
+        # --- rotation slots (31-50): first-ever driver rows this round ---
+        "graph_wcc_strid": _q_wcc_strid,
+        "graph_wcc_uuid": _q_wcc_uuid,
+        "graph_voterank": _q_voterank,
+        "graph_simrank": _q_simrank,
+        "graph_harmonic": _q_harmonic,
+        "graph_bridges": _q_bridges,
+        "graph_fastrp": _q_fastrp,
+        "docs_tfidf": _q_docs_tfidf,
+        "docs_winnowing": _q_winnowing,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "emb_kmeans": _q_emb_kmeans,
+        "emb_ivf_recall": _q_emb_ivf_recall,
+        "emb_mips_topk": _q_emb_mips_topk,
+        "events_asof": _q_events_asof,
+        "events_funnel": _q_events_funnel,
+        "events_heavy_hitters": _q_events_heavy_hitters,
+        "events_users_hll": _q_events_users_hll,
+        "media_phash": _q_media_phash,
+        "media_features": _q_media_features,
+        # --- beyond the driver window (gate-checked via tools/check_correctness.py) ---
+        "graph_sssp_weighted_path": _q_sssp_weighted_path,
+        "graph_ppr_sweep": _q_ppr_sweep,
+        "graph_closeness_weighted": _q_closeness_weighted,
         "graph_build_layers": _q_build_layers,
         "graph_critical_path": _q_critical_path,
         "graph_coupling": _q_coupling,
         "graph_impact": _q_impact,
         "graph_sparsify": _q_sparsify,
         "graph_cascade": _q_cascade,
-        "graph_depth": _q_depth,
-        "graph_counts": _q_counts,
         "graph_rings_filtered": _q_rings_filtered,
-        "graph_rings_filter_dsl": _q_rings_filter_dsl,
-        "graph_cycle_detection": _q_cycle_detection,
         "graph_depth_sketch": _q_depth_sketch,
-        "graph_slpa": _q_slpa,
         "graph_slpa_multi": _q_slpa_multi,
         "graph_kcore_wcc": _q_kcore_wcc,
         "graph_degree_sketch": _q_degree_sketch,
-        "graph_betweenness": _q_betweenness,
         "graph_edge_betweenness": _q_edge_betweenness,
-        "graph_random_walk": _q_random_walk,
-        "graph_louvain": _q_louvain,
         "graph_leiden": _q_leiden,
         "graph_louvain_weighted": _q_louvain_weighted,
-        "graph_property_ingest": _q_property_ingest,
         "graph_hits": _q_hits,
         "graph_katz": _q_katz,
         "graph_link_prediction": _q_link_prediction,
@@ -3061,10 +3087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_eigenvector": _q_eigenvector,
         "graph_ktruss": _q_ktruss,
         "graph_trussness": _q_trussness,
-        "graph_voterank": _q_voterank,
         "graph_reciprocity": _q_reciprocity,
         "graph_salsa": _q_salsa,
-        "graph_simrank": _q_simrank,
         "graph_node2vec_embed": _q_node2vec_embed,
         "graph_betweenness_sampled": _q_betweenness_sampled,
         "graph_densest": _q_densest,
@@ -3104,7 +3128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_partition_stats": _q_partition_stats,
         "graph_heavy_matching": _q_hem,
         "graph_wcc_incremental": _q_wcc_incremental,
-        "graph_harmonic": _q_harmonic,
         "graph_neighborhood": _q_neighborhood,
         "graph_conductance": _q_conductance,
         "docs_diversity": _q_docs_diversity,
@@ -3112,11 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_copurchase": _q_copurchase,
         "graph_msf": _q_msf,
         "graph_coloring": _q_coloring,
-        "docs_winnowing": _q_winnowing,
         "graph_coreness": _q_coreness,
-        "graph_wcc_strid": _q_wcc_strid,
-        "graph_wcc_uuid": _q_wcc_uuid,
-        "graph_bridges": _q_bridges,
         "graph_2ecc": _q_2ecc,
         "graph_percolation": _q_percolation,
         "graph_percolation4": _q_percolation4,
@@ -3126,7 +3145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
         "docs_repetition": _q_docs_repetition,
-        "docs_tfidf": _q_docs_tfidf,
         "docs_top_terms": _q_docs_top_terms,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
@@ -3136,23 +3154,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_redact_pii": _q_docs_redact_pii,
         "docs_length_buckets": _q_docs_length_buckets,
         "docs_domain_mix_tokens": _q_docs_domain_mix_tokens,
-        "docs_incremental_dedup": _q_docs_incremental_dedup,
         "docs_span_dedup": _q_docs_span_dedup,
-        "emb_kmeans": _q_emb_kmeans,
         "emb_pq_topk": _q_emb_pq_topk,
         "emb_sq_topk": _q_emb_sq_topk,
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_split": _q_docs_split,
-        "docs_decontaminate": _q_docs_decontaminate,
         "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,
         "docs_curation_funnel": _q_docs_curation_funnel,
         "graph_eccentricity": _q_eccentricity,
         "graph_tred2": _q_tred2,
         "graph_attack_sim": _q_attack_sim,
         "graph_random_failure": _q_random_failure,
-        "emb_ivf_recall": _q_emb_ivf_recall,
         "docs_chunks": _q_docs_chunks,
         "docs_pack": _q_docs_pack,
         "docs_pack_stats": _q_docs_pack_stats,
@@ -3164,7 +3178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": _q_docs_simhash,
         "media_byte_stats": _q_media_byte_stats,
         "media_resize": _q_media_resize,
-        "media_features": _q_media_features,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_near_dup": _q_emb_near_dup,
@@ -3172,21 +3185,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_ivf_trained_topk": _q_emb_ivf_trained_topk,
         "events_props": _q_events_props,
-        "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
-        "events_asof": _q_events_asof,
         "events_gapfill": _q_events_gapfill,
         "events_rollup": _q_events_rollup,
         "events_interval_join": _q_events_interval_join,
         "events_transitions": _q_events_transitions,
         "events_sequences": _q_events_sequences,
-        "events_heavy_hitters": _q_events_heavy_hitters,
         "graph_wl_refine": _q_wl_refine,
         "graph_triad_census": _q_triad_census,
         "graph_vertex_cut": _q_vertex_cut,
-        "graph_fastrp": _q_fastrp,
         "graph_temporal_reach": _q_temporal_reach,
         "docs_pmi_graph": _q_docs_pmi_graph,
         "graph_ppr_batch": _q_ppr_batch,
@@ -3195,16 +3204,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_label_spread": _q_label_spread,
         "graph_msbfs": _q_msbfs,
         "graph_anf_hll": _q_anf_hll,
-        "emb_mips_topk": _q_emb_mips_topk,
         "graph_butterflies": _q_butterflies,
         "graph_ari": _q_ari,
         "graph_collective_influence": _q_collective_influence,
         "graph_slashburn": _q_slashburn,
         "graph_newman_vector": _q_newman_vector,
-        "events_users_hll": _q_events_users_hll,
         "graph_harmonic_hll": _q_harmonic_hll,
         "graph_bond_percolation": _q_bond_percolation,
-        "media_phash": _q_media_phash,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_zipf": _q_docs_zipf,
         "graph_sage_sample": _q_sage_sample,

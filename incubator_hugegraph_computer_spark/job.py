@@ -219,6 +219,17 @@ def run(args: argparse.Namespace) -> dict:
         fs, hp = hadoop_fs(spark, p)
         return fs.exists(hp)
 
+    # --generate-rmat and --graph-store must not combine silently: the
+    # store branch would load a previously-saved corpus graph and the
+    # generator would never run (computing on the wrong graph), while
+    # with no store present the rmat path never populates the store.
+    if args.generate_rmat and args.graph_store:
+        raise SystemExit(
+            "--generate-rmat cannot be combined with --graph-store: the "
+            "store would shadow the generated graph (or be silently "
+            "ignored). Drop one of the two flags."
+        )
+    counts_done = False
     if store_meta and _store_exists(store_meta):
         from incubator_hugegraph_computer_spark.sources.graph_store import load_graph
 
@@ -240,10 +251,17 @@ def run(args: argparse.Namespace) -> dict:
                 .where(F.col("src") != F.col("dst"))
                 .distinct()
             )
+            if args.algorithm == "pagerank_weighted":
+                # rmat edges carry no multiplicity; a unit weight keeps
+                # the weighted program analyzable (equal-weight == the
+                # EdgeFrequency.SINGLE view) instead of crashing on a
+                # missing weight column at analysis time
+                re_ = re_.withColumn("weight", F.lit(1.0))
             graph = Graph.from_edges(re_, num_partitions=args.partitions).cache()
             vertices = graph.vertices
             n_vertices, n_edges = graph.num_vertices(), graph.num_edges()
             t_ingest = time.monotonic() - t0
+            counts_done = True
             files = None
         elif args.generate:
             files = generate_repo_files(spark, args.generate, seed=args.seed)
@@ -281,7 +299,7 @@ def run(args: argparse.Namespace) -> dict:
                 args.graph_store,
                 buckets=args.graph_store_buckets,
             )
-    if not getattr(args, "generate_rmat", None) or store_meta and _store_exists(store_meta):
+    if not counts_done:
         n_vertices, n_edges = graph.num_vertices(), graph.num_edges()
         t_ingest = time.monotonic() - t0
 
@@ -592,7 +610,9 @@ def run(args: argparse.Namespace) -> dict:
                 "id long, c long",
             ),
         ),
-        "msbfs": lambda: _msbfs(graph, seed_max=args.source or 32),
+        # clamp to the 63-seed int64-mask limit: msbfs_reach raises on
+        # seed_max > 62 rather than aliasing id % 63 bits
+        "msbfs": lambda: _msbfs(graph, seed_max=min(args.source or 32, 62)),
         "hyperball": lambda: _hyperball(graph),
         # derived demo timestamp rule when the edge table carries none
         "temporal_reach": lambda: _treach(

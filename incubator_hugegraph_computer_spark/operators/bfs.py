@@ -212,6 +212,13 @@ def msbfs_reach(
     """
     from pyspark.sql import functions as F
 
+    if seed_max > 62:
+        # bit (id % 63) aliases distinct seeds into one mask bit past 62,
+        # silently corrupting reach_mask/n_src — refuse instead
+        raise ValueError(
+            f"msbfs_reach: seed_max={seed_max} exceeds the 63-seed int64 "
+            "mask (ids 0..62); run ceil(S/63) passes for more sources"
+        )
     e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     state = (
         graph.vertices.where(F.col("id") <= seed_max)

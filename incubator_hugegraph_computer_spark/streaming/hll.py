@@ -46,16 +46,42 @@ def _registers(
 
 
 def read_hll(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Latest committed (grp, j, mv) register state."""
+    """Latest committed (grp, j, mv, m) register state — ``m`` rides in
+    the state so estimates can never be computed against the wrong
+    register count."""
     done = _committed_batches(spark, out_dir + "_committed")
     if not done:
         raise FileNotFoundError(f"no committed hll batches under {out_dir}")
     return spark.read.parquet(f"{out_dir}/batch-{max(done)}")
 
 
-def hll_estimates(registers: DataFrame, m: int = 16) -> DataFrame:
+def hll_estimates(registers: DataFrame, m: int | None = None) -> DataFrame:
     """(grp, est_distinct) from sparse register rows (absent registers
-    count as 0 — the dense fill happens here, not in state)."""
+    count as 0 — the dense fill happens here, not in state).
+
+    ``m`` defaults to the register count persisted in the state's ``m``
+    column (written by ``run_hll_stream``); passing a mismatched
+    explicit value raises instead of silently using the wrong alpha and
+    absent-register fill."""
+    persisted = None
+    if "m" in registers.columns:
+        vals = [r[0] for r in registers.select("m").distinct().limit(2).collect()]
+        if len(vals) > 1:
+            raise ValueError(f"mixed register counts in state: {sorted(vals)}")
+        persisted = int(vals[0]) if vals else None
+        registers = registers.drop("m")
+    if m is None:
+        if persisted is None:
+            raise ValueError(
+                "register count unknown: state has no 'm' column and no "
+                "explicit m was given"
+            )
+        m = persisted
+    elif persisted is not None and m != persisted:
+        raise ValueError(
+            f"explicit m={m} contradicts the persisted register count "
+            f"{persisted}"
+        )
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     n_absent = m - F.count(F.lit(1))
     return (
@@ -97,7 +123,7 @@ def run_hll_stream(
             return
         delta = _registers(batch, key_col, group_col, registers, seed)
         if done:
-            prev = spark.read.parquet(f"{out_dir}/batch-{max(done)}")
+            prev = spark.read.parquet(f"{out_dir}/batch-{max(done)}").drop("m")
             merged = (
                 prev.unionByName(delta)
                 .groupBy("grp", "j")
@@ -105,6 +131,9 @@ def run_hll_stream(
             )
         else:
             merged = delta
+        # persist the register count with the state so read_hll +
+        # hll_estimates can never disagree with the stream's m
+        merged = merged.withColumn("m", F.lit(registers))
         merged.write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}")
         _mark_committed(spark, markers_dir, batch_id)
 
