@@ -226,6 +226,7 @@ LP_DEG_CAP = 64
 # the 6-decimal round (same class as pagerank's, never observed to flip).
 SIMRANK_C = 0.75
 SIMRANK_K = 2
+SIMRANK_T = 10  # top partners kept per vertex between/after iterations
 N2V_DIM = 16
 TOP_TERMS_K = 20
 EIG_ITERS = 5
@@ -951,12 +952,21 @@ def _q_motifs(spark, sf_dir):
 
 
 def _q_simrank(spark, sf_dir):
-    """Truncated SimRank (k=2, C=0.75, exact sparse iteration) — the
-    recursive structural-similarity companion to graph_jaccard; only
-    non-zero pairs a < b are emitted (diagonal is implicit 1)."""
+    """Truncated SimRank (k=2, C=0.75, top-T=10 partners kept per
+    vertex between and after iterations — the Lizorkin VLDB'08 scale
+    path; the pair frame stays bounded by T·V instead of fan-out²) —
+    the recursive structural-similarity companion to graph_jaccard;
+    only surviving pairs a < b are emitted (diagonal is implicit 1).
+    The exact all-pairs mode stays available as
+    ``simrank(..., top_per_vertex=None)``."""
     from incubator_hugegraph_computer_spark.operators.simrank import simrank
 
-    r = simrank(orders_graph(spark, sf_dir), k=SIMRANK_K, c=SIMRANK_C)
+    r = simrank(
+        orders_graph(spark, sf_dir),
+        k=SIMRANK_K,
+        c=SIMRANK_C,
+        top_per_vertex=SIMRANK_T,
+    )
     # SimRank scores are small-denominator rationals (C·common/(da·db)),
     # so many land EXACTLY on the 6-decimal half-way boundary where
     # Spark's HALF_UP BigDecimal round and DuckDB's raw-double round
@@ -6452,10 +6462,13 @@ FROM v LEFT JOIN cnt USING(id)
 
     o["graph_feature_smooth"] = _smooth_sql(SMOOTH_ROUNDS, SMOOTH_ALPHA)
 
-    # Truncated SimRank, k=2 unrolled: s1 from the identity base case is
-    # C*|I(a)∩I(b)|/(|I(a)||I(b)|); s2 adds the off-diagonal propagation
-    # (each ordered (i,j) term surfaces once from the i<j pair rows via
-    # the two join-role assignments — operators/simrank.py plan notes).
+    # Truncated SimRank, k=2 unrolled with the top-T sparsification
+    # replayed: s1 from the identity base case is
+    # C*|I(a)∩I(b)|/(|I(a)||I(b)|); both truncation points rank on the
+    # 6-dp-rounded (nudged) score per endpoint with partner-asc ties
+    # (operators/simrank.py _truncate declared semantics); s2 adds the
+    # off-diagonal propagation over the TRUNCATED s1 while the diagonal
+    # term (identity part, never decays) uses the full common counts.
     o["graph_simrank"] = f"""
 WITH {_G},
 ie AS MATERIALIZED (SELECT DISTINCT dst AS vv, src AS n FROM e),
@@ -6469,19 +6482,38 @@ s1s AS (
   SELECT s1.a, s1.b, {SIMRANK_C} * s1.common / (da.d * db.d) AS score
   FROM s1 JOIN ideg da ON da.vv = s1.a JOIN ideg db ON db.vv = s1.b
 ),
+b1 AS (SELECT a, b, score FROM s1s
+       UNION ALL SELECT b AS a, a AS b, score FROM s1s),
+r1 AS (SELECT a, b, score, ROW_NUMBER() OVER (
+         PARTITION BY a ORDER BY ROUND(score + 1e-9, 6) DESC, b ASC) AS rn
+       FROM b1),
+s1t AS MATERIALIZED (
+  SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b, MAX(score) AS score
+  FROM r1 WHERE rn <= {SIMRANK_T} GROUP BY 1, 2
+),
 crossc AS (
   SELECT LEAST(ea.dst, eb.dst) AS a, GREATEST(ea.dst, eb.dst) AS b,
          SUM(s.score) AS contrib
-  FROM s1s s JOIN e ea ON ea.src = s.a JOIN e eb ON eb.src = s.b
+  FROM s1t s JOIN e ea ON ea.src = s.a JOIN e eb ON eb.src = s.b
   WHERE ea.dst <> eb.dst
   GROUP BY 1, 2
-)
-SELECT COALESCE(c.a, d.a) AS a, COALESCE(c.b, d.b) AS b,
-       ROUND({SIMRANK_C} * (COALESCE(c.contrib, 0) + COALESCE(d.common, 0))
-             / (da.d * db.d) + 1e-9, 6) AS score
-FROM crossc c FULL JOIN s1 d ON c.a = d.a AND c.b = d.b
-JOIN ideg da ON da.vv = COALESCE(c.a, d.a)
-JOIN ideg db ON db.vv = COALESCE(c.b, d.b)
+),
+s2 AS (
+  SELECT COALESCE(c.a, d.a) AS a, COALESCE(c.b, d.b) AS b,
+         {SIMRANK_C} * (COALESCE(c.contrib, 0) + COALESCE(d.common, 0))
+               / (da.d * db.d) AS score
+  FROM crossc c FULL JOIN s1 d ON c.a = d.a AND c.b = d.b
+  JOIN ideg da ON da.vv = COALESCE(c.a, d.a)
+  JOIN ideg db ON db.vv = COALESCE(c.b, d.b)
+),
+b2 AS (SELECT a, b, score FROM s2
+       UNION ALL SELECT b AS a, a AS b, score FROM s2),
+r2 AS (SELECT a, b, score, ROW_NUMBER() OVER (
+         PARTITION BY a ORDER BY ROUND(score + 1e-9, 6) DESC, b ASC) AS rn
+       FROM b2)
+SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b,
+       ROUND(MAX(score) + 1e-9, 6) AS score
+FROM r2 WHERE rn <= {SIMRANK_T} GROUP BY 1, 2
 """
 
     # node2vec+Word2Vec: the oracle replays the deterministic SHAPE of

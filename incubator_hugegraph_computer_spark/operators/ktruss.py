@@ -79,20 +79,25 @@ def _peel(edges: DataFrame, thresh: int, max_rounds: int | None = None):
     """Peel ``edges`` (canonical a<b, already localCheckpoint'ed) down
     to the subgraph where every edge has triangle support >= thresh.
     Returns (survivors, rounds, count). Lineage truncated per round."""
+    from incubator_hugegraph_computer_spark.plans.lineage import advance
+
     prev_count = edges.count()
     rounds = 0
     while True:
         sup = _support(edges)
-        new_edges = (
+        # advance() (lazy checkpoint + persist + release-prev) instead of
+        # chained eager checkpoints — the peel runs to fixpoint, so its
+        # round count is input-dependent and can cross the ~16-round
+        # driver cliff (PLANS.md "Lineage discipline")
+        edges = advance(
+            edges,
             edges.join(sup, ["a", "b"], "left")
             .select("a", "b", F.coalesce("sup", F.lit(0)).alias("sup"))
             .where(F.col("sup") >= thresh)
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+            .select("a", "b"),
         )
         rounds += 1
-        cur_count = new_edges.count()
-        edges = new_edges
+        cur_count = edges.count()
         stable = cur_count == prev_count
         prev_count = cur_count
         if stable or cur_count == 0 or (max_rounds is not None and rounds >= max_rounds):

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.operators.triangle_count import undirected_edges
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def _initial_adjacency(graph: Graph, weight_col: str | None = None) -> DataFrame:
@@ -58,7 +59,7 @@ def _move_phase(
 ) -> DataFrame:
     """One level of local moves. Returns (id, c) assignment."""
     k = adj.groupBy(F.col("i").alias("id")).agg(F.sum("w").alias("k")).persist()
-    comm = k.select("id", F.col("id").alias("c"), "k").localCheckpoint(eager=True)
+    comm = advance(None, k.select("id", F.col("id").alias("c"), "k"))
     zero_streak = 0
     for it in range(max_inner):
         ktot = comm.groupBy("c").agg(F.sum("k").alias("tot"))
@@ -112,13 +113,10 @@ def _move_phase(
             F.when(F.col("better") & dir_ok, F.col("best_c")).otherwise(F.col("c_i")).alias("c"),
             (F.col("better") & dir_ok & (F.col("best_c") != F.col("c_i"))).cast("int").alias("mv"),
         )
-        new_comm = (
-            comm.select("id", "k")
-            .join(moved.select("id", "c", "mv"), "id")
-            .localCheckpoint(eager=True)
+        comm = advance(
+            comm, comm.select("id", "k").join(moved.select("id", "c", "mv"), "id")
         )
-        n_moves = new_comm.agg(F.sum("mv")).first()[0] or 0
-        comm = new_comm.drop("mv").persist()
+        n_moves = comm.agg(F.sum("mv")).first()[0] or 0
         # A round admits only one move direction (down on even it, up on
         # odd), so a single zero-move round may just mean every improving
         # move pointed the blocked way — converged only after BOTH
@@ -127,7 +125,9 @@ def _move_phase(
         if zero_streak >= 2:
             break
     k.unpersist()
-    return comm.select("id", "c")
+    # materialized 2-col result; the internal move state is released —
+    # the caller owns (and unpersists) the returned frame
+    return advance(comm, comm.select("id", "c"))
 
 
 def louvain(
@@ -156,38 +156,45 @@ def louvain(
     if two_m == 0:
         return graph.vertices.select("id", F.col("id").alias("community"))
     # mapping from original vertex to current-level supervertex
-    mapping = adj.select(F.col("i").alias("id")).distinct().select(
-        "id", F.col("id").alias("node")
-    ).localCheckpoint(eager=True)
+    mapping = advance(
+        None,
+        adj.select(F.col("i").alias("id")).distinct().select(
+            "id", F.col("id").alias("node")
+        ),
+    )
 
     for _ in range(max_levels):
-        assignment = _move_phase(adj, two_m, resolution, max_inner)
+        raw_assignment = _move_phase(adj, two_m, resolution, max_inner)
         # canonicalize community ids to min member (deterministic output)
-        canon = assignment.groupBy("c").agg(F.min("id").alias("rep"))
-        assignment = assignment.join(canon, "c").select("id", F.col("rep").alias("c"))
+        canon = raw_assignment.groupBy("c").agg(F.min("id").alias("rep"))
+        assignment = advance(
+            None,
+            raw_assignment.join(canon, "c").select("id", F.col("rep").alias("c")),
+        )
+        raw_assignment.unpersist()
         n_comms = assignment.select("c").distinct().count()
         n_nodes = assignment.count()
-        mapping = (
+        mapping = advance(
+            mapping,
             mapping.join(assignment.withColumnRenamed("id", "node"), "node")
-            .select("id", F.col("c").alias("node"))
-            .localCheckpoint(eager=True)
+            .select("id", F.col("c").alias("node")),
         )
         if n_comms == n_nodes:
+            assignment.unpersist()
             break
         # contract: supervertex graph with summed weights (self-loops keep
         # internal mass so k and 2m are preserved exactly)
         ci = assignment.select(F.col("id").alias("i"), F.col("c").alias("new_i"))
         cjj = assignment.select(F.col("id").alias("j"), F.col("c").alias("new_j"))
-        new_adj = (
+        adj = advance(
+            adj,
             adj.join(ci, "i")
             .join(cjj, "j")
             .groupBy(F.col("new_i").alias("i"), F.col("new_j").alias("j"))
             .agg(F.sum("w").alias("w"))
-            .repartition(graph.num_partitions, "j")
-            .localCheckpoint(eager=True)
+            .repartition(graph.num_partitions, "j"),
         )
-        adj.unpersist()
-        adj = new_adj.persist()
+        assignment.unpersist()
 
     # vertices that never appeared in any edge are their own community
     return (

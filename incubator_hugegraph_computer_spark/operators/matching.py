@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.operators.triangle_count import undirected_edges
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def _edge_priority(a, b, seed: int, rnd: int):
@@ -44,7 +45,7 @@ def maximal_matching(graph: Graph, max_rounds: int = 12, seed: int = 42) -> Data
     rounds); the alive set empties in O(log E) expected rounds."""
     max_rounds = max(1, max_rounds)
     und = undirected_edges(graph.edges)  # (a, b), a < b, no loops
-    alive = und.localCheckpoint(eager=True)
+    alive = advance(None, und)
     matched = None
     for rnd in range(1, max_rounds + 1):
         pri = alive.select(
@@ -54,28 +55,27 @@ def maximal_matching(graph: Graph, max_rounds: int = 12, seed: int = 42) -> Data
             pri.select(F.col("b").alias("v"), "p")
         )
         vmin = ends.groupBy("v").agg(F.min("p").alias("mp"))
-        winners = (
+        winners = advance(
+            None,
             pri.join(vmin.select(F.col("v").alias("a"), F.col("mp").alias("mpa")), "a")
             .join(vmin.select(F.col("v").alias("b"), F.col("mp").alias("mpb")), "b")
             .where((F.col("p") == F.col("mpa")) & (F.col("p") == F.col("mpb")))
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+            .select("a", "b"),
         )
         matched = (
-            winners
-            if matched is None
-            else matched.unionAll(winners).localCheckpoint(eager=True)
+            winners if matched is None else advance(matched, matched.unionAll(winners))
         )
         mv = winners.select(F.col("a").alias("v")).unionAll(
             winners.select(F.col("b").alias("v"))
         ).distinct()
-        new_alive = (
+        alive = advance(
+            alive,
             alive.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
             .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+            .select("a", "b"),
         )
-        alive = new_alive
+        if matched is not winners:
+            winners.unpersist()
         if alive.isEmpty():
             break
     return und.join(
@@ -166,7 +166,7 @@ def heavy_edge_matching(
             .groupBy("a", "b")
             .agg(F.max("w").alias("w"))
         )
-    alive = und.localCheckpoint(eager=True)
+    alive = advance(None, und)
     matched = None
     for rnd in range(1, max_rounds + 1):
         pri = alive.select(
@@ -182,27 +182,27 @@ def heavy_edge_matching(
             .agg(F.min(F.struct("nw", "p", "a", "b")).alias("m"))
             .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"))
         )
-        winners = (
+        winners = advance(
+            None,
             best.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") == 2)
-            .select("a", "b")
-            .localCheckpoint(eager=True)
+            .select("a", "b"),
         )
         matched = (
-            winners
-            if matched is None
-            else matched.unionAll(winners).localCheckpoint(eager=True)
+            winners if matched is None else advance(matched, matched.unionAll(winners))
         )
         mv = winners.select(F.col("a").alias("v")).unionAll(
             winners.select(F.col("b").alias("v"))
         ).distinct()
-        alive = (
+        alive = advance(
+            alive,
             alive.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
             .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
-            .select("a", "b", "w")
-            .localCheckpoint(eager=True)
+            .select("a", "b", "w"),
         )
+        if matched is not winners:
+            winners.unpersist()
         if alive.isEmpty():
             break
     return und.join(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def _priority(col, seed: int, rnd: int):
@@ -42,8 +43,8 @@ def maximal_independent_set(
     the alive set empties well before 20 (expected O(log V))."""
     max_rounds = max(1, max_rounds)  # mis must exist before the final join
     sym = graph.symmetrized().edges.select("src", "dst")
-    alive_v = graph.vertices.select("id").localCheckpoint(eager=True)
-    alive_e = sym.localCheckpoint(eager=True)
+    alive_v = advance(None, graph.vertices.select("id"))
+    alive_e = advance(None, sym)
     mis = None
     for rnd in range(1, max_rounds + 1):
         pri = alive_v.select("id", _priority(F.col("id"), seed, rnd).alias("p"))
@@ -54,29 +55,29 @@ def maximal_independent_set(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("np").alias("mnp"))
         )
-        winners = (
+        winners = advance(
+            None,
             pri.join(nb_min, "id", "left")
             .where(F.col("mnp").isNull() | (F.col("p") < F.col("mnp")))
-            .select("id")
-            .localCheckpoint(eager=True)
+            .select("id"),
         )
-        mis = winners if mis is None else mis.unionAll(winners).localCheckpoint(eager=True)
+        mis = winners if mis is None else advance(mis, mis.unionAll(winners))
         removed = winners.unionAll(
             alive_e.join(winners.withColumnRenamed("id", "src"), "src").select(
                 F.col("dst").alias("id")
             )
         ).distinct()
-        new_alive_v = alive_v.join(removed, "id", "left_anti").localCheckpoint(eager=True)
-        if new_alive_v.isEmpty():
-            alive_v = new_alive_v
+        alive_v = advance(alive_v, alive_v.join(removed, "id", "left_anti"))
+        if alive_v.isEmpty():
             break
-        alive_v = new_alive_v
-        alive_e = (
+        alive_e = advance(
+            alive_e,
             alive_e.join(alive_v.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(alive_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .select("src", "dst"),
         )
+        if mis is not winners:
+            winners.unpersist()
     return graph.vertices.select("id").join(
         mis.withColumn("in_mis", F.lit(True)), "id", "left"
     ).select("id", F.coalesce("in_mis", F.lit(False)).alias("in_mis"))

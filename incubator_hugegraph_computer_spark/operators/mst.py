@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def msf(
@@ -64,9 +65,7 @@ def msf(
         .agg(F.min("w").alias("w"))
         .persist()
     )
-    comp = graph.vertices.select("id", F.col("id").alias("c")).localCheckpoint(
-        eager=True
-    )
+    comp = advance(None, graph.vertices.select("id", F.col("id").alias("c")))
     forest: DataFrame | None = None
     for _ in range(max_rounds):
         ec = (
@@ -79,20 +78,21 @@ def msf(
         # each touched component's minimum cut edge, (w, a, b) order;
         # carry both component ids so the merge graph needs no re-join
         pick = F.struct("w", "a", "b", "ca", "cb").alias("p")
-        m = (
+        m = advance(
+            None,
             ec.select(F.col("ca").alias("c"), pick)
             .unionAll(ec.select(F.col("cb").alias("c"), pick))
             .groupBy("c")
-            .agg(F.min("p").alias("p"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("p").alias("p")),
         )
         if m.isEmpty():
+            m.unpersist()
             break
         chosen = m.select("p.a", "p.b", "p.w").distinct()
         forest = (
-            chosen
+            advance(None, chosen)
             if forest is None
-            else forest.unionAll(chosen).localCheckpoint(eager=True)
+            else advance(forest, forest.unionAll(chosen))
         )
         # pointer graph over component ids: c -> partner component
         ptr = m.select(
@@ -103,44 +103,40 @@ def msf(
         )
         # root mutual 2-cycles at the smaller id; chains keep their pointer
         oo = ptr.select(F.col("c").alias("o"), F.col("o").alias("oo"))
-        p = (
+        p = advance(
+            None,
             ptr.join(oo, "o", "left")
             .select(
                 "c",
                 F.when(F.col("oo") == F.col("c"), F.least("c", "o"))
                 .otherwise(F.col("o"))
                 .alias("r"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
         # pointer doubling: r <- r(r) until fixpoint (components NOT in
         # p keep their own label; p only holds merging components)
         for _j in range(max_jumps):
-            p2 = (
+            prev_p = p
+            p = advance(
+                None,
                 p.alias("x")
                 .join(
                     p.select(F.col("c").alias("r"), F.col("r").alias("rr")).alias("y"),
                     "r",
                     "left",
                 )
-                .select("c", F.coalesce("rr", "r").alias("r"))
-                .localCheckpoint(eager=True)
+                .select("c", F.coalesce("rr", "r").alias("r")),
             )
-            if p2.exceptAll(p).isEmpty():
-                p.unpersist()
-                p = p2
+            stable = p.exceptAll(prev_p).isEmpty()
+            prev_p.unpersist()
+            if stable:
                 break
-            p.unpersist()
-            p = p2
-        new_comp = (
-            comp.join(p, "c", "left")
-            .select("id", F.coalesce("r", "c").alias("c"))
-            .localCheckpoint(eager=True)
+        comp = advance(
+            comp,
+            comp.join(p, "c", "left").select("id", F.coalesce("r", "c").alias("c")),
         )
-        comp.unpersist()
         p.unpersist()
         m.unpersist()
-        comp = new_comp
     und.unpersist()
     comp.unpersist()
     if forest is None:

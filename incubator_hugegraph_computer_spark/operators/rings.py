@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def _cycle_search_edges(
@@ -74,7 +75,7 @@ def rings(
     for _ in range(1, max_length + 1):
         ext = frontier.join(edges, frontier.current == edges.src)
         closed = ext.where(F.col("dst") == F.col("start")).select("start", "path")
-        found.append(closed.localCheckpoint(eager=True))
+        found.append(advance(None, closed))
         nxt = (
             ext.where(
                 (F.col("dst") > F.col("start")) & ~F.array_contains(F.col("path"), F.col("dst"))
@@ -100,13 +101,10 @@ def rings(
                 .select("start")
             )
             nxt = nxt.join(sat, "start", "left_anti")
-        nxt = nxt.localCheckpoint(eager=True)
-        frontier.unpersist()
-        if nxt.isEmpty():
-            frontier = nxt
+        frontier = advance(frontier, nxt)
+        if frontier.isEmpty():
             break
-        frontier = nxt.persist()
-    # found[] is checkpointed — the search caches can go
+    # found[] is materialized — the search caches can go
     frontier.unpersist()
     edges.unpersist()
     out = found[0]
@@ -143,9 +141,12 @@ def _boolean_cycles(
             ext.where((F.col("dst") == F.col("start")) & (F.size("path") >= min_vertices))
             .select("start")
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        has = closed if has is None else has.unionAll(closed).distinct().localCheckpoint(eager=True)
+        has = (
+            advance(None, closed)
+            if has is None
+            else advance(has, has.unionAll(closed).distinct())
+        )
         nxt = (
             ext.where(
                 (F.col("dst") != F.col("start"))
@@ -158,13 +159,10 @@ def _boolean_cycles(
                 F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
             )
             .join(has, "start", "left_anti")  # the short-circuit
-            .localCheckpoint(eager=True)
         )
-        frontier.unpersist()
-        if nxt.isEmpty():
-            frontier = nxt
+        frontier = advance(frontier, nxt)
+        if frontier.isEmpty():
             break
-        frontier = nxt.persist()
     frontier.unpersist()
     edges.unpersist()
     members = has.select(F.col("start").alias("id")).withColumn("in_cycle", F.lit(1))
@@ -253,15 +251,14 @@ def rings_with_filter(
             F.array("src", "dst").alias("path"),
             *carry,
         )
-        .localCheckpoint(eager=True)
-        .persist()
     )
+    frontier = advance(None, frontier)
     # self-loops are dropped, so the smallest ring has 2 vertices
     found = [frontier.select("start", "path").where(F.lit(False))]
     for _ in range(2, max_length + 1):
         ext = frontier.join(edges, frontier.current == edges.src).where(spread_pred)
         closed = ext.where(F.col("dst") == F.col("start")).select("start", "path")
-        found.append(closed.localCheckpoint(eager=True))
+        found.append(advance(None, closed))
         nxt = ext.where(
             (F.col("dst") > F.col("start")) & ~F.array_contains(F.col("path"), F.col("dst"))
         ).select(
@@ -269,12 +266,10 @@ def rings_with_filter(
             F.col("dst").alias("current"),
             F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
             *carry,
-        ).localCheckpoint(eager=True)
-        frontier.unpersist()
-        if nxt.isEmpty():
-            frontier = nxt
+        )
+        frontier = advance(frontier, nxt)
+        if frontier.isEmpty():
             break
-        frontier = nxt.persist()
     frontier.unpersist()
     edges.unpersist()
     out = found[0]

@@ -3,7 +3,9 @@
 Reference: ``vermeer/algorithms/scc.go`` (248 LoC; coloring +
 forward/backward phases driven by ``sccStepType``). Same contract here:
 scc id = **min member id** (Vermeer colors by propagated ids and labels
-the component with its root).
+the component with its root). The output is algorithm-independent —
+any correct SCC decomposition labeled by min member id is identical —
+so the Spark formulation is free to compress rounds.
 
 Spark formulation (the standard distributed ColorSCC):
 
@@ -17,9 +19,15 @@ Spark formulation (the standard distributed ColorSCC):
      is in SCC(r) (it reaches r, and r reaches it by construction).
   3. remove assigned vertices, repeat.
 
-Each phase is the usual frontier join-aggregate loop. Outer iterations
-= number of distinct SCC "layers" sharing colors — small after trim on
-real graphs.
+Round compression (same trick as ``wcc.py`` WccStrideProgram): both
+inner loops unroll ``stride`` propagation hops per materialization
+barrier — the shuffle count per hop is unchanged, but driver
+round-trips, convergence probes and lineage checkpoints drop by the
+stride factor, which is what dominates on high-diameter color classes.
+Every per-round state advances through ``plans/lineage.advance`` (lazy
+localCheckpoint + persist + release-prev) — chained eager checkpoints
+were measured to double per-round cost from ~round 16 and OOM the
+driver near round 60 (PLANS.md "Lineage discipline").
 """
 
 from __future__ import annotations
@@ -27,52 +35,102 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
-def _propagate_min(vertices: DataFrame, edges: DataFrame, max_iter: int = 100) -> DataFrame:
-    """(id, color): min source id reaching each vertex along edges."""
-    state = vertices.select("id", F.col("id").alias("color"), F.lit(True).alias("chg")).persist()
-    for _ in range(max_iter):
-        msgs = (
-            state.where("chg")
-            .select(F.col("id").alias("src"), "color")
-            .join(edges, "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("color").alias("m"))
-        )
-        new = (
-            state.join(msgs, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("color"), F.coalesce(F.col("m"), F.col("color"))).alias("color"),
-                (F.coalesce(F.col("m"), F.col("color")) < F.col("color")).alias("chg"),
+def _propagate_min(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 100, stride: int = 4
+) -> DataFrame:
+    """(id, color): min source id reaching each vertex along edges.
+
+    ``stride`` forward hops run per barrier; convergence is probed per
+    barrier (at most ``stride - 1`` no-op hops after the true fixpoint,
+    each a cheap empty-frontier join)."""
+    state = advance(
+        None, vertices.select("id", F.col("id").alias("color"))
+    )
+    for _ in range(0, max_iter, stride):
+        cur = state
+        for _hop in range(stride):
+            msgs = (
+                cur.select(F.col("id").alias("src"), "color")
+                .join(edges, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("color").alias("m"))
             )
-            # eager checkpoint already stores the blocks — a persist on
-            # top would materialize every round's state twice
-            .localCheckpoint(eager=True)
+            cur = cur.join(msgs, "id", "left").select(
+                "id",
+                F.least(
+                    F.col("color"), F.coalesce(F.col("m"), F.col("color"))
+                ).alias("color"),
+            )
+        new = (
+            state.withColumnRenamed("color", "old")
+            .join(cur, "id")
+            .select("id", "color", (F.col("color") < F.col("old")).alias("chg"))
         )
-        state.unpersist()
+        new = advance(state, new)
+        changed = not new.where("chg").isEmpty()
         state = new
-        if state.where("chg").isEmpty():
+        if not changed:
             break
-    return state.select("id", "color")
+    # hand back a materialized 2-col frame and release the internal
+    # state — callers own (and must unpersist) the returned frame
+    return advance(state, state.select("id", "color"))
 
 
-def scc(graph: Graph, max_outer: int = 50) -> DataFrame:
+def _backward_sweep(
+    roots: DataFrame, colored_rev: DataFrame, stride: int = 4
+) -> DataFrame:
+    """All (id, scc) reached from ``roots`` along ``colored_rev``
+    (reverse edges already restricted to equal color classes).
+    ``stride`` frontier expansions per barrier."""
+    members = advance(None, roots)
+    frontier = members
+    while True:
+        cur = frontier
+        hops = []
+        for _hop in range(stride):
+            cur = (
+                cur.select(F.col("id").alias("src"), "scc")
+                .join(colored_rev, "src")
+                .select(F.col("dst").alias("id"), "scc")
+                .distinct()
+            )
+            hops.append(cur)
+        grown = hops[0]
+        for h in hops[1:]:
+            grown = grown.unionAll(h)
+        nxt = advance(
+            None,
+            grown.distinct().join(members.select("id"), "id", "left_anti"),
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            if frontier is not members:
+                frontier.unpersist()
+            break
+        new_members = advance(members, members.unionAll(nxt))
+        if frontier is not members:
+            frontier.unpersist()
+        members, frontier = new_members, nxt
+    return members
+
+
+def scc(graph: Graph, max_outer: int = 50, stride: int = 4) -> DataFrame:
     """(id, scc) with scc = min member id of the strongly connected
     component."""
     spark = graph.spark
     assigned_parts: list[DataFrame] = []
-    verts = graph.vertices.select("id").persist()
-    edges = graph.edges.select("src", "dst").where(F.col("src") != F.col("dst")).persist()
+    verts = advance(None, graph.vertices.select("id"))
+    edges = advance(
+        None, graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    )
 
     for _ in range(max_outer):
         if verts.isEmpty():
             break
         # ---- trim loop: peel in/out-degree-0 vertices (own SCCs).
-        # Every intermediate is localCheckpoint-truncated: trim rounds on
-        # chain-shaped graphs can number in the hundreds and an
-        # untruncated lineage OOMs the driver on plan strings alone.
         # Rounds are capped — trim is an optimization; anything left
         # untrimmed is handled correctly by the coloring phase.
         trim_rounds = 0
@@ -80,68 +138,62 @@ def scc(graph: Graph, max_outer: int = 50) -> DataFrame:
             trim_rounds += 1
             srcs = edges.select("src").distinct()
             dsts = edges.select("dst").distinct()
-            core = (
+            core = advance(
+                None,
                 verts.join(srcs.withColumnRenamed("src", "id"), "id", "left_semi")
-                .join(dsts.withColumnRenamed("dst", "id"), "id", "left_semi")
-                .localCheckpoint(eager=True)
+                .join(dsts.withColumnRenamed("dst", "id"), "id", "left_semi"),
             )
             trimmed = verts.join(core, "id", "left_anti")
             if trimmed.isEmpty():
+                core.unpersist()
                 break
             assigned_parts.append(
-                trimmed.select("id", F.col("id").alias("scc")).localCheckpoint(eager=True)
+                advance(None, trimmed.select("id", F.col("id").alias("scc")))
             )
             verts.unpersist()
             verts = core
-            old_edges = edges
-            edges = (
+            edges = advance(
+                edges,
                 edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
-                .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
-                .localCheckpoint(eager=True)
+                .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi"),
             )
-            old_edges.unpersist()
         if verts.isEmpty():
             break
 
         # ---- color forward (min id), then sweep backward within color
-        color = _propagate_min(verts, edges).persist()
+        color = _propagate_min(verts, edges, stride=stride)
         rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         # backward frontier from roots, constrained to same color
-        colored_rev = (
-            rev.join(color.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"), "src")
-            .join(color.withColumnRenamed("id", "dst").withColumnRenamed("color", "c_dst"), "dst")
+        colored_rev = advance(
+            None,
+            rev.join(
+                color.withColumnRenamed("id", "src").withColumnRenamed(
+                    "color", "c_src"
+                ),
+                "src",
+            )
+            .join(
+                color.withColumnRenamed("id", "dst").withColumnRenamed(
+                    "color", "c_dst"
+                ),
+                "dst",
+            )
             .where(F.col("c_src") == F.col("c_dst"))
-            .select("src", "dst")
-            .persist()
+            .select("src", "dst"),
         )
-        frontier = color.where(F.col("color") == F.col("id")).select(
+        roots = color.where(F.col("color") == F.col("id")).select(
             "id", F.col("color").alias("scc")
         )
-        members = frontier.localCheckpoint(eager=True)
-        while True:
-            nxt = (
-                members.select(F.col("id").alias("src"), "scc")
-                .join(colored_rev, "src")
-                .select(F.col("dst").alias("id"), "scc")
-                .distinct()
-                .join(members.select("id"), "id", "left_anti")
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            members = members.unionAll(nxt).localCheckpoint(eager=True)
-        assigned_parts.append(members)
-        new_verts = verts.join(members.select("id"), "id", "left_anti").localCheckpoint(eager=True)
-        verts.unpersist()
-        verts = new_verts
-        old_edges = edges
-        edges = (
-            edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        old_edges.unpersist()
+        members = _backward_sweep(roots, colored_rev, stride=stride)
         color.unpersist()
+        assigned_parts.append(members)
+        new_verts = advance(verts, verts.join(members.select("id"), "id", "left_anti"))
+        verts = new_verts
+        edges = advance(
+            edges,
+            edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi"),
+        )
         colored_rev.unpersist()
     else:
         # assigning fewer rows than graph.vertices with no error would

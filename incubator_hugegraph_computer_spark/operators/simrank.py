@@ -122,16 +122,23 @@ def simrank(
 
 
 def _truncate(s: DataFrame, top_per_vertex: int | None) -> DataFrame:
-    """Keep each vertex's top-T partners (score desc, partner asc) —
-    rank within BOTH endpoints so the kept set stays symmetric; a pair
-    survives if either endpoint ranks it. Partitioned window over the
-    vertex key — no single-partition stage."""
+    """Keep each vertex's top-T partners (rounded-score desc, partner
+    asc) — rank within BOTH endpoints so the kept set stays symmetric;
+    a pair survives if either endpoint ranks it. Partitioned window
+    over the vertex key — no single-partition stage.
+
+    Declared semantics: the rank key is the score rounded to 6 dp
+    (plus the module's 1e-9 boundary nudge), NOT the raw double —
+    raw sums differ in the last ulp across engines, which would flip
+    rank order between near-tied pairs; the rounded key is bit-stable
+    in both Spark and the SQL oracle, and ties break on partner id."""
     if top_per_vertex is None:
         return s
     both = s.unionByName(
         s.select(F.col("b").alias("a"), F.col("a").alias("b"), "score")
     )
-    w = Window.partitionBy("a").orderBy(F.col("score").desc(), F.col("b").asc())
+    rank_key = F.round(F.col("score") + F.lit(1e-9), 6)
+    w = Window.partitionBy("a").orderBy(rank_key.desc(), F.col("b").asc())
     kept = (
         both.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= top_per_vertex)

@@ -123,21 +123,28 @@ def _reach(seeds: DataFrame, edges: DataFrame) -> DataFrame:
     """(id) — every vertex reachable from the seed set along ``edges``
     (seeds included). Frontier BFS; each round's state is
     localCheckpoint-truncated so long chains don't grow the plan."""
-    members = seeds.select("id").distinct().localCheckpoint(eager=True)
+    from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+    members = advance(None, seeds.select("id").distinct())
     frontier = members
     while True:
-        nxt = (
+        nxt = advance(
+            None,
             frontier.withColumnRenamed("id", "src")
             .join(edges, "src")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(members, "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(members, "id", "left_anti"),
         )
         if nxt.isEmpty():
+            nxt.unpersist()
+            if frontier is not members:
+                frontier.unpersist()
             break
-        members = members.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        new_members = advance(members, members.unionAll(nxt))
+        if frontier is not members:
+            frontier.unpersist()
+        members, frontier = new_members, nxt
     return members
 
 
@@ -339,8 +346,10 @@ def slashburn(graph: Graph, k: int = 16, rounds: int = 3) -> DataFrame:
     from incubator_hugegraph_computer_spark.graph import Graph as _Graph
     from incubator_hugegraph_computer_spark.operators.wcc import wcc as _wcc
 
-    verts = graph.vertices.select("id").localCheckpoint(eager=True)
-    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+    verts = advance(None, graph.vertices.select("id"))
+    edges = advance(None, graph.edges.select("src", "dst"))
     out = None
     for r in range(1, rounds + 1):
         sym = (
@@ -359,16 +368,17 @@ def slashburn(graph: Graph, k: int = 16, rounds: int = 3) -> DataFrame:
             "left",
         ).select("id", F.coalesce("d", F.lit(0)).alias("d"))
         hubs = deg.orderBy(F.desc("d"), F.asc("id")).limit(k).select("id")
-        rem_v = verts.join(hubs, "id", "left_anti").localCheckpoint(eager=True)
-        rem_e = (
+        rem_v = advance(None, verts.join(hubs, "id", "left_anti"))
+        rem_e = advance(
+            None,
             edges.join(rem_v.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(rem_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .select("src", "dst"),
         )
-        comp = _wcc(
-            _Graph(rem_v, rem_e, prepartitioned=True), count_messages=False
-        ).localCheckpoint(eager=True)
+        comp = advance(
+            None,
+            _wcc(_Graph(rem_v, rem_e, prepartitioned=True), count_messages=False),
+        )
         sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
         # NOT lineage-cut: the one-row aggregate must stay in-plan so
         # the broadcast build side is provably bounded (keys=[] agg);
@@ -392,21 +402,23 @@ def slashburn(graph: Graph, k: int = 16, rounds: int = 3) -> DataFrame:
             )
         )
         out = row if out is None else out.unionAll(row)
-        verts = (
+        verts = advance(
+            verts,
             comp.join(
                 F.broadcast(pick.select(F.col("gcc_comp").alias("comp"))),
                 "comp",
                 "left_semi",
-            )
-            .select("id")
-            .localCheckpoint(eager=True)
+            ).select("id"),
         )
-        edges = (
+        edges = advance(
+            edges,
             rem_e.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
             .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .select("src", "dst"),
         )
+        comp.unpersist()
+        rem_v.unpersist()
+        rem_e.unpersist()
     return out
 
 
