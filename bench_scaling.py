@@ -26,6 +26,13 @@ factored out.
 
 Env: SCALE_N (default 2), SCALE_4N (default 8), BENCH_FILES (default
 4000000), SCALE_TRIALS (default 3).
+
+``SCALE_MODE=rmat`` swaps the corpus for the deterministic R-MAT
+generator (``sources/generators.py``) — the power-law skew stress case
+the north rule's salting requirement names — and turns explicit hub
+salting ON in the trials (``Graph.with_salting``; threshold scaled to
+the generated degree profile). SCALE_RMAT_EDGES (default 8000000) and
+SCALE_RMAT_LEVELS (default 20) size the graph.
 """
 
 from __future__ import annotations
@@ -54,6 +61,24 @@ vertices.select("id").write.mode("overwrite").parquet(out + "/vertices")
 print("prepared")
 """
 
+PREPARE_RMAT = r"""
+import sys, os
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import functions as F
+from incubator_hugegraph_computer_spark.session import get_spark
+from incubator_hugegraph_computer_spark.sources.generators import rmat_edges
+n_edges, levels, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+spark = get_spark(app_name="scale-prep-rmat", master="local[32]", shuffle_partitions=64,
+                  extra_confs={"spark.driver.memory": "40g"})
+e = (rmat_edges(spark, n_edges, levels=levels, seed=42, num_partitions=64)
+     .select("src", "dst").where(F.col("src") != F.col("dst")).distinct())
+e.repartition(64, "src").write.mode("overwrite").parquet(out + "/edges")
+v = (e.select(F.col("src").alias("id")).unionAll(e.select(F.col("dst").alias("id")))
+     .distinct())
+v.write.mode("overwrite").parquet(out + "/vertices")
+print("prepared")
+"""
+
 TRIAL = r"""
 import json, os, sys, time
 sys.path.insert(0, os.getcwd())
@@ -62,12 +87,21 @@ from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.operators.pagerank import pagerank
 from incubator_hugegraph_computer_spark.operators.wcc import wcc
 cpus, data = int(sys.argv[1]), sys.argv[2]
+salting = len(sys.argv) > 3 and sys.argv[3] == "salt"
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=64,
                   extra_confs={"spark.driver.memory": "40g"})
 edges = spark.read.parquet(data + "/edges")
 verts = spark.read.parquet(data + "/vertices")
-g = Graph(verts, edges, num_partitions=64, prepartitioned=False).cache().with_csr()
+g = Graph(verts, edges, num_partitions=64, prepartitioned=False).cache()
+if salting:
+    # R-MAT mode: power-law hubs — split any source owning >= 1/64th of
+    # the edge fair share across 8 salts (the explicit-salting path the
+    # north rule names; results identical, distribution changes)
+    thr = max(1000, g.num_edges() // (64 * 8))
+    g = g.with_salting(hub_threshold=thr, salt_factor=8)
+else:
+    g = g.with_csr()
 n_edges = g.num_edges()
 # symmetrized view prepared once outside the timed loops (ingest-time
 # work, shared by every undirected algorithm) and CSR-packed like g
@@ -141,16 +175,24 @@ def main() -> None:
     n_small = int(os.environ.get("SCALE_N", "2"))
     n_big = int(os.environ.get("SCALE_4N", "8"))
     trials = int(os.environ.get("SCALE_TRIALS", "3"))
+    mode = os.environ.get("SCALE_MODE", "corpus")
 
     data = tempfile.mkdtemp(prefix="scale_input_")
-    _run_py(PREPARE, str(n_files), data)
+    trial_args: tuple[str, ...] = ()
+    if mode == "rmat":
+        rmat_edges = int(os.environ.get("SCALE_RMAT_EDGES", "8000000"))
+        rmat_levels = int(os.environ.get("SCALE_RMAT_LEVELS", "20"))
+        _run_py(PREPARE_RMAT, str(rmat_edges), str(rmat_levels), data)
+        trial_args = ("salt",)  # hub salting ON — the skew stress case
+    else:
+        _run_py(PREPARE, str(n_files), data)
 
     results: dict[int, list[dict]] = {n_small: [], n_big: []}
     for _ in range(trials):
         for cpus in (n_small, n_big):  # interleaved
             line = [
                 l
-                for l in _run_py(TRIAL, str(cpus), data, cpus=cpus).splitlines()
+                for l in _run_py(TRIAL, str(cpus), data, *trial_args, cpus=cpus).splitlines()
                 if l.startswith("{")
             ][-1]
             results[cpus].append(json.loads(line))
@@ -168,7 +210,9 @@ def main() -> None:
     factor = n_big / n_small
     edges = results[n_small][0]["edges"]
     report = {
-        "n_files": n_files,
+        "mode": mode,
+        "salting": mode == "rmat",
+        "n_files": n_files if mode == "corpus" else None,
         "edges": edges,
         "protocol": f"local[{n_small}] vs local[{n_big}] ({factor:.0f}x cores), "
         f"{trials} interleaved trials each, fresh JVM per trial pinned with "

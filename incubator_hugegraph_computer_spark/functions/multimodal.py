@@ -69,10 +69,12 @@ def synthetic_media(spark, n: int, kind: str = "image", seed: int = 42) -> DataF
 
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """STUB: real deployments plug a codec here (PIL / torchaudio /
-    pyav are not installed in this sandbox). The deterministic fake
+    """STUB: the deterministic fake used by the oracled queries —
     interprets the payload bytes as the 'decoded' sample grid so the
-    downstream feature math is still exercised end-to-end.
+    downstream feature math is exercised end-to-end and SQL-replayable.
+    Real formats go through :func:`decode_media` (pure-Python BMP/WAV
+    codecs below; PIL / torchaudio / pyav are not in this sandbox and
+    would slot into the same seam).
 
     Raises NotImplementedError for kinds with no fake. A NULL payload
     (the schema allows it) decodes to an empty grid, like b''."""
@@ -83,8 +85,113 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
 
 
+# ------------------------------------------------------------------
+# Real codecs (pure Python/NumPy; no external media libraries).
+# BMP 24-bit uncompressed and WAV PCM16 cover one real image and one
+# real audio format end-to-end through the SAME mapInPandas kernels.
+# ------------------------------------------------------------------
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed bottom-up BMP into a flat float32
+    grayscale sample grid (ITU-R BT.601 luma, row-major top-down)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<IiiHH", payload, 14)[0:3]
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={compression})"
+        )
+    flipped = height > 0  # positive height = bottom-up row order
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_off
+    ).reshape(height, row_stride)[:, : width * 3]
+    if flipped:
+        rows = rows[::-1]
+    bgr = rows.reshape(height, width, 3).astype(np.float32)
+    # BT.601 luma over the B,G,R byte order BMP stores
+    return (
+        0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2]
+    ).ravel()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit bottom-up BMP."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in pixels[::-1]:  # bottom-up
+        bgr = row[:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += bgr + b"\x00" * (row_stride - len(bgr))
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Decode a RIFF/WAVE PCM16 payload into float32 samples in [-1, 1]
+    (channels interleaved, as stored)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt_code, bits = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt_code, _ch, _rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data":
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only PCM16 WAV supported (fmt={fmt_code}, bits={bits})"
+                )
+            n = len(body) // 2
+            return (
+                np.frombuffer(body, dtype="<i2", count=n).astype(np.float32) / 32768.0
+            )
+        pos += 8 + csize + (csize & 1)  # chunks pad to even offsets
+    raise ValueError("WAV payload has no data chunk")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode int16 samples as a mono RIFF/WAVE PCM16 payload."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Codec dispatcher: sniff real containers (BMP, RIFF/WAVE) and
+    decode them with the pure-Python codecs; anything else falls back to
+    the deterministic stub so oracle-replayable fakes keep working."""
+    if payload is not None and len(payload) >= 12:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+    return _decode_stub(payload, kind)
+
+
 def extract_features(
-    media: DataFrame, feature_dim: int = 8, dtype: str = "float32"
+    media: DataFrame,
+    feature_dim: int = 8,
+    dtype: str = "float32",
+    codec: str = "stub",
 ) -> DataFrame:
     """Decode + pooled feature vector per media row via mapInPandas
     (Arrow batches; NumPy-vectorized inside the batch).
@@ -94,7 +201,15 @@ def extract_features(
     byte inputs make that arithmetic EXACT, so an external SQL oracle
     can replay the chunked means bit-for-bit (chunking follows
     ``np.array_split``: the first ``n % dim`` chunks get one extra
-    sample)."""
+    sample).
+
+    ``codec="stub"`` (default) keeps the deterministic byte-grid fake
+    the SQL oracle replays; ``codec="auto"`` sniffs real containers
+    (24-bit BMP, PCM16 WAV) and decodes them with the pure-Python
+    codecs through the identical kernel."""
+    if codec not in ("stub", "auto"):
+        raise ValueError(f"codec must be 'stub' or 'auto', got {codec!r}")
+    decode = _decode_stub if codec == "stub" else decode_media
     if dtype not in ("float32", "float64"):
         raise ValueError(f"dtype must be 'float32' or 'float64', got {dtype!r}")
     np_dtype = np.float32 if dtype == "float32" else np.float64
@@ -106,7 +221,7 @@ def extract_features(
         for pdf in batches:
             feats, sizes = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                arr = _decode_stub(payload, kind)
+                arr = decode(payload, kind)
                 # mean-pool into feature_dim buckets — stand-in for a
                 # real embedding model
                 chunks = np.array_split(arr, feature_dim)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def betweenness(
@@ -56,33 +57,35 @@ def betweenness(
                 < int(sample_rate * 1_000_000)
             )
     # ---------------- forward phase: BFS layers with path counts
-    layer = sources.select(
-        F.col("id").alias("source"), F.col("id").alias("v"),
-        F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
-    ).localCheckpoint(eager=True)
+    layer = advance(
+        None,
+        sources.select(
+            F.col("id").alias("source"), F.col("id").alias("v"),
+            F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"),
+        ),
+    )
     layers = [layer]
-    # eager localCheckpoint, not persist: truncates the union chain's
-    # lineage each depth (a persisted-only union nests every previous
-    # level's plan — the driver plan-string blowup scc.py documents)
-    # and leaves no CacheManager entry to leak
-    visited = layer.select("source", "v").localCheckpoint(eager=True)
+    # advance() (lazy localCheckpoint + persist): truncates the union
+    # chain's lineage each depth (a persisted-only union nests every
+    # previous level's plan — the driver plan-string blowup the lineage
+    # module documents); layers stay pinned for the backward phase
+    visited = advance(None, layer.select("source", "v"))
     depth = 0
     while depth < max_depth:
         depth += 1
-        nxt = (
+        nxt = advance(
+            None,
             layer.join(edges, layer.v == edges.src)
             .groupBy("source", F.col("dst").alias("v"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited, ["source", "v"], "left_anti")
-            .select("source", "v", F.lit(depth).alias("dist"), "sigma")
-            .localCheckpoint(eager=True)
+            .select("source", "v", F.lit(depth).alias("dist"), "sigma"),
         )
         if nxt.isEmpty():
+            nxt.unpersist()
             break
         layers.append(nxt)
-        visited = visited.unionAll(nxt.select("source", "v")).localCheckpoint(
-            eager=True
-        )
+        visited = advance(visited, visited.unionAll(nxt.select("source", "v")))
         layer = nxt
     # ---------------- backward phase: dependency accumulation
     # delta for the deepest layer is 0; walk levels upward.
@@ -118,14 +121,14 @@ def betweenness(
         if per_edge:
             # the per-level credit feeds BOTH the edge accumulation and
             # the vertex delta below — materialize it once
-            credits = credits.localCheckpoint(eager=True)
+            credits = advance(None, credits)
             edge_acc.append(credits.select("v", "w", "credit"))
         contrib = credits.groupBy("source", "v").agg(F.sum("credit").alias("delta"))
-        delta = (
+        delta = advance(
+            None,
             cur.select("source", "v")
             .join(contrib, ["source", "v"], "left")
-            .select("source", "v", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"))
-            .localCheckpoint(eager=True)
+            .select("source", "v", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta")),
         )
         acc.append(delta.where(F.col("source") != F.col("v")))
     # every delta level is checkpointed, so the cached edge set is no
@@ -146,8 +149,8 @@ def betweenness(
             .select(
                 "src", "dst", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
             )
-            .localCheckpoint(eager=True)
         )
+        out = advance(None, out)
         edges.unpersist()
         return out
     edges.unpersist()

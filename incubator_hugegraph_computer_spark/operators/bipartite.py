@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 from incubator_hugegraph_computer_spark.operators.wcc import wcc
 
 
@@ -29,9 +30,12 @@ def bipartite_check(graph: Graph, max_depth: int = 200) -> DataFrame:
     comp = wcc(graph, count_messages=False).persist()
 
     # multi-source parity BFS: roots are the component labels themselves
-    labeled = comp.where(F.col("comp") == F.col("id")).select(
-        "id", F.lit(0).alias("parity")
-    ).localCheckpoint(eager=True)
+    labeled = advance(
+        None,
+        comp.where(F.col("comp") == F.col("id")).select(
+            "id", F.lit(0).alias("parity")
+        ),
+    )
     frontier = labeled
     for _ in range(max_depth):
         nxt = (
@@ -46,12 +50,17 @@ def bipartite_check(graph: Graph, max_depth: int = 200) -> DataFrame:
             # min for determinism
             .groupBy("id")
             .agg(F.min("parity").alias("parity"))
-            .localCheckpoint(eager=True)
         )
+        nxt = advance(None, nxt)
         if nxt.isEmpty():
+            nxt.unpersist()
             break
-        labeled = labeled.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        new_labeled = advance(None, labeled.unionAll(nxt))
+        if labeled is not frontier:
+            labeled.unpersist()
+        if frontier is not labeled:
+            frontier.unpersist()
+        labeled, frontier = new_labeled, nxt
     else:
         # an exhausted depth budget would leave vertices unlabeled and
         # silently drop their edges from the odd-edge check — refuse

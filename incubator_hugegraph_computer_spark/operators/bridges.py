@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 from incubator_hugegraph_computer_spark.operators.closeness import multi_source_bfs
 from incubator_hugegraph_computer_spark.operators.wcc import wcc
 
@@ -112,10 +113,10 @@ def bridges(graph: Graph, max_depth: int = 64) -> DataFrame:
     ny = nodes.select(
         F.col("id").alias("y"), F.col("dep").alias("ydep"), F.col("parent").alias("ypar")
     )
-    state = (
+    state = advance(
+        None,
         nt.select(F.col("a").alias("x"), F.col("b").alias("y"))
-        .where(F.col("x") != F.col("y"))
-        .localCheckpoint(eager=True)
+        .where(F.col("x") != F.col("y")),
     )
     covered_parts: list[DataFrame] = []
     while not state.isEmpty():
@@ -126,17 +127,18 @@ def bridges(graph: Graph, max_depth: int = 64) -> DataFrame:
         mvpar = F.when(move_x, F.col("xpar")).otherwise(F.col("ypar"))
         stay = F.when(move_x, F.col("y")).otherwise(F.col("x"))
         covered_parts.append(
-            step.select(
-                F.least(mv, mvpar).alias("a"), F.greatest(mv, mvpar).alias("b")
+            advance(
+                None,
+                step.select(
+                    F.least(mv, mvpar).alias("a"), F.greatest(mv, mvpar).alias("b")
+                ).distinct(),
             )
-            .distinct()
-            .localCheckpoint(eager=True)
         )
-        state = (
+        state = advance(
+            state,
             step.select(F.least(mvpar, stay).alias("x"), F.greatest(mvpar, stay).alias("y"))
             .where(F.col("x") != F.col("y"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
         )
     out = tree
     if covered_parts:
@@ -144,7 +146,7 @@ def bridges(graph: Graph, max_depth: int = 64) -> DataFrame:
         for part in covered_parts[1:]:
             covered = covered.unionAll(part)
         out = tree.join(covered.distinct(), ["a", "b"], "left_anti")
-    result = out.localCheckpoint(eager=True)
+    result = advance(None, out)
     nodes.unpersist()
     tree.unpersist()
     und.unpersist()

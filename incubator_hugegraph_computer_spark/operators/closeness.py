@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def closeness(
@@ -111,24 +112,25 @@ def multi_source_bfs(
                 )
                 < int(edge_sample_rate * 1_000_000)
             )
-        nxt = (
+        nxt = advance(
+            None,
             expanded
             .select(F.col("dst").alias("v"), "source", (F.col("dist") + 1).alias("dist"))
             .distinct()
-            .join(visited.select("v", "source"), ["v", "source"], "left_anti")
-            .localCheckpoint(eager=True)
+            .join(visited.select("v", "source"), ["v", "source"], "left_anti"),
         )
         if nxt.isEmpty():
+            nxt.unpersist()
             break
-        prev_visited = visited
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        new_visited = advance(None, visited.unionAll(nxt))
         # release the superseded round-(k-1) caches — visited is
         # materialized, so nothing downstream re-reads them
-        if prev_visited is not frontier:
-            prev_visited.unpersist()
+        if visited is not frontier:
+            visited.unpersist()
         frontier.unpersist()
-        frontier = nxt.persist()
-    frontier.unpersist()
+        visited, frontier = new_visited, nxt
+    if frontier is not visited:
+        frontier.unpersist()
     return visited
 
 
@@ -183,29 +185,30 @@ def _closeness_weighted(
             .groupBy("v", "source")
             .agg(F.min("dist").alias("dist"))
         )
-        improved = (
+        improved = advance(
+            None,
             cand.join(
                 best.select("v", "source", F.col("dist").alias("_old")),
                 ["v", "source"], "left",
             )
             .where(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
-            .select("v", "source", "dist")
-            .localCheckpoint(eager=True)
+            .select("v", "source", "dist"),
         )
         if improved.isEmpty():
+            improved.unpersist()
             break
-        prev_best = best
-        best = (
+        new_best = advance(
+            None,
             best.join(improved.select("v", "source"), ["v", "source"], "left_anti")
-            .unionAll(improved)
-            .localCheckpoint(eager=True)
+            .unionAll(improved),
         )
         # release superseded caches (round-(k-1) best and frontier)
-        if prev_best is not frontier:
-            prev_best.unpersist()
+        if best is not frontier:
+            best.unpersist()
         frontier.unpersist()
-        frontier = improved
-    frontier.unpersist()
+        best, frontier = new_best, improved
+    if frontier is not best:
+        frontier.unpersist()
     return (
         best.where(F.col("dist") > 0)
         .groupBy(F.col("v").alias("id"))

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def _priority(col):
@@ -55,9 +56,12 @@ def greedy_coloring(graph: Graph, max_rounds: int = 20) -> DataFrame:
     runs are unaffected (further rounds are no-ops).
     """
     sym = graph.symmetrized().edges  # (src, dst), both directions
-    state = graph.vertices.select(
-        "id", F.lit(None).cast("int").alias("color"), _priority(F.col("id")).alias("p")
-    ).localCheckpoint(eager=True)
+    state = advance(
+        None,
+        graph.vertices.select(
+            "id", F.lit(None).cast("int").alias("color"), _priority(F.col("id")).alias("p")
+        ),
+    )
     empty = F.array().cast("array<int>")
     for _ in range(max_rounds):
         unc = state.where(F.col("color").isNull())
@@ -111,13 +115,11 @@ def greedy_coloring(graph: Graph, max_rounds: int = 20) -> DataFrame:
         winners = cand.join(losers, "id", "left_anti").select(
             "id", F.col("cand").alias("newcolor")
         )
-        nxt = (
+        state = advance(
+            state,
             state.join(winners, "id", "left")
-            .select("id", F.coalesce("color", "newcolor").alias("color"), "p")
-            .localCheckpoint(eager=True)
+            .select("id", F.coalesce("color", "newcolor").alias("color"), "p"),
         )
-        state.unpersist()
-        state = nxt
     # state is the live localCheckpoint backing the result — the caller
     # consumes it; Spark reclaims the blocks when the DF is GC'd.
     return state.select("id", "color")

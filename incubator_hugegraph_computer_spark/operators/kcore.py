@@ -22,7 +22,9 @@ def _peel(graph: Graph, k: int, max_rounds: int | None):
     """(core (id, degree), peeled symmetric edge set) after k-core
     peeling. One edge count per round: the pre-filter count is carried
     from the previous round's post-filter count."""
-    edges = graph.symmetrized().edges.localCheckpoint(eager=True)
+    from incubator_hugegraph_computer_spark.plans.lineage import advance
+
+    edges = advance(None, graph.symmetrized().edges)
     prev_count = edges.count()
     rounds = 0
     while True:
@@ -30,13 +32,11 @@ def _peel(graph: Graph, k: int, max_rounds: int | None):
         survivors = deg.where(F.col("degree") >= k).persist()
         keep_src = survivors.select(F.col("id").alias("src"))
         keep_dst = survivors.select(F.col("id").alias("dst"))
-        new_edges = (
-            edges.join(keep_src, "src", "left_semi")
-            .join(keep_dst, "dst", "left_semi")
-            .localCheckpoint(eager=True)
+        edges = advance(
+            edges,
+            edges.join(keep_src, "src", "left_semi").join(keep_dst, "dst", "left_semi"),
         )
         survivors.unpersist()
-        edges = new_edges
         rounds += 1
         cur_count = edges.count()
         stable = cur_count == prev_count and rounds > 1
