@@ -12,16 +12,25 @@ Two workloads:
    minhash dedup over documents, cosine top-k over embeddings, plus the
    heaviest round-2 families (louvain, k-truss, sequence packing).
 
-Timing protocol (round 3): the whole timed list runs TWICE back-to-back
-(interleaved passes) and each query reports the per-query MIN of the two
+Timing protocol (round 4): the whole timed list runs TWICE back-to-back
+(interleaved passes) and each query reports the per-query MIN of the
 passes — a single mid-run host burst on this shared box can poison any
 one reading by 3-4x (BENCH.md host-drift notes; r02's pagerank_10 read
-14.2/21.7/58.7s on identical code), and best-of-2 localizes a burst to
-one pass instead of the artifact. Both raw readings are kept in
-"queries_raw", and host capacity probes bracket the run.
+14.2/21.7/58.7s on identical code), and best-of-N localizes a burst to
+one pass instead of the artifact. All raw readings are kept in
+"queries_raw", host capacity probes bracket the run AND every pass
+boundary ("pass_probes"), and a THIRD pass runs in a FRESH SparkSession
+(old context stopped, new JVM-side state) — the r3 second-pass 9x
+swings (graph_wl_refine 3.9/36.5s, docs_ngram_dedup 3.9/20.6s) needed
+attribution: if a slow second pass were engine-carried (accumulated
+cache/AQE state), the fresh-session pass would match pass 1 while pass
+2 stayed slow on every run; if it is host noise, bursts land on random
+passes and the boundary probes show the capacity dip. The fresh pass's
+readings join the best-of min like any other pass.
 
 Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_FILES (corpus size, default 200000), BENCH_PASSES (default 2).
+BENCH_FILES (corpus size, default 200000), BENCH_PASSES (default 2),
+BENCH_FRESH_PASS (default 1 — set 0 to skip the fresh-session pass).
 """
 
 from __future__ import annotations
@@ -160,6 +169,11 @@ def run_pass(spark, sf_dir: str, n_files: int, timings: dict[str, float],
         "graph_wl_refine",
         "graph_fastrp",
         "graph_anf_hll",
+        # round-4: stride-rewritten SCC (directive: within 2x of wcc),
+        # bounded simrank, batched voterank
+        "graph_scc",
+        "graph_simrank",
+        "graph_voterank",
     ):
         timed(name, lambda name=name: qs[name](spark, sf_dir).count())
 
@@ -172,20 +186,35 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else 0.1
 
+    fresh_pass = os.environ.get("BENCH_FRESH_PASS", "1") == "1"
     probe = host_probe()
 
-    spark = get_spark(
-        app_name="hgc-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
-        extra_confs={"spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g")},
-    )
+    def _new_session():
+        return get_spark(
+            app_name="hgc-bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=max(cpus, 8),
+            extra_confs={
+                "spark.driver.memory": os.environ.get("BENCH_DRIVER_MEM", "48g")
+            },
+        )
 
+    spark = _new_session()
     timings: dict[str, list[float]] = {}
     derived: dict[str, float] = {}
+    pass_probes = []
     for _ in range(max(1, n_passes)):
         run_pass(spark, sf_dir, n_files, timings, derived)
-    probe_end = host_probe()
+        pass_probes.append(host_probe())
+    if fresh_pass:
+        # fresh-session attribution pass: stop the context (drops every
+        # cached block, AQE stat, and codegen cache the in-session
+        # passes accumulated) and rerun the list once from cold
+        spark.stop()
+        spark = _new_session()
+        run_pass(spark, sf_dir, n_files, timings, derived)
+        pass_probes.append(host_probe())
+    probe_end = pass_probes[-1] if pass_probes else host_probe()
 
     queries = {name: min(vals) for name, vals in timings.items()}
 
@@ -199,15 +228,17 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "total bench wall time (native pipeline + sf queries), best-of-%d interleaved passes" % max(1, n_passes),
+                "metric": "total bench wall time (native pipeline + sf queries), best of %d in-session + %d fresh-session passes" % (max(1, n_passes), 1 if fresh_pass else 0),
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
                 "queries_raw": timings,
+                "passes": {"in_session": max(1, n_passes), "fresh_session": 1 if fresh_pass else 0},
                 "sf": sf,
                 "derived": derived,
                 "cpus": cpus,
                 "host_probe": probe,
+                "pass_probes": pass_probes,
                 "host_probe_end": probe_end,
             }
         )

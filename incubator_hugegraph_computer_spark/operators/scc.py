@@ -47,13 +47,18 @@ def _propagate_min(
     barrier (at most ``stride - 1`` no-op hops after the true fixpoint,
     each a cheap empty-frontier join)."""
     state = advance(
-        None, vertices.select("id", F.col("id").alias("color"))
+        None,
+        vertices.select("id", F.col("id").alias("color"), F.lit(True).alias("chg")),
     )
     for _ in range(0, max_iter, stride):
         cur = state
         for _hop in range(stride):
+            # delta propagation: only vertices whose color changed in
+            # the previous hop send — late hops touch a shrinking
+            # frontier instead of re-joining every vertex to E
             msgs = (
-                cur.select(F.col("id").alias("src"), "color")
+                cur.where("chg")
+                .select(F.col("id").alias("src"), "color")
                 .join(edges, "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("color").alias("m"))
@@ -63,16 +68,12 @@ def _propagate_min(
                 F.least(
                     F.col("color"), F.coalesce(F.col("m"), F.col("color"))
                 ).alias("color"),
+                F.coalesce(F.col("m") < F.col("color"), F.lit(False)).alias("chg"),
             )
-        new = (
-            state.withColumnRenamed("color", "old")
-            .join(cur, "id")
-            .select("id", "color", (F.col("color") < F.col("old")).alias("chg"))
-        )
-        new = advance(state, new)
-        changed = not new.where("chg").isEmpty()
-        state = new
-        if not changed:
+        state = advance(state, cur)
+        # a hop whose frontier produced no change is a fixpoint (min
+        # propagation only triggers from prior changes)
+        if state.where("chg").isEmpty():
             break
     # hand back a materialized 2-col frame and release the internal
     # state — callers own (and must unpersist) the returned frame
@@ -134,6 +135,7 @@ def scc(graph: Graph, max_outer: int = 50, stride: int = 4) -> DataFrame:
         # Rounds are capped — trim is an optimization; anything left
         # untrimmed is handled correctly by the coloring phase.
         trim_rounds = 0
+        n_verts = verts.count()  # cached — cheap action
         while trim_rounds < 20:
             trim_rounds += 1
             srcs = edges.select("src").distinct()
@@ -143,15 +145,20 @@ def scc(graph: Graph, max_outer: int = 50, stride: int = 4) -> DataFrame:
                 verts.join(srcs.withColumnRenamed("src", "id"), "id", "left_semi")
                 .join(dsts.withColumnRenamed("dst", "id"), "id", "left_semi"),
             )
-            trimmed = verts.join(core, "id", "left_anti")
-            if trimmed.isEmpty():
+            n_core = core.count()  # cached — stability probe without an
+            if n_core == n_verts:  # extra anti-join job
                 core.unpersist()
                 break
             assigned_parts.append(
-                advance(None, trimmed.select("id", F.col("id").alias("scc")))
+                advance(
+                    None,
+                    verts.join(core, "id", "left_anti").select(
+                        "id", F.col("id").alias("scc")
+                    ),
+                )
             )
             verts.unpersist()
-            verts = core
+            verts, n_verts = core, n_core
             edges = advance(
                 edges,
                 edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
