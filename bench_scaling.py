@@ -94,12 +94,21 @@ spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
 edges = spark.read.parquet(data + "/edges")
 verts = spark.read.parquet(data + "/vertices")
 g = Graph(verts, edges, num_partitions=64, prepartitioned=False).cache()
+n_salted_hubs = 0
 if salting:
-    # R-MAT mode: power-law hubs — split any source owning >= 1/64th of
-    # the edge fair share across 8 salts (the explicit-salting path the
-    # north rule names; results identical, distribution changes)
-    thr = max(1000, g.num_edges() // (64 * 8))
-    g = g.with_salting(hub_threshold=thr, salt_factor=8)
+    # R-MAT mode: engage explicit hub salting ONLY when a source's
+    # adjacency run exceeds ~2x a partition's fair share — below that,
+    # hash partitioning + CSR already balance and the salted E-row join
+    # is pure overhead (measured +53% at 7.8M edges when over-triggered
+    # at thr=15k; BENCH.md round-4 salting-crossover note). At 10^12
+    # scale hub runs exceed any fair share and this path takes over.
+    from pyspark.sql import functions as F
+    thr = max(100_000, 2 * g.num_edges() // 64)
+    n_salted_hubs = g.out_degrees().where(F.col("out_deg") >= thr).count()
+    if n_salted_hubs:
+        g = g.with_salting(hub_threshold=thr, salt_factor=8)
+    else:
+        g = g.with_csr()  # no hub crosses the fair share at this size
 else:
     g = g.with_csr()
 n_edges = g.num_edges()
@@ -118,7 +127,7 @@ t0 = time.monotonic()
 wcc(gsym, max_supersteps=30, presymmetrized=True, method="stride", stride=4,
     count_messages=False).count()
 t_wcc = time.monotonic() - t0
-print(json.dumps({"cpus": cpus, "edges": n_edges,
+print(json.dumps({"cpus": cpus, "edges": n_edges, "salted_hubs": n_salted_hubs,
                   "pagerank_sec": round(t_pr, 3), "wcc_sec": round(t_wcc, 3)}))
 """
 
