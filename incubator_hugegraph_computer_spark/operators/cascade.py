@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def threshold_cascade(
@@ -42,22 +43,21 @@ def threshold_cascade(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        prev_counts = counts
         if counts is None:
-            counts = msgs
+            plan = msgs
         else:
-            counts = (
+            plan = (
                 counts.unionByName(msgs)
                 .groupBy("id")
                 .agg(F.sum("c").alias("c"))
             )
-        counts = counts.join(active, "id", "left_anti").localCheckpoint(eager=True)
+        counts = advance(prev_counts, plan.join(active, "id", "left_anti"))
         newly = counts.where(F.col("c") >= k).select(
             "id", F.lit(rnd).cast("long").alias("round")
         )
         if newly.isEmpty():
             break
-        old = active
-        active = active.unionByName(newly).persist()
-        old.unpersist()
+        active = advance(active, active.unionByName(newly))
         frontier = newly
     return active

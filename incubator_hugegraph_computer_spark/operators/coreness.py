@@ -32,13 +32,14 @@ from functools import reduce
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def coreness(graph: Graph, k_max: int = 16, rounds_per_k: int = 6) -> DataFrame:
     """(id, coreness) for every vertex (0 for vertices outside the
     1-core, i.e. isolated ones)."""
     spark = graph.spark
-    edges = graph.symmetrized().edges.localCheckpoint(eager=True)
+    edges = advance(None, graph.symmetrized().edges)
     survivor_levels: list[DataFrame] = []
     for k in range(1, k_max + 1):
         prev_count = edges.count()
@@ -50,14 +51,12 @@ def coreness(graph: Graph, k_max: int = 16, rounds_per_k: int = 6) -> DataFrame:
                 F.count(F.lit(1)).alias("degree")
             )
             keep = deg.where(F.col("degree") >= k).persist()
-            new_edges = (
+            edges = advance(
+                edges,
                 edges.join(keep.select(F.col("id").alias("src")), "src", "left_semi")
-                .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
-                .localCheckpoint(eager=True)
+                .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi"),
             )
             keep.unpersist()
-            edges.unpersist()  # superseded checkpoint — K·R of these otherwise
-            edges = new_edges
             rounds += 1
             cur_count = edges.count()
             stable = cur_count == prev_count
@@ -66,12 +65,12 @@ def coreness(graph: Graph, k_max: int = 16, rounds_per_k: int = 6) -> DataFrame:
                 break
         # id sets are small (shrinking); eager-checkpoint them so every
         # edge checkpoint except the live one stays releasable
-        survivors = (
+        survivors = advance(
+            None,
             edges.groupBy(F.col("src").alias("id"))
             .agg(F.count(F.lit(1)).alias("degree"))
             .where(F.col("degree") >= k)
-            .select("id", F.lit(k).alias("k"))
-            .localCheckpoint(eager=True)
+            .select("id", F.lit(k).alias("k")),
         )
         survivor_levels.append(survivors)
     if not survivor_levels:
@@ -79,11 +78,11 @@ def coreness(graph: Graph, k_max: int = 16, rounds_per_k: int = 6) -> DataFrame:
         return graph.vertices.select("id", F.lit(0).alias("coreness"))
     lvl = reduce(DataFrame.unionAll, survivor_levels)
     core = lvl.groupBy("id").agg(F.max("k").alias("coreness"))
-    out = (
+    out = advance(
+        None,
         graph.vertices.select("id")
         .join(core, "id", "left")
-        .select("id", F.coalesce("coreness", F.lit(0)).alias("coreness"))
-        .localCheckpoint(eager=True)
+        .select("id", F.coalesce("coreness", F.lit(0)).alias("coreness")),
     )
     edges.unpersist()
     for s in survivor_levels:

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def densest_subgraph(
@@ -38,8 +39,8 @@ def densest_subgraph(
     # sym: distinct symmetrized, self-loop-free — each undirected edge
     # appears as both (a,b) and (b,a), so |E_und| = |sym|/2 and the
     # src-grouped count IS the undirected degree.
-    edges = graph.symmetrized().edges.localCheckpoint(eager=True)
-    verts = graph.vertices.select("id").localCheckpoint(eager=True)
+    edges = advance(None, graph.symmetrized().edges)
+    verts = advance(None, graph.vertices.select("id"))
     best_density = -1.0
     best_verts: DataFrame | None = None
     for _ in range(max_rounds):
@@ -55,16 +56,19 @@ def densest_subgraph(
             F.count(F.lit(1)).alias("deg")
         )
         # strict >: Bahmani's A(S) = {v : deg ≤ 2(1+ε)ρ} is REMOVED
-        verts = (
+        prev_verts = verts
+        verts = advance(
+            None,
             verts.join(deg, "id", "left")
             .where(F.coalesce("deg", F.lit(0)) > threshold)
-            .select("id")
-            .localCheckpoint(eager=True)
+            .select("id"),
         )
-        edges = (
+        if prev_verts is not best_verts:  # best snapshot must stay live
+            prev_verts.unpersist()
+        edges = advance(
+            edges,
             edges.join(verts.select(F.col("id").alias("src")), "src", "left_semi")
-            .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .join(verts.select(F.col("id").alias("dst")), "dst", "left_semi"),
         )
     assert best_verts is not None
     return best_verts.select(

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def hitting_time(graph: Graph, targets: DataFrame, horizon: int = 8) -> DataFrame:
@@ -48,9 +49,10 @@ def hitting_time(graph: Graph, targets: DataFrame, horizon: int = 8) -> DataFram
         )
         .persist()
     )
-    h = base.select(
-        "id", F.when(F.col("_t"), 0.0).otherwise(F.lit(k)).alias("h")
-    ).localCheckpoint(eager=True)
+    h = advance(
+        None,
+        base.select("id", F.when(F.col("_t"), 0.0).otherwise(F.lit(k)).alias("h")),
+    )
     edges = graph.edges.select("src", "dst")
     for _ in range(horizon):
         sums = (
@@ -58,7 +60,8 @@ def hitting_time(graph: Graph, targets: DataFrame, horizon: int = 8) -> DataFram
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("_nh").alias("_s"))
         )
-        h = (
+        h = advance(
+            h,
             base.join(sums, "id", "left")
             .select(
                 "id",
@@ -68,8 +71,7 @@ def hitting_time(graph: Graph, targets: DataFrame, horizon: int = 8) -> DataFram
                     F.least(F.lit(k), 1.0 + F.col("_s") / F.col("_d"))
                 )
                 .alias("h"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
     base.unpersist()
     return h.select("id", F.col("h").alias("hitting_time"))

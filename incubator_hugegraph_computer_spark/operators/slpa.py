@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def slpa(
@@ -38,9 +39,12 @@ def slpa(
     vertices can appear in multiple communities (the overlap)."""
     sym = graph.symmetrized().edges.persist()
     # memory as (id, label, cnt) long rows — simpler to fold than a map
-    mem = graph.vertices.select(
-        "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
-    ).localCheckpoint(eager=True)
+    mem = advance(
+        None,
+        graph.vertices.select(
+            "id", F.col("id").alias("label"), F.lit(1).cast("long").alias("cnt")
+        ),
+    )
 
     for rnd in range(1, rounds + 1):
         # pack each speaker's memory: label-sorted structs + cumulative
@@ -85,11 +89,11 @@ def slpa(
             .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("b"))
             .select("id", F.col("b.l").alias("label"), F.lit(1).cast("long").alias("cnt"))
         )
-        mem = (
+        mem = advance(
+            mem,
             mem.unionAll(adopted)
             .groupBy("id", "label")
-            .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint(eager=True)
+            .agg(F.sum("cnt").alias("cnt")),
         )
 
     # mem is checkpointed, so the cached symmetrized edges are no longer
