@@ -85,15 +85,29 @@ def rich_club(graph: Graph, max_k: int = 16) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("ec"))
     )
     ks = spark.range(1, max_k + 1).select(F.col("id").alias("k"))
-    # non-equi threshold joins: broadcast the literal k frame (the
-    # plan-bounded side) so the BNLJ build is provably max_k rows
+
+    # threshold "join" as a Generate: a histogram row with value v
+    # contributes to every k in 1..min(v-1, max_k) — explode that
+    # bounded sequence instead of a non-equi nested-loop join (no BNLJ
+    # in the plan at all; output rows ≤ max_k × histogram rows)
+    def _thresholds(val_col: str):
+        return F.explode(
+            F.when(
+                F.col(val_col) > 1,
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(F.col(val_col) - 1, F.lit(max_k).cast("long")),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("k")
+
     nk = (
-        nhist.join(F.broadcast(ks), nhist.deg > ks.k)
+        nhist.select(_thresholds("deg"), "nc")
         .groupBy("k")
         .agg(F.sum("nc").alias("n_nodes"))
     )
     ek = (
-        ehist.join(F.broadcast(ks), ehist.mdeg > ks.k)
+        ehist.select(_thresholds("mdeg"), "ec")
         .groupBy("k")
         .agg(F.sum("ec").alias("n_edges"))
     )
