@@ -3018,8 +3018,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver CORRECTNESS window: first 50 keys. Slots 1-30 are the
         # pinned Sec-2-core regression canary; slots 31-50 rotate
-        # never-driver-checked keys into the window each round (r4: strid/uuid
-        # id parity, structural suite, docs_/emb_/events_/media_ families). ---
+        # never-driver-checked keys into the window each round (r5:
+        # events_retention/gapfill/interval_join/sequences, emb_pq/ivfpq/
+        # semantic_dedup, docs_pack/chunks/bm25/shuffle_shards,
+        # media_resize/phash_pairs, graph_bowtie/scan/host_quotient/
+        # anf_hll/msbfs/wl_refine/mis). ---
         "graph_degree": _q_degree,
         "graph_degree_weighted": _q_degree_weighted,
         "graph_pagerank": _q_pagerank,
@@ -3051,6 +3054,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_louvain": _q_louvain,
         "graph_property_ingest": _q_property_ingest,
         # --- rotation slots (31-50): first-ever driver rows this round ---
+        "events_retention": _q_events_retention,
+        "events_gapfill": _q_events_gapfill,
+        "events_interval_join": _q_events_interval_join,
+        "events_sequences": _q_events_sequences,
+        "emb_pq_topk": _q_emb_pq_topk,
+        "emb_ivfpq_topk": _q_emb_ivfpq_topk,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "docs_pack": _q_docs_pack,
+        "docs_chunks": _q_docs_chunks,
+        "docs_bm25": _q_docs_bm25,
+        "docs_shuffle_shards": _q_docs_shuffle,
+        "media_resize": _q_media_resize,
+        "media_phash_pairs": _q_media_phash_pairs,
+        "graph_bowtie": _q_bowtie,
+        "graph_scan": _q_scan,
+        "graph_host_quotient": _q_quotient,
+        "graph_anf_hll": _q_anf_hll,
+        "graph_msbfs": _q_msbfs,
+        "graph_wl_refine": _q_wl_refine,
+        "graph_mis": _q_mis,
+        # --- beyond the driver window (gate-checked via tools/check_correctness.py;
+        # r4 rotation keys graduated here with green rows) ---
         "graph_wcc_strid": _q_wcc_strid,
         "graph_wcc_uuid": _q_wcc_uuid,
         "graph_voterank": _q_voterank,
@@ -3071,7 +3096,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_users_hll": _q_events_users_hll,
         "media_phash": _q_media_phash,
         "media_features": _q_media_features,
-        # --- beyond the driver window (gate-checked via tools/check_correctness.py) ---
         "graph_sssp_weighted_path": _q_sssp_weighted_path,
         "graph_ppr_sweep": _q_ppr_sweep,
         "graph_closeness_weighted": _q_closeness_weighted,
@@ -3106,9 +3130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_attr_assortativity": _q_attr_assortativity,
         "graph_embeddedness": _q_embeddedness,
         "graph_rich_club": _q_rich_club,
-        "graph_bowtie": _q_bowtie,
-        "graph_scan": _q_scan,
-        "graph_host_quotient": _q_quotient,
         "graph_bipartite": _q_bipartite,
         "graph_k4": _q_k4,
         "graph_trustrank": _q_trustrank,
@@ -3132,7 +3153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa_seeded": _q_lpa_seeded,
         "graph_landmarks": _q_landmarks,
         "graph_triangle_sampled": _q_triangle_sampled,
-        "graph_mis": _q_mis,
         "graph_matching": _q_matching,
         "graph_coarsen": _q_coarsen,
         "graph_partition_stats": _q_partition_stats,
@@ -3150,7 +3170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_percolation": _q_percolation,
         "graph_percolation4": _q_percolation4,
         "graph_efficiency": _q_efficiency,
-        "docs_shuffle_shards": _q_docs_shuffle,
         "docs_token_stats": _q_docs_tokens,
         "docs_language_id": _q_docs_langid,
         "docs_quality": _q_docs_quality,
@@ -3159,16 +3178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
         "docs_dsir": _q_docs_dsir,
-        "docs_bm25": _q_docs_bm25,
         "docs_domain_mix": _q_docs_domain_mix,
         "docs_redact_pii": _q_docs_redact_pii,
         "docs_length_buckets": _q_docs_length_buckets,
         "docs_domain_mix_tokens": _q_docs_domain_mix_tokens,
         "docs_span_dedup": _q_docs_span_dedup,
-        "emb_pq_topk": _q_emb_pq_topk,
         "emb_sq_topk": _q_emb_sq_topk,
-        "emb_ivfpq_topk": _q_emb_ivfpq_topk,
-        "emb_semantic_dedup": _q_emb_semantic_dedup,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_split": _q_docs_split,
         "docs_bloom_decontaminate": _q_docs_bloom_decontaminate,
@@ -3177,8 +3192,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_tred2": _q_tred2,
         "graph_attack_sim": _q_attack_sim,
         "graph_random_failure": _q_random_failure,
-        "docs_chunks": _q_docs_chunks,
-        "docs_pack": _q_docs_pack,
         "docs_pack_stats": _q_docs_pack_stats,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_ngram_dedup": _q_docs_ngram_dedup,
@@ -3187,7 +3200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_clusters": _q_docs_dedup_clusters,
         "docs_simhash": _q_docs_simhash,
         "media_byte_stats": _q_media_byte_stats,
-        "media_resize": _q_media_resize,
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_lsh_buckets": _q_emb_lsh_buckets,
         "emb_near_dup": _q_emb_near_dup,
@@ -3195,15 +3207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_ivf_trained_topk": _q_emb_ivf_trained_topk,
         "events_props": _q_events_props,
-        "events_retention": _q_events_retention,
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
-        "events_gapfill": _q_events_gapfill,
         "events_rollup": _q_events_rollup,
-        "events_interval_join": _q_events_interval_join,
         "events_transitions": _q_events_transitions,
-        "events_sequences": _q_events_sequences,
-        "graph_wl_refine": _q_wl_refine,
         "graph_triad_census": _q_triad_census,
         "graph_vertex_cut": _q_vertex_cut,
         "graph_temporal_reach": _q_temporal_reach,
@@ -3212,8 +3219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pic": _q_pic,
         "docs_containment": _q_docs_containment,
         "graph_label_spread": _q_label_spread,
-        "graph_msbfs": _q_msbfs,
-        "graph_anf_hll": _q_anf_hll,
         "graph_butterflies": _q_butterflies,
         "graph_ari": _q_ari,
         "graph_collective_influence": _q_collective_influence,
@@ -3225,7 +3230,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_zipf": _q_docs_zipf,
         "graph_sage_sample": _q_sage_sample,
         "emb_mrl_topk": _q_emb_mrl_topk,
-        "media_phash_pairs": _q_media_phash_pairs,
         "graph_jdm": _q_jdm,
         "media_phash_recall": _q_media_phash_recall,
         "docs_cdc_shared": _q_docs_cdc_shared,

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.operators.scc import scc
+from incubator_hugegraph_computer_spark.plans.lineage import advance, advance_counted
 
 
 def condensation_edges(graph: Graph, labels: DataFrame) -> DataFrame:
@@ -76,17 +77,14 @@ def build_layers(graph: Graph, max_depth: int = 200) -> DataFrame:
             .groupBy(F.col("dst").alias("cid"))
             .agg((F.max("layer") + F.lit(1)).alias("m"))
         )
-        new = (
-            state.join(msgs, "cid", "left")
-            .select(
+        state = advance(
+            state,
+            state.join(msgs, "cid", "left").select(
                 "cid",
                 F.greatest(F.col("layer"), F.coalesce(F.col("m"), F.col("layer"))).alias("layer"),
                 (F.coalesce(F.col("m"), F.lit(-1)) > F.col("layer")).alias("chg"),
-            )
-            .localCheckpoint(eager=True)  # truncate per-superstep lineage
+            ),
         )
-        state.unpersist()
-        state = new
         if state.where("chg").isEmpty():
             break
     out = labels.join(
@@ -141,7 +139,8 @@ def critical_path(
             .groupBy(F.col("dst").alias("cid"))
             .agg(F.max("finish").alias("m"))
         )
-        new = (
+        state = advance(
+            state,
             state.join(msgs, "cid", "left")
             .join(csum, "cid")
             .select(
@@ -152,26 +151,24 @@ def critical_path(
                 (
                     F.coalesce(F.col("m") + F.col("w"), F.lit(-1)) > F.col("finish")
                 ).alias("chg"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
-        state.unpersist()
-        state = new
         if state.where("chg").isEmpty():
             break
-    out = (
-        labels.join(
-            state.select(F.col("cid").alias("scc"), "finish"), "scc"
-        )
+    # materialize before releasing labels/csum — out's lazy checkpoint
+    # still reads them until its first action
+    out = advance(
+        None,
+        labels.join(state.select(F.col("cid").alias("scc"), "finish"), "scc")
         .join(csum.select(F.col("cid").alias("scc"), "w"), "scc")
         .select(
             "id",
             "scc",
             (F.col("finish") - F.col("w")).alias("est"),
             "finish",
-        )
-        .localCheckpoint(eager=True)
+        ),
     )
+    state.unpersist()
     cedges.unpersist()
     csum.unpersist()
     labels.unpersist()
@@ -215,21 +212,24 @@ def impact_set(graph: Graph, seeds: DataFrame, max_depth: int = 4) -> DataFrame:
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         .where(F.col("src") != F.col("dst"))
     )
-    visited = seeds.select(F.col("id").alias("seed"), F.col("id").alias("node")).persist()
+    visited = advance(
+        None, seeds.select(F.col("id").alias("seed"), F.col("id").alias("node"))
+    )
     frontier = visited
     for _ in range(max_depth):
-        nxt = (
+        nxt, n = advance_counted(
+            None,
             frontier.join(rev, frontier["node"] == rev["src"])
             .select("seed", F.col("dst").alias("node"))
             .distinct()
-            .join(visited, ["seed", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            .join(visited, ["seed", "node"], "left_anti"),
         )
-        if nxt.isEmpty():
+        if frontier is not visited:
+            frontier.unpersist()
+        if n == 0:
+            nxt.unpersist()
             break
-        old = visited
-        visited = visited.unionByName(nxt).persist()
-        old.unpersist()
+        visited = advance(visited, visited.unionByName(nxt))
         frontier = nxt
     out = visited.groupBy("seed").agg(
         (F.count(F.lit(1)) - F.lit(1)).cast("long").alias("impacted")

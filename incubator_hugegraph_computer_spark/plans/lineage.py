@@ -26,3 +26,17 @@ def advance(prev: DataFrame | None, new: DataFrame) -> DataFrame:
     if prev is not None:
         prev.unpersist()
     return out
+
+
+def advance_counted(prev: DataFrame | None, new: DataFrame) -> tuple[DataFrame, int]:
+    """:func:`advance` that also returns the row count of the new state.
+
+    Frontier-style loops terminate on "frontier empty" — since
+    materializing already runs a count job, returning it lets the loop
+    drop its separate ``isEmpty()`` action (one action per round instead
+    of two)."""
+    out = new.localCheckpoint(eager=False).persist()
+    n = out.count()
+    if prev is not None:
+        prev.unpersist()
+    return out, n
