@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
-from incubator_hugegraph_computer_spark.plans.lineage import advance
+from incubator_hugegraph_computer_spark.plans.lineage import advance, advance_counted
 
 
 def betweenness(
@@ -65,15 +65,18 @@ def betweenness(
         ),
     )
     layers = [layer]
-    # advance() (lazy localCheckpoint + persist): truncates the union
-    # chain's lineage each depth (a persisted-only union nests every
-    # previous level's plan — the driver plan-string blowup the lineage
-    # module documents); layers stay pinned for the backward phase
-    visited = advance(None, layer.select("source", "v"))
+    # visited = lazy union over the per-level frames. Each LEVEL is
+    # advance()-materialized (checkpoint + persist), so the union's plan
+    # is k flat cache scans — no nested lineage, and no O(S·V)
+    # re-materialization of the visited set every depth (the advance()
+    # call the r4 conversion paid here was the measured +34% regression).
+    # One action per depth: advance_counted's count doubles as the
+    # frontier-empty check.
+    visited = layer.select("source", "v")
     depth = 0
     while depth < max_depth:
         depth += 1
-        nxt = advance(
+        nxt, n = advance_counted(
             None,
             layer.join(edges, layer.v == edges.src)
             .groupBy("source", F.col("dst").alias("v"))
@@ -81,11 +84,11 @@ def betweenness(
             .join(visited, ["source", "v"], "left_anti")
             .select("source", "v", F.lit(depth).alias("dist"), "sigma"),
         )
-        if nxt.isEmpty():
+        if n == 0:
             nxt.unpersist()
             break
         layers.append(nxt)
-        visited = advance(visited, visited.unionAll(nxt.select("source", "v")))
+        visited = visited.unionAll(nxt.select("source", "v"))
         layer = nxt
     # ---------------- backward phase: dependency accumulation
     # delta for the deepest layer is 0; walk levels upward.
@@ -124,12 +127,20 @@ def betweenness(
             credits = advance(None, credits)
             edge_acc.append(credits.select("v", "w", "credit"))
         contrib = credits.groupBy("source", "v").agg(F.sum("credit").alias("delta"))
-        delta = advance(
-            None,
+        delta = (
             cur.select("source", "v")
             .join(contrib, ["source", "v"], "left")
-            .select("source", "v", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta")),
+            .select("source", "v", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=False)
+            .persist()
         )
+        # materialize only every 8th level: in between, levels stay lazy
+        # (persisted, so each computes once inside the next action's job)
+        # and the final aggregation's plan nests at most 8 deep — one
+        # count job per stride instead of per level, without the
+        # unbounded-plan-depth hazard on deep graphs
+        if (len(layers) - 2 - lvl) % 8 == 7:
+            delta.count()
         acc.append(delta.where(F.col("source") != F.col("v")))
     # every delta level is checkpointed, so the cached edge set is no
     # longer reachable from the result plan — release it

@@ -30,7 +30,15 @@ from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
 from incubator_hugegraph_computer_spark.operators.triangle_count import undirected_edges
-from incubator_hugegraph_computer_spark.plans.lineage import advance
+from incubator_hugegraph_computer_spark.plans.lineage import advance, advance_counted
+
+# V-row frames (communities, totals, move results) ride broadcast joins
+# while the level has at most this many vertices; beyond it, Spark's
+# shuffle planning takes over untouched.
+_BCAST_V = 2_000_000
+# frontier-pruning bookkeeping only arms on levels whose adjacency is
+# big enough for the pruned E-row scan to out-earn the changed-set job
+_PRUNE_MIN_E = 2_000_000
 
 
 def _initial_adjacency(graph: Graph, weight_col: str | None = None) -> DataFrame:
@@ -57,46 +65,142 @@ def _initial_adjacency(graph: Graph, weight_col: str | None = None) -> DataFrame
 def _move_phase(
     adj: DataFrame, two_m: float, resolution: float, max_inner: int
 ) -> DataFrame:
-    """One level of local moves. Returns (id, c) assignment."""
+    """One level of local moves. Returns (id, c) assignment.
+
+    Two scale-adaptive mechanisms, both exactness-preserving (the
+    returned assignment is hash-identical to the plain schedule):
+
+    **Small-side broadcast.** Every per-step join pairs the E-row
+    adjacency (or an E-row aggregate) with a V-row frame (communities,
+    totals, move results). While V is small enough to broadcast
+    (≤ ``_BCAST_V``), hint those sides broadcast — an inner step then
+    shuffles only its two aggregations instead of five exchanges. At
+    cluster scale V outgrows the bound and the joins revert to Spark's
+    shuffle planning untouched.
+
+    **Exact frontier pruning.** A vertex's move decision at inner step
+    ``it`` is a deterministic function of (its neighbors' communities,
+    the tot of its candidate communities, the direction parity
+    ``it % 2``). If none of those inputs changed since the vertex was
+    last evaluated at the SAME parity — i.e. across the last TWO steps —
+    its decision replays its step-(it−2) decision, which was "stay"
+    (had it moved, its own community would be in the changed set). So
+    only vertices in or adjacent to a community that gained/lost a
+    member during the last two steps need re-scoring; the rest keep
+    their assignment with zero work. The bookkeeping (a changed-set job
+    per step) is armed only while it can pay: the adjacency is large
+    (> ``_PRUNE_MIN_E`` rows) and the move rate has dropped below 10% —
+    on small levels or hot early steps the step runs unpruned, which is
+    the same exact computation."""
     k = adj.groupBy(F.col("i").alias("id")).agg(F.sum("w").alias("k")).persist()
-    comm = advance(None, k.select("id", F.col("id").alias("c"), "k"))
+    comm, n_vertices = advance_counted(
+        None, k.select("id", F.col("id").alias("c"), "k")
+    )
+    small = n_vertices <= _BCAST_V
+    bc = F.broadcast if small else (lambda df: df)
+    n_edge_rows = adj.count()  # cached by the caller — a cache scan
+    prune_capable = n_edge_rows > _PRUNE_MIN_E
     zero_streak = 0
+    changed_hist: list[DataFrame | None] = [None, None]  # steps it-1, it-2
     for it in range(max_inner):
         ktot = comm.groupBy("c").agg(F.sum("k").alias("tot"))
         cj = comm.select(F.col("id").alias("j"), F.col("c").alias("c_j"))
+        cand_ids = None
+        c1, c2 = changed_hist
+        if c1 is not None and c2 is not None:
+            changed2 = c1.unionAll(c2).distinct()
+            members, n_members = advance_counted(
+                None,
+                comm.join(
+                    F.broadcast(changed2.withColumnRenamed("cc", "c")), "c", "semi"
+                ).select("id"),
+            )
+            if n_members == 0:
+                # nobody's inputs changed for two consecutive steps —
+                # both parities replay "stay"; the level is converged
+                members.unpersist()
+                break
+            if n_members <= max(100_000, n_vertices // 3):
+                nbrs = (
+                    adj.join(
+                        F.broadcast(members.withColumnRenamed("id", "j")), "j", "semi"
+                    )
+                    .select(F.col("i").alias("id"))
+                    .distinct()
+                )
+                cand_ids, n_cand = advance_counted(
+                    None, members.unionAll(nbrs).distinct()
+                )
+                if n_cand > max(100_000, n_vertices // 2):
+                    cand_ids.unpersist()
+                    cand_ids = None
+            members.unpersist()
+        adj_f = (
+            adj
+            if cand_ids is None
+            else adj.join(
+                F.broadcast(cand_ids.withColumnRenamed("id", "i")), "i", "semi"
+            )
+        )
         # weight from i into each neighboring community (self excluded)
         k_in = (
-            adj.where(F.col("i") != F.col("j"))
+            adj_f.where(F.col("i") != F.col("j"))
             .join(cj, "j")
             .groupBy("i", "c_j")
             .agg(F.sum("w").alias("k_in"))
         )
         cur = comm.select(F.col("id").alias("i"), F.col("c").alias("c_i"), "k")
-        # candidate set = neighbor communities ∪ own community (k_in 0 if absent)
-        own = cur.select("i", F.col("c_i").alias("c_j")).withColumn("k_in", F.lit(0.0))
-        cand = (
-            k_in.unionByName(own)
-            .groupBy("i", "c_j")
-            .agg(F.max("k_in").alias("k_in"))
-            .join(cur, "i")
-            .join(ktot.withColumnRenamed("c", "c_j"), "c_j")
+        if cand_ids is not None:
+            cur = cur.join(
+                F.broadcast(cand_ids.withColumnRenamed("id", "i")), "i", "semi"
+            )
+        # Candidate scores in ONE pass over the (i, neighbor-community)
+        # frame: attach c_i/k (join on i) and tot (ktot rides a broadcast
+        # while small — no E-side shuffle), score every row with the
+        # exact tot_excl formula (own community subtracts its own k),
+        # then a single groupBy(i) yields both the best FOREIGN candidate
+        # and the own-community score. The own community needs no
+        # synthetic union row: a move must be STRICTLY better than
+        # staying, so own can never win — vertices whose own-community
+        # row is absent from k_in (no neighbor shares their community)
+        # get their stay score reconstructed from ktot afterwards.
+        nb = k_in.join(cur, "i").join(
+            bc(ktot.withColumnRenamed("c", "c_j")), "c_j"
         )
         tot_excl = F.col("tot") - F.when(F.col("c_j") == F.col("c_i"), F.col("k")).otherwise(0.0)
         score = F.col("k_in") - F.lit(resolution) * F.col("k") * tot_excl / F.lit(two_m)
         best = (
-            cand.withColumn("score", score)
+            nb.withColumn("score", score)
             .groupBy("i")
             .agg(
-                F.max(F.struct(F.col("score"), (-F.col("c_j")).alias("neg_c"))).alias("b"),
+                F.max(
+                    F.when(
+                        F.col("c_j") != F.col("c_i"),
+                        F.struct(F.col("score"), (-F.col("c_j")).alias("neg_c")),
+                    )
+                ).alias("b"),
                 F.max(
                     F.when(F.col("c_j") == F.col("c_i"), F.col("score")).otherwise(None)
-                ).alias("stay_score"),
+                ).alias("stay_raw"),
                 F.first("c_i").alias("c_i"),
+                F.first("k").alias("k_i"),
             )
+            .join(bc(ktot.withColumnRenamed("c", "c_i")), "c_i")
             .select(
                 F.col("i").alias("id"),
+                F.col("b.neg_c").alias("neg_c"),
                 (-F.col("b.neg_c")).alias("best_c"),
-                (F.col("b.score") > F.col("stay_score") + 1e-12).alias("better"),
+                (
+                    F.col("b.score")
+                    > F.coalesce(
+                        F.col("stay_raw"),
+                        -F.lit(resolution)
+                        * F.col("k_i")
+                        * (F.col("tot") - F.col("k_i"))
+                        / F.lit(two_m),
+                    )
+                    + 1e-12
+                ).alias("better"),
                 "c_i",
             )
         )
@@ -108,15 +212,48 @@ def _move_phase(
         # cannot cycle (community ids strictly decrease/increase).
         move_down = F.col("best_c") < F.col("c_i")
         dir_ok = move_down if it % 2 == 0 else ~move_down
-        moved = best.select(
-            "id",
-            F.when(F.col("better") & dir_ok, F.col("best_c")).otherwise(F.col("c_i")).alias("c"),
-            (F.col("better") & dir_ok & (F.col("best_c") != F.col("c_i"))).cast("int").alias("mv"),
+        mv_cond = F.col("neg_c").isNotNull() & F.col("better") & dir_ok
+        moved = best.where(mv_cond).select(
+            "id", F.col("best_c").alias("c_new"), F.lit(1).alias("mv_new")
         )
-        comm = advance(
-            comm, comm.select("id", "k").join(moved.select("id", "c", "mv"), "id")
+        # left join: vertices without a `moved` row — pruned, or with no
+        # strictly-better admissible target — keep their community
+        prev_comm = comm
+        comm = (
+            comm.select("id", "k", F.col("c").alias("c_prev"))
+            .join(moved, "id", "left")
+            .select(
+                "id",
+                "k",
+                F.coalesce("c_new", F.col("c_prev")).alias("c"),
+                F.coalesce("mv_new", F.lit(0)).alias("mv"),
+                "c_prev",
+            )
+            .localCheckpoint(eager=False)
+            .persist()
         )
+        # one action materializes the new state AND reads off the move
+        # count (advance()'s count job folded into the convergence agg)
         n_moves = comm.agg(F.sum("mv")).first()[0] or 0
+        prev_comm.unpersist()
+        # track the touched-community frontier only while pruning can
+        # engage (big adjacency, cooled-down move rate) — otherwise the
+        # changed-set job is pure per-step overhead
+        if prune_capable and n_moves < n_vertices * 0.10:
+            changed_t: DataFrame | None = advance(
+                None,
+                comm.where(F.col("mv") == 1)
+                .select(F.explode(F.array("c_prev", "c")).alias("cc"))
+                .distinct(),
+            )
+        else:
+            changed_t = None
+        dropped = changed_hist[1]
+        changed_hist = [changed_t, changed_hist[0]]
+        if dropped is not None:
+            dropped.unpersist()
+        if cand_ids is not None:
+            cand_ids.unpersist()
         # A round admits only one move direction (down on even it, up on
         # odd), so a single zero-move round may just mean every improving
         # move pointed the blocked way — converged only after BOTH
@@ -125,6 +262,9 @@ def _move_phase(
         if zero_streak >= 2:
             break
     k.unpersist()
+    for ch in changed_hist:
+        if ch is not None:
+            ch.unpersist()
     # materialized 2-col result; the internal move state is released —
     # the caller owns (and unpersists) the returned frame
     return advance(comm, comm.select("id", "c"))
@@ -167,13 +307,18 @@ def louvain(
         raw_assignment = _move_phase(adj, two_m, resolution, max_inner)
         # canonicalize community ids to min member (deterministic output)
         canon = raw_assignment.groupBy("c").agg(F.min("id").alias("rep"))
-        assignment = advance(
-            None,
-            raw_assignment.join(canon, "c").select("id", F.col("rep").alias("c")),
+        assignment = (
+            raw_assignment.join(canon, "c")
+            .select("id", F.col("rep").alias("c"))
+            .localCheckpoint(eager=False)
+            .persist()
         )
+        # one job materializes the assignment AND reads both convergence
+        # scalars off it
+        n_nodes, n_comms = assignment.agg(
+            F.count(F.lit(1)), F.count_distinct("c")
+        ).first()
         raw_assignment.unpersist()
-        n_comms = assignment.select("c").distinct().count()
-        n_nodes = assignment.count()
         mapping = advance(
             mapping,
             mapping.join(assignment.withColumnRenamed("id", "node"), "node")
@@ -186,13 +331,17 @@ def louvain(
         # internal mass so k and 2m are preserved exactly)
         ci = assignment.select(F.col("id").alias("i"), F.col("c").alias("new_i"))
         cjj = assignment.select(F.col("id").alias("j"), F.col("c").alias("new_j"))
+        # contracted levels are orders of magnitude smaller — size their
+        # cached partitioning to the supervertex count instead of paying
+        # full-width task scheduling on every inner step of a tiny level
+        parts = min(graph.num_partitions, max(4, int(n_comms) // 2000 + 1))
         adj = advance(
             adj,
             adj.join(ci, "i")
             .join(cjj, "j")
             .groupBy(F.col("new_i").alias("i"), F.col("new_j").alias("j"))
             .agg(F.sum("w").alias("w"))
-            .repartition(graph.num_partitions, "j"),
+            .repartition(parts, "j"),
         )
         assignment.unpersist()
 
