@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 from incubator_hugegraph_computer_spark.operators.random_walk import random_walk
 
 
@@ -212,11 +213,11 @@ def sage_sample(
             "src", "dst", coin.alias("r")
         )
         w = Window.partitionBy("src").orderBy(F.asc("r"), F.asc("dst"))
-        samp = (
+        samp = advance(
+            None,
             cand.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= fanout)
-            .select(F.lit(layer).cast("long").alias("layer"), "src", "dst")
-            .localCheckpoint(eager=True)
+            .select(F.lit(layer).cast("long").alias("layer"), "src", "dst"),
         )
         out = samp if out is None else out.unionAll(samp)
         frontier = samp.select(F.col("dst").alias("id")).distinct()

@@ -36,6 +36,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 from incubator_hugegraph_computer_spark.plans.bsp import (
     BspEngine,
     BspProgram,
@@ -251,7 +252,8 @@ def lpa_seeded(graph: Graph, seeds: DataFrame, rounds: int = 5) -> DataFrame:
             "src",
         ).select("dst", "msg")
         winners = _argmax_min_label(msgs).withColumnRenamed("msg", "_win")
-        state = (
+        state = advance(
+            state,
             state.join(winners, "id", "left")
             .select(
                 "id",
@@ -259,7 +261,6 @@ def lpa_seeded(graph: Graph, seeds: DataFrame, rounds: int = 5) -> DataFrame:
                 .otherwise(F.coalesce(F.col("_win"), F.col("label")))
                 .alias("label"),
                 "seed",
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
     return state.select("id", "label")

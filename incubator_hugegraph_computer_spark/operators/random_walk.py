@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def random_walk(
@@ -135,11 +136,6 @@ def random_walk(
                 .otherwise(F.col("path"))
                 .alias("path"),
             )
-            # eager localCheckpoint both truncates the iterative lineage
-            # and stores the blocks — persisting on top would materialize
-            # every step's walks twice
-            .localCheckpoint(eager=True)
         )
-        walks.unpersist()
-        walks = new_walks
+        walks = advance(walks, new_walks)
     return walks.select("walk_id", "start", "path")

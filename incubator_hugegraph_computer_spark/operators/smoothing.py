@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
+from incubator_hugegraph_computer_spark.plans.lineage import advance
 
 
 def smooth_feature(
@@ -49,7 +50,8 @@ def smooth_feature(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.avg("x").alias("nbr_mean"))
         )
-        state = (
+        state = advance(
+            state,
             state.join(nbr, "id", "left")
             .select(
                 "id",
@@ -58,8 +60,7 @@ def smooth_feature(
                 ).otherwise(
                     F.lit(1.0 - alpha) * F.col("x") + F.lit(alpha) * F.col("nbr_mean")
                 ).alias("x"),
-            )
-            .localCheckpoint(eager=True)  # truncate the k-round lineage
+            ),
         )
     return state
 

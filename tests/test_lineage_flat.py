@@ -76,3 +76,41 @@ def test_scc_long_cycle_flat_rounds(spark, cycle_graph, monkeypatch):
         f"per-round wall time grew: early median {early:.3f}s, "
         f"late median {late:.3f}s over {len(gaps)} barriers"
     )
+
+def test_build_layers_deep_chain_flat(spark, monkeypatch):
+    """build_layers on a 50-deep path: the longest-path loop runs ~50
+    advance() barriers (one per condensation level). Before the r5
+    conversion this loop chained eager localCheckpoints with a
+    max_depth=200 budget — the measured cliff doubles per-round cost
+    from ~16 and OOMs near 60, so a flat 50-round run is exactly the
+    regression this pins."""
+    from incubator_hugegraph_computer_spark.operators import code_graph as cg
+
+    depth = 50
+    edges = spark.range(depth).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    g = Graph.from_edges(edges, num_partitions=4)
+
+    stamps: list[float] = []
+    real_advance = cg.advance
+
+    def timed_advance(prev, new):
+        out = real_advance(prev, new)
+        stamps.append(time.monotonic())
+        return out
+
+    monkeypatch.setattr(cg, "advance", timed_advance)
+    rows = cg.build_layers(g, max_depth=depth + 5).collect()
+
+    # correctness: a path graph layers each vertex at its depth
+    assert {(r["id"], r["layer"]) for r in rows} == {(i, i) for i in range(depth + 1)}
+
+    gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+    assert len(gaps) >= 45, f"expected 45+ advance barriers, saw {len(gaps) + 1}"
+    early = statistics.median(gaps[2:10])
+    late = statistics.median(gaps[-8:])
+    assert late < 5 * early + 0.5, (
+        f"per-round wall time grew: early median {early:.3f}s, "
+        f"late median {late:.3f}s over {len(gaps)} barriers"
+    )
