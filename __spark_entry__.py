@@ -1763,6 +1763,37 @@ def _q_media_features(spark, sf_dir):
     ).select("doc_id", F.col("chunk").cast("long").alias("chunk"), F.round("fv", 6).alias("fv"))
 
 
+def _q_media_codec_features(spark, sf_dir):
+    """REAL-codec media path: a complete RIFF/WAVE PCM16 container is
+    encoded per document (encode_wav; sample t of doc d =
+    ((d*7919 + t*104729) % 65536) - 32768), then ``codec="auto"``
+    sniffs the container and decodes it with the pure-Python WAV codec
+    (`functions/multimodal.py decode_media`) inside the same Arrow
+    mapInPandas kernel as the stub path. PCM16 samples are 15-bit
+    dyadic rationals, so the float64 pooled means are exact sums —
+    the SQL oracle replays them bit-for-bit (rounding is belt and
+    braces, not a tolerance). First driver-checkable query through the
+    real decoder."""
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        extract_features,
+        wav_media_from_ids,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = wav_media_from_ids(docs, n_samples=64)
+    feats = extract_features(media, feature_dim=8, dtype="float64", codec="auto")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_bytes"),
+        F.posexplode("feature").alias("chunk", "fv"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("chunk").cast("long").alias("chunk"),
+        F.round("fv", 6).alias("fv"),
+    )
+
+
 def _q_emb_cosine_topk(spark, sf_dir):
     from incubator_hugegraph_computer_spark.functions.similarity import cosine_topk
 
@@ -3064,7 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack": _q_docs_pack,
         "docs_chunks": _q_docs_chunks,
         "docs_bm25": _q_docs_bm25,
-        "docs_shuffle_shards": _q_docs_shuffle,
+        "media_codec_features": _q_media_codec_features,
         "media_resize": _q_media_resize,
         "media_phash_pairs": _q_media_phash_pairs,
         "graph_bowtie": _q_bowtie,
@@ -3076,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mis": _q_mis,
         # --- beyond the driver window (gate-checked via tools/check_correctness.py;
         # r4 rotation keys graduated here with green rows) ---
+        "docs_shuffle_shards": _q_docs_shuffle,
         "graph_wcc_strid": _q_wcc_strid,
         "graph_wcc_uuid": _q_wcc_uuid,
         "graph_voterank": _q_voterank,
@@ -5671,6 +5703,23 @@ asg AS (SELECT doc_id,
         FROM ch)
 SELECT doc_id, chunk, ROUND(AVG(b), 6) AS fv
 FROM asg GROUP BY doc_id, chunk
+"""
+
+    # WAV PCM16 payload: 44-byte RIFF/fmt/data header + 64 samples * 2B.
+    # Decoded sample t of doc d = ((d*7919 + t*104729) % 65536 - 32768)
+    # / 32768.0 — a 15-bit dyadic rational, so the float64 chunk means
+    # (64 samples / 8 chunks = 8 each) are EXACT in both engines.
+    o["media_codec_features"] = """
+WITH t AS (SELECT unnest(generate_series(0, 63)) AS t),
+s AS (SELECT d.doc_id,
+             t.t // 8 AS chunk,
+             (((d.doc_id * 7919 + t.t * 104729) % 65536) - 32768) / 32768.0 AS x
+      FROM documents d CROSS JOIN t)
+SELECT doc_id,
+       CAST(44 + 128 AS BIGINT) AS n_bytes,
+       CAST(chunk AS BIGINT) AS chunk,
+       ROUND(SUM(x) / 8, 6) AS fv
+FROM s GROUP BY doc_id, chunk
 """
 
     o["graph_wcc"] = f"""

@@ -323,6 +323,49 @@ def resize(media: DataFrame, factor: int = 4) -> DataFrame:
     return media.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
+def wav_media_from_ids(ids: DataFrame, n_samples: int = 64) -> DataFrame:
+    """Encode a REAL PCM16 WAV payload per id row — the deterministic
+    corpus for driving :func:`decode_media`'s container sniffing on
+    Spark. Sample ``t`` of media ``d`` is ``((d*7919 + t*104729) %
+    65536) - 32768`` (full int16 range, SQL-replayable); the payload is
+    a complete RIFF/WAVE container from :func:`encode_wav`, so the
+    decode side exercises header walking, not just byte passthrough.
+    PCM16 decodes to 15-bit dyadic rationals, which float64 pooled
+    means sum EXACTLY — an external SQL oracle matches bit-for-bit.
+
+    ``ids``: one-column (media_id-compatible) DataFrame; first column
+    is used."""
+    col = ids.columns[0]
+    rows = ids.select(F.col(col).cast("long").alias("media_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            mids = pdf["media_id"].to_numpy()
+            payloads = [
+                encode_wav((((int(d) * 7919 + t * 104729) % 65536) - 32768))
+                for d in mids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "width": None,
+                            "height": None,
+                            "sample_rate": 16000,
+                            "n_frames": None,
+                        }
+                        for _ in mids
+                    ],
+                }
+            )
+
+    return rows.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def media_from_documents(documents: DataFrame) -> DataFrame:
     """Treat each document's UTF-8 bytes as an opaque media payload —
     the plumbing used when the corpus carries real image/audio bytes:

@@ -80,3 +80,26 @@ def test_extract_features_on_real_bytes(spark):
     np.testing.assert_allclose(out[1]["feature"], img_expect, rtol=1e-5)
     np.testing.assert_allclose(out[2]["feature"], wav_expect, rtol=1e-5)
     assert out[1]["n_bytes"] == len(encode_bmp(px))
+
+
+def test_wav_media_from_ids_roundtrip(spark):
+    """The driver-checkable codec corpus: every payload is a real RIFF
+    container whose decode replays the generator formula exactly."""
+    from incubator_hugegraph_computer_spark.functions.multimodal import (
+        decode_media,
+        wav_media_from_ids,
+    )
+
+    ids = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    rows = {r["media_id"]: r for r in wav_media_from_ids(ids, n_samples=16).collect()}
+    assert set(rows) == {7, 12}
+    t = np.arange(16, dtype=np.int64)
+    for d, r in rows.items():
+        assert r["kind"] == "audio"
+        payload = bytes(r["payload"])
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        assert len(payload) == 44 + 32
+        expect = (((d * 7919 + t * 104729) % 65536) - 32768) / 32768.0
+        np.testing.assert_array_equal(
+            decode_media(payload, "audio"), expect.astype(np.float32)
+        )
