@@ -35,7 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
-from incubator_hugegraph_computer_spark.plans.lineage import advance
+from incubator_hugegraph_computer_spark.plans.lineage import (
+    advance,
+    advance_agg,
+    advance_counted,
+)
 
 
 def _propagate_min(
@@ -70,10 +74,11 @@ def _propagate_min(
                 ).alias("color"),
                 F.coalesce(F.col("m") < F.col("color"), F.lit(False)).alias("chg"),
             )
-        state = advance(state, cur)
-        # a hop whose frontier produced no change is a fixpoint (min
-        # propagation only triggers from prior changes)
-        if state.where("chg").isEmpty():
+        # one action: materializes the new state AND probes convergence
+        # (a barrier whose frontier produced no change is a fixpoint —
+        # min propagation only triggers from prior changes)
+        state, row = advance_agg(state, cur, F.sum(F.col("chg").cast("int")))
+        if (row[0] or 0) == 0:
             break
     # hand back a materialized 2-col frame and release the internal
     # state — callers own (and must unpersist) the returned frame
@@ -86,8 +91,14 @@ def _backward_sweep(
     """All (id, scc) reached from ``roots`` along ``colored_rev``
     (reverse edges already restricted to equal color classes).
     ``stride`` frontier expansions per barrier."""
-    members = advance(None, roots)
-    frontier = members
+    seed = advance(None, roots)
+    # members = lazy union over the advance()-materialized frontier
+    # frames: each leaf is a flat cache scan, so the anti-join pays no
+    # nested lineage and the member set is never re-materialized per
+    # round (the same shape as betweenness's visited set)
+    parts = [seed]
+    members = seed
+    frontier = seed
     while True:
         cur = frontier
         hops = []
@@ -102,19 +113,16 @@ def _backward_sweep(
         grown = hops[0]
         for h in hops[1:]:
             grown = grown.unionAll(h)
-        nxt = advance(
+        nxt, n = advance_counted(
             None,
             grown.distinct().join(members.select("id"), "id", "left_anti"),
         )
-        if nxt.isEmpty():
+        if n == 0:
             nxt.unpersist()
-            if frontier is not members:
-                frontier.unpersist()
             break
-        new_members = advance(members, members.unionAll(nxt))
-        if frontier is not members:
-            frontier.unpersist()
-        members, frontier = new_members, nxt
+        parts.append(nxt)
+        members = members.unionAll(nxt)
+        frontier = nxt
     return members
 
 
@@ -123,30 +131,28 @@ def scc(graph: Graph, max_outer: int = 50, stride: int = 4) -> DataFrame:
     component."""
     spark = graph.spark
     assigned_parts: list[DataFrame] = []
-    verts = advance(None, graph.vertices.select("id"))
+    verts, n_verts = advance_counted(None, graph.vertices.select("id"))
     edges = advance(
         None, graph.edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     )
 
     for _ in range(max_outer):
-        if verts.isEmpty():
+        if n_verts == 0:
             break
         # ---- trim loop: peel in/out-degree-0 vertices (own SCCs).
         # Rounds are capped — trim is an optimization; anything left
         # untrimmed is handled correctly by the coloring phase.
         trim_rounds = 0
-        n_verts = verts.count()  # cached — cheap action
         while trim_rounds < 20:
             trim_rounds += 1
             srcs = edges.select("src").distinct()
             dsts = edges.select("dst").distinct()
-            core = advance(
+            core, n_core = advance_counted(
                 None,
                 verts.join(srcs.withColumnRenamed("src", "id"), "id", "left_semi")
                 .join(dsts.withColumnRenamed("dst", "id"), "id", "left_semi"),
             )
-            n_core = core.count()  # cached — stability probe without an
-            if n_core == n_verts:  # extra anti-join job
+            if n_core == n_verts:  # stable — no extra anti-join job
                 core.unpersist()
                 break
             assigned_parts.append(
@@ -164,8 +170,19 @@ def scc(graph: Graph, max_outer: int = 50, stride: int = 4) -> DataFrame:
                 edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi"),
             )
-        if verts.isEmpty():
+        if n_verts == 0:
             break
+
+        # The trimmed core is usually orders of magnitude smaller than
+        # the input (DAG mass is gone) while the cached edge frame still
+        # carries full-width partitioning — every propagate barrier then
+        # pays full task scheduling on a tiny graph. Re-bucket the core
+        # by src once per outer round; src is the propagate/sweep join
+        # key, so the cached layout feeds every hop without reshuffling
+        # the edge side.
+        parts = min(graph.num_partitions, max(4, n_verts // 25_000 + 1))
+        if parts < graph.num_partitions:
+            edges = advance(edges, edges.repartition(parts, "src"))
 
         # ---- color forward (min id), then sweep backward within color
         color = _propagate_min(verts, edges, stride=stride)
@@ -186,7 +203,8 @@ def scc(graph: Graph, max_outer: int = 50, stride: int = 4) -> DataFrame:
                 "dst",
             )
             .where(F.col("c_src") == F.col("c_dst"))
-            .select("src", "dst"),
+            .select("src", "dst")
+            .repartition(parts, "src"),
         )
         roots = color.where(F.col("color") == F.col("id")).select(
             "id", F.col("color").alias("scc")
@@ -194,8 +212,9 @@ def scc(graph: Graph, max_outer: int = 50, stride: int = 4) -> DataFrame:
         members = _backward_sweep(roots, colored_rev, stride=stride)
         color.unpersist()
         assigned_parts.append(members)
-        new_verts = advance(verts, verts.join(members.select("id"), "id", "left_anti"))
-        verts = new_verts
+        verts, n_verts = advance_counted(
+            verts, verts.join(members.select("id"), "id", "left_anti")
+        )
         edges = advance(
             edges,
             edges.join(verts.withColumnRenamed("id", "src"), "src", "left_semi")
@@ -205,7 +224,7 @@ def scc(graph: Graph, max_outer: int = 50, stride: int = 4) -> DataFrame:
     else:
         # assigning fewer rows than graph.vertices with no error would
         # silently corrupt every downstream join
-        if not verts.isEmpty():
+        if n_verts != 0:
             raise RuntimeError(
                 f"scc did not assign every vertex within max_outer={max_outer} "
                 "outer iterations (pathological SCC-chain input) — raise max_outer"

@@ -40,3 +40,15 @@ def advance_counted(prev: DataFrame | None, new: DataFrame) -> tuple[DataFrame, 
     if prev is not None:
         prev.unpersist()
     return out, n
+
+
+def advance_agg(prev, new, *exprs):
+    """:func:`advance` whose materializing action is an aggregation:
+    returns ``(out, row)`` where ``row`` is ``out.agg(*exprs).first()``.
+    Lets a loop read its convergence scalars off the same job that
+    materializes the round's state — one action per barrier."""
+    out = new.localCheckpoint(eager=False).persist()
+    row = out.agg(*exprs).first()
+    if prev is not None:
+        prev.unpersist()
+    return out, row

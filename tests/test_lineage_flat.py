@@ -36,13 +36,27 @@ def cycle_graph(spark):
 def test_scc_long_cycle_flat_rounds(spark, cycle_graph, monkeypatch):
     stamps: list[float] = []
     real_advance = scc_mod.advance
+    real_counted = scc_mod.advance_counted
+    real_agg = scc_mod.advance_agg
 
     def timed_advance(prev, new):
         out = real_advance(prev, new)
         stamps.append(time.monotonic())
         return out
 
+    def timed_counted(prev, new):
+        out = real_counted(prev, new)
+        stamps.append(time.monotonic())
+        return out
+
+    def timed_agg(prev, new, *exprs):
+        out = real_agg(prev, new, *exprs)
+        stamps.append(time.monotonic())
+        return out
+
     monkeypatch.setattr(scc_mod, "advance", timed_advance)
+    monkeypatch.setattr(scc_mod, "advance_counted", timed_counted)
+    monkeypatch.setattr(scc_mod, "advance_agg", timed_agg)
     # drive the two inner loops directly with a budget covering the
     # cycle's N-1 propagation hops
     color = scc_mod._propagate_min(
