@@ -43,3 +43,28 @@ def test_hll_stream_matches_batch(spark, tmp_path):
     expected = {r["event_type"]: r["est_distinct"]
                 for r in hll_distinct(batch_df, "user_id", ["event_type"]).collect()}
     assert streamed == expected
+
+
+def test_hll_estimates_register_count_guards(spark):
+    """ADVICE r4: the register count m rides in the state; a mixed or
+    contradicting count must raise, never silently use the wrong alpha."""
+    import pytest
+    from incubator_hugegraph_computer_spark.streaming.hll import hll_estimates
+
+    ok = spark.createDataFrame(
+        [("a", 0, 3, 16), ("a", 1, 2, 16)], "grp string, j int, mv int, m int"
+    )
+    # persisted m drives the estimate without an explicit value
+    assert hll_estimates(ok).collect()[0]["est_distinct"] > 0
+    # explicit matching m is accepted
+    assert hll_estimates(ok, m=16).collect()[0]["est_distinct"] > 0
+    with pytest.raises(ValueError, match="contradicts"):
+        hll_estimates(ok, m=32)
+    mixed = spark.createDataFrame(
+        [("a", 0, 3, 16), ("a", 1, 2, 32)], "grp string, j int, mv int, m int"
+    )
+    with pytest.raises(ValueError, match="mixed register counts"):
+        hll_estimates(mixed)
+    bare = ok.drop("m")
+    with pytest.raises(ValueError, match="register count unknown"):
+        hll_estimates(bare)

@@ -40,3 +40,29 @@ def test_rmat_profile_is_skewed(spark):
     assert sum(d * n for d, n in rows.items()) == 5000
     # power-law-ish: some vertex far above the 5000/256 mean degree
     assert max(rows) > 3 * (5000 // 256)
+
+
+def test_rmat_rejects_graph_store_combination():
+    """ADVICE r4: --generate-rmat + --graph-store must refuse to run (the
+    store would shadow the generated graph) — pinned at the CLI surface."""
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "incubator_hugegraph_computer_spark/job.py",
+            "--algorithm", "pagerank",
+            "--generate-rmat", "1000",
+            "--graph-store", "/tmp/some_store",
+            "--output", "/tmp/rmat_reject_out",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+        timeout=300,
+    )
+    assert out.returncode != 0
+    assert "cannot be combined with --graph-store" in (out.stderr + out.stdout)
