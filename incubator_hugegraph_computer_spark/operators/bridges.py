@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from incubator_hugegraph_computer_spark.graph import Graph
-from incubator_hugegraph_computer_spark.plans.lineage import advance
+from incubator_hugegraph_computer_spark.plans.lineage import advance, advance_agg, advance_counted
 from incubator_hugegraph_computer_spark.operators.closeness import multi_source_bfs
 from incubator_hugegraph_computer_spark.operators.wcc import wcc
 
@@ -113,33 +113,48 @@ def bridges(graph: Graph, max_depth: int = 64) -> DataFrame:
     ny = nodes.select(
         F.col("id").alias("y"), F.col("dep").alias("ydep"), F.col("parent").alias("ypar")
     )
-    state = advance(
+    state, n_live = advance_counted(
         None,
         nt.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .where(F.col("x") != F.col("y")),
     )
-    covered_parts: list[DataFrame] = []
-    while not state.isEmpty():
+    # Per round, ONE action: the live next-pairs and this round's covered
+    # tree edges ride the same tagged frame, advance_agg materializes it
+    # and reads the live count off the materializing aggregation. Each
+    # round's frame stays pinned until the end (its live=0 rows are the
+    # covered edges the final anti-join consumes).
+    frames: list[DataFrame] = [state]
+    while n_live > 0:
         step = state.join(nx, "x").join(ny, "y")
         # move the deeper endpoint; tie → the larger id (x < y ⇒ y)
         move_x = F.col("xdep") > F.col("ydep")
         mv = F.when(move_x, F.col("x")).otherwise(F.col("y"))
         mvpar = F.when(move_x, F.col("xpar")).otherwise(F.col("ypar"))
         stay = F.when(move_x, F.col("y")).otherwise(F.col("x"))
-        covered_parts.append(
-            advance(
-                None,
-                step.select(
-                    F.least(mv, mvpar).alias("a"), F.greatest(mv, mvpar).alias("b")
-                ).distinct(),
+        both = (
+            step.select(
+                F.least(mvpar, stay).alias("x"),
+                F.greatest(mvpar, stay).alias("y"),
+                F.lit(1).alias("live"),
             )
-        )
-        state = advance(
-            state,
-            step.select(F.least(mvpar, stay).alias("x"), F.greatest(mvpar, stay).alias("y"))
             .where(F.col("x") != F.col("y"))
-            .distinct(),
+            .unionAll(
+                step.select(
+                    F.least(mv, mvpar).alias("x"),
+                    F.greatest(mv, mvpar).alias("y"),
+                    F.lit(0).alias("live"),
+                )
+            )
+            .distinct()
         )
+        frame, row = advance_agg(None, both, F.sum("live"))
+        frames.append(frame)
+        n_live = row[0] or 0
+        state = frame.where(F.col("live") == 1).select("x", "y")
+    covered_parts = [
+        f.where(F.col("live") == 0).select(F.col("x").alias("a"), F.col("y").alias("b"))
+        for f in frames[1:]
+    ]
     out = tree
     if covered_parts:
         covered = covered_parts[0]
@@ -147,6 +162,8 @@ def bridges(graph: Graph, max_depth: int = 64) -> DataFrame:
             covered = covered.unionAll(part)
         out = tree.join(covered.distinct(), ["a", "b"], "left_anti")
     result = advance(None, out)
+    for f in frames:
+        f.unpersist()
     nodes.unpersist()
     tree.unpersist()
     und.unpersist()
