@@ -61,3 +61,33 @@ def test_louvain_weighted_changes_partition(spark):
     assert got[0] == got[1]
     assert got[2] == got[3]
     assert got[0] != got[2]
+
+
+def test_louvain_frontier_pruning_exact(spark, monkeypatch):
+    """The exact frontier-pruning path only arms on levels with > 2M
+    adjacency rows, so gates never exercise it — force it on (and force
+    the broadcast fast path off, its production complement at scale) and
+    pin hash-identical assignments vs the unpruned schedule on a graph
+    whose move phase needs several cooling steps."""
+    import incubator_hugegraph_computer_spark.operators.louvain as L
+    from incubator_hugegraph_computer_spark.graph import Graph
+    from pyspark.sql import functions as F
+
+    # two ring-of-cliques communities bridged sparsely: move counts cool
+    # over the inner steps, so late steps run with a small frontier
+    rows = []
+    for c in range(6):  # 6 cliques of 5
+        base = c * 5
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append((base + i, base + j))
+        rows.append((base + 4, ((c + 1) % 6) * 5))  # ring bridges
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    g = Graph.from_edges(edges, num_partitions=4)
+
+    plain = {(r["id"], r["community"]) for r in L.louvain(g, max_levels=3, max_inner=6).collect()}
+
+    monkeypatch.setattr(L, "_PRUNE_MIN_E", 0)
+    monkeypatch.setattr(L, "_BCAST_V", 0)
+    pruned = {(r["id"], r["community"]) for r in L.louvain(g, max_levels=3, max_inner=6).collect()}
+    assert pruned == plain
