@@ -85,11 +85,15 @@ def _conflict_pairs(sym: DataFrame, cand_ids: list[int]) -> set[tuple[int, int]]
     }
 
 
-def voterank(graph: Graph, k: int = 10, batch: int = 8) -> DataFrame:
+def voterank(graph: Graph, k: int = 10, batch: int | None = None) -> DataFrame:
     """(sel_rank, id, score) — the K elected spreaders in election
     order with their (rounded) winning vote totals. ``batch`` bounds
     elections per driver round-trip; any value yields output identical
-    to ``batch=1`` (see module docstring)."""
+    to ``batch=1`` (see module docstring). Default: ``k`` — a
+    conflict-free top-k prefix then elects in ONE round-trip, and the
+    stop-at-first-conflict rule keeps any batch size exact."""
+    if batch is None:
+        batch = k
     sym = advance(None, graph.symmetrized().edges)
     n_vertices = graph.vertices.count()
     n_sym = sym.count()
